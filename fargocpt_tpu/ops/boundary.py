@@ -1,0 +1,157 @@
+"""Radial boundary conditions and wave-damping zones.
+
+Re-derivation of the reference BC framework
+(src/boundary_conditions/boundary_conditions.cpp:65-110 with per-variable
+function dispatch from src/boundary_conditions/config.cpp) as pure row
+updates. Ghost rows:
+  * scalar fields: row 0 (inner), row NR-1 (outer)
+  * v_rad: rows 0,1 (inner) and NR-1, NR (outer) — row 1 / NR-1 sit ON the
+    active boundary.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..params import Physics
+from .common import Geom
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class RefValues:
+    """Initial-value snapshots used by reference BCs and damping
+    (reference src/boundary_conditions/boundary_conditions.cpp:32-43 and
+    the SIGMA0/ENERGY0/... grids)."""
+    sigma0: jax.Array
+    energy0: jax.Array
+    vrad0: jax.Array
+    vaz0: jax.Array
+
+
+# ----- scalar BCs ------------------------------------------------------------
+
+def _scalar_inner(name: str, x, x0, g: Geom):
+    if name in ("zerogradient", "outflow", "reflecting"):
+        return x.at[0].set(x[1])
+    if name == "reference":
+        return x.at[0].set(x0[0])
+    if name == "none":
+        return x
+    raise NotImplementedError(f"scalar inner BC {name!r}")
+
+
+def _scalar_outer(name: str, x, x0, g: Geom):
+    nr = x.shape[0]
+    if name in ("zerogradient", "outflow", "reflecting"):
+        return x.at[nr - 1].set(x[nr - 2])
+    if name == "reference":
+        return x.at[nr - 1].set(x0[nr - 1])
+    if name == "none":
+        return x
+    raise NotImplementedError(f"scalar outer BC {name!r}")
+
+
+# ----- v_rad BCs -------------------------------------------------------------
+
+def _vrad_inner(name: str, vr, vr0, g: Geom):
+    if name == "zerogradient":
+        return vr.at[0:2].set(vr[2])
+    if name == "outflow":
+        # reference src/boundary_conditions/outflow.cpp:16-35
+        val = jnp.where(vr[2] > 0.0, 0.0, vr[2])
+        return vr.at[0:2].set(val)
+    if name == "reflecting":
+        vr = vr.at[0].set(-vr[2])
+        return vr.at[1].set(0.0)
+    if name == "reference":
+        return vr.at[0:2].set(vr0[0:2])
+    if name == "viscous":
+        raise NotImplementedError("viscous inflow BC lands with stage 9")
+    if name == "none":
+        return vr
+    raise NotImplementedError(f"vrad inner BC {name!r}")
+
+
+def _vrad_outer(name: str, vr, vr0, g: Geom):
+    nv = vr.shape[0]          # NR+1
+    irad = nv - 1             # reference get_max_radial() for vectors
+    if name == "zerogradient":
+        return vr.at[irad - 1:].set(vr[irad - 2])
+    if name == "outflow":
+        val = jnp.where(vr[irad - 2] < 0.0, 0.0, vr[irad - 2])
+        return vr.at[irad - 1:].set(val)
+    if name == "reflecting":
+        vr = vr.at[irad].set(-vr[irad - 2])
+        return vr.at[irad - 1].set(0.0)
+    if name == "reference":
+        return vr.at[irad - 1:].set(vr0[irad - 1:])
+    if name == "viscous":
+        raise NotImplementedError("viscous outflow BC lands with stage 9")
+    if name == "none":
+        return vr
+    raise NotImplementedError(f"vrad outer BC {name!r}")
+
+
+# ----- v_az BCs --------------------------------------------------------------
+
+def _vaz_inner(phys: Physics, constants, name: str, vaz, vaz0, g: Geom,
+               omega_frame):
+    if name == "keplerian":
+        # reference src/boundary_conditions/keplerian_azimuthal.cpp:19-38
+        r = g.rb[0, 0]
+        vkep = jnp.sqrt(constants.G * phys.hydro_center_mass / r)
+        val = phys.keplerian_azimuthal_inner_factor * vkep - r * omega_frame
+        return vaz.at[0].set(val)
+    if name == "zerogradient":
+        return vaz.at[0].set(vaz[1])
+    if name == "reference":
+        return vaz.at[0].set(vaz0[0])
+    if name == "zeroshear":
+        # d(omega)/dr = 0: vaz[0] = vaz[1] * Rb[0]/Rb[1]
+        return vaz.at[0].set(vaz[1] * g.rb[0, 0] / g.rb[1, 0])
+    if name == "none":
+        return vaz
+    raise NotImplementedError(f"vaz inner BC {name!r}")
+
+
+def _vaz_outer(phys: Physics, constants, name: str, vaz, vaz0, g: Geom,
+               omega_frame):
+    nr = vaz.shape[0]
+    if name == "keplerian":
+        r = g.rb[nr - 1, 0]
+        vkep = jnp.sqrt(constants.G * phys.hydro_center_mass / r)
+        val = phys.keplerian_azimuthal_outer_factor * vkep - r * omega_frame
+        return vaz.at[nr - 1].set(val)
+    if name == "zerogradient":
+        return vaz.at[nr - 1].set(vaz[nr - 2])
+    if name == "reference":
+        return vaz.at[nr - 1].set(vaz0[nr - 1])
+    if name == "zeroshear":
+        return vaz.at[nr - 1].set(vaz[nr - 2] * g.rb[nr - 1, 0] / g.rb[nr - 2, 0])
+    if name == "none":
+        return vaz
+    raise NotImplementedError(f"vaz outer BC {name!r}")
+
+
+def apply_boundary_conditions(phys: Physics, constants, g: Geom,
+                              sigma, vrad, vaz, energy,
+                              ref: RefValues, omega_frame):
+    """Per-variable x per-edge dispatch (reference
+    src/boundary_conditions/boundary_conditions.cpp:65-110). Damping is a
+    separate call (``apply_damping``) made only on the final BC application
+    of a step."""
+    sigma = _scalar_inner(phys.bc_sigma_inner, sigma, ref.sigma0, g)
+    sigma = _scalar_outer(phys.bc_sigma_outer, sigma, ref.sigma0, g)
+    energy = _scalar_inner(phys.bc_energy_inner, energy, ref.energy0, g)
+    energy = _scalar_outer(phys.bc_energy_outer, energy, ref.energy0, g)
+    vrad = _vrad_inner(phys.bc_vrad_inner, vrad, ref.vrad0, g)
+    vrad = _vrad_outer(phys.bc_vrad_outer, vrad, ref.vrad0, g)
+    vaz = _vaz_inner(phys, constants, phys.bc_vaz_inner, vaz, ref.vaz0, g,
+                     omega_frame)
+    vaz = _vaz_outer(phys, constants, phys.bc_vaz_outer, vaz, ref.vaz0, g,
+                     omega_frame)
+    return sigma, vrad, vaz, energy

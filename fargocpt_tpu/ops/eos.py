@@ -1,0 +1,99 @@
+"""Equation of state & derived thermodynamic quantities.
+
+Re-derives reference src/SourceEuler.cpp:1054-1505 (sound speed, scale
+height, pressure, temperature) as pure functions. The reference caches
+these in grids; here they are recomputed where needed and fused by XLA.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..params import Physics
+from .common import Geom
+
+
+def gamma_eff(phys: Physics, sigma=None, energy=None):
+    """Effective adiabatic index. Constant unless PVTE (PVTE comes later)."""
+    return phys.adiabatic_index
+
+
+def mu_eff(phys: Physics, sigma=None, energy=None):
+    return phys.mu
+
+
+def sound_speed_iso_profile(phys: Physics, constants, rb: jax.Array) -> jax.Array:
+    """Locally-isothermal axisymmetric cs(r) = h0 r^F * vK(r)
+    (reference src/SourceEuler.cpp:1080-1088). ``rb`` is (NR,1)."""
+    vk = jnp.sqrt(constants.G * phys.hydro_center_mass / rb)
+    h = phys.aspectratio_ref * rb ** phys.flaring_index
+    return h * vk
+
+
+def sound_speed(phys: Physics, constants, g: Geom, sigma, energy,
+                cs_iso: jax.Array | None):
+    """Adiabatic: cs = sqrt(gamma1 (gamma_eff - 1) E / Sigma)
+    (reference src/SourceEuler.cpp:1063-1072); isothermal mode 0: static
+    profile computed once at init (never updated, src/SourceEuler.cpp:1464)."""
+    if phys.is_adiabatic:
+        gam = gamma_eff(phys, sigma, energy)
+        g1 = gam  # gamma1 == gamma_eff without PVTE
+        return jnp.sqrt(g1 * (gam - 1.0) * energy / sigma)
+    if phys.is_polytropic:
+        temp = temperature(phys, constants, sigma, energy, None)
+        return jnp.sqrt(gamma_eff(phys) * constants.R / phys.mu * temp)
+    # locally isothermal, aspectratio_mode == 0
+    return jnp.broadcast_to(cs_iso, sigma.shape)
+
+
+def pressure(phys: Physics, constants, sigma, energy, cs):
+    """reference src/SourceEuler.cpp:1442-1473."""
+    if phys.is_adiabatic:
+        return (gamma_eff(phys) - 1.0) * energy
+    if phys.is_polytropic:
+        return sigma * cs ** 2 / phys.adiabatic_index
+    return sigma * cs ** 2
+
+
+def temperature(phys: Physics, constants, sigma, energy, press):
+    """reference src/SourceEuler.cpp:1475-1505."""
+    Rgas = constants.R
+    if phys.is_adiabatic:
+        gam = gamma_eff(phys)
+        return phys.mu / Rgas * (gam - 1.0) * energy / sigma
+    if phys.is_polytropic:
+        gam = gamma_eff(phys)
+        return (phys.mu / Rgas * phys.polytropic_constant
+                * sigma ** (gam - 1.0))
+    return phys.mu / Rgas * press / sigma
+
+
+def scale_height(phys: Physics, constants, g: Geom, cs):
+    """aspectratio_mode == 0: H = cs_iso / Omega_K
+    (reference src/SourceEuler.cpp:1218-1251)."""
+    omega_k = jnp.sqrt(constants.G * phys.hydro_center_mass / g.rb ** 3)
+    if phys.is_adiabatic or phys.is_polytropic:
+        g1 = gamma_eff(phys)
+        return cs / jnp.sqrt(g1) / omega_k
+    return cs / omega_k
+
+
+def energy_floor_ceiling(phys: Physics, constants, sigma, energy):
+    """Clamp energy to [E(Tmin), E(Tmax)]
+    (reference src/SourceEuler.cpp:136-202 ``assure_temperature_range``)."""
+    gam = gamma_eff(phys)
+    factor = sigma / phys.mu * constants.R / (gam - 1.0)
+    e_min = phys.minimum_temperature * factor
+    e_max = phys.maximum_temperature * factor
+    return jnp.clip(energy, e_min, e_max)
+
+
+def sigma_floor_value(phys: Physics) -> float:
+    return phys.sigma_floor * phys.sigma0
+
+
+def apply_sigma_floor(phys: Physics, sigma):
+    """reference src/SourceEuler.cpp:102-134 (mass-creation bookkeeping is
+    tracked by the caller via the pre/post difference when needed)."""
+    return jnp.maximum(sigma, sigma_floor_value(phys))

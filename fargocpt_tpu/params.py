@@ -1,0 +1,398 @@
+"""Simulation parameters parsed from YAML config.
+
+Replaces the reference's ~283 ``parameters::*`` globals
+(src/parameters.cpp, src/Interpret.cpp). All values live in a frozen,
+hashable dataclass so the jitted step functions can close over them as
+compile-time constants; reconfiguring triggers a recompile (the reference
+recompiles, too — these are all fixed for a run).
+
+Only behavior-bearing parameters live here; output cadence & writer flags
+are parsed in :mod:`fargocpt_tpu.sim`.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field, replace
+
+from . import units as u
+from .config import Config
+
+# EoS modes
+ISOTHERMAL = "isothermal"
+ADIABATIC = "adiabatic"
+POLYTROPIC = "polytropic"
+
+# artificial viscosity modes
+ARTVISC_NONE = "none"
+ARTVISC_SN = "sn"
+ARTVISC_TW = "tw"
+
+EULER = "euler"
+LEAPFROG = "leapfrog"
+
+
+@dataclass(frozen=True)
+class Physics:
+    """Static physics configuration (hashable; closed over by jit)."""
+
+    # EoS (reference src/Interpret.cpp:393-557)
+    eos: str = ISOTHERMAL
+    adiabatic_index: float = 1.4
+    polytropic_constant: float = 0.0
+    mu: float = 1.0
+    variable_gamma: bool = False
+
+    # geometry of the temperature profile
+    aspectratio_ref: float = 0.05
+    aspectratio_mode: int = 0
+    flaring_index: float = 0.0
+
+    # density profile
+    sigma0: float = 1.0
+    sigma_slope: float = 0.0
+    sigma_floor: float = 1e-9
+    sigma_adjust: bool = False
+    sigma_diskmass: float = 0.01
+
+    # temperature limits (code units)
+    minimum_temperature: float = 0.0
+    maximum_temperature: float = 1e300
+
+    # viscosity
+    constant_viscosity: float = 0.0
+    viscous_alpha: float = 0.0
+    alpha_mode: int = 0
+    alpha_cold: float = 0.01
+    alpha_hot: float = 0.1
+    radial_viscosity_factor: float = 1.0
+    stabilize_viscosity: int = 0
+
+    # artificial viscosity
+    artificial_viscosity: str = ARTVISC_SN
+    artificial_viscosity_factor: float = 1.41
+    artificial_viscosity_dissipation: bool = True
+
+    # heating / cooling
+    heating_viscous: bool = True
+    heating_viscous_factor: float = 1.0
+    heating_star: bool = False
+    cooling_beta_enabled: bool = False
+    cooling_beta: float = 1.0
+    cooling_beta_ramp_up: float = 0.0
+    cooling_beta_reference: bool = False
+    cooling_beta_model: bool = False
+    cooling_beta_floor: bool = False
+    cooling_surface_enabled: bool = False
+    surface_cooling_factor: float = 1.0
+    cooling_scurve_enabled: bool = False
+    opacity_mode: str = "lin"
+    kappa_const: float = 1.0
+    tau_factor: float = 0.5
+    tau_min: float = 0.01
+    kappa_factor: float = 1.0
+    density_factor: float = math.sqrt(2.0 * math.pi)
+
+    # radiative diffusion (FLD) — wired in ops/fld.py
+    radiative_diffusion: bool = False
+    fld_tolerance: float = 1.5e-8
+    fld_max_iterations: int = 50000
+
+    # self-gravity
+    self_gravity: bool = False
+    self_gravity_mode: str = "besselkernel"
+    thickness_smoothing_sg: float = 0.6
+
+    # gravity smoothing
+    thickness_smoothing: float = 0.6
+    compatibility_smoothing_planetloc: bool = False
+    compatibility_no_star_smoothing: bool = False
+    body_force_from_potential: bool = True
+
+    # transport / integrator
+    fast_transport: bool = True
+    flux_limiter_type: int = 0   # 0 = van Leer, 1 = MC
+    hydro_integrator: str = EULER
+
+    # CFL
+    cfl: float = 0.5
+    cfl_max_var: float = 1.1
+    heating_cooling_cfl_limit: float = 10.0
+
+    # frame
+    omega_frame: float = 0.0
+    corotating: bool = False
+    corotation_reference_body: int = 1
+    indirect_term_mode: int = 0
+    indirect_term_disk_on_disk: bool = False
+    disk_feedback: bool = True
+
+    # initialization
+    shock_tube: int = 0
+    spreading_ring: bool = False
+    initialize_pure_keplerian: bool = False
+    initialize_vradial_zero: bool = False
+    imposed_disk_drift: float = 0.0
+    profile_cutoff_outer: bool = False
+    profile_cutoff_point_outer: float = 1e300
+    profile_cutoff_width_outer: float = 1.0
+    profile_cutoff_inner: bool = False
+    profile_cutoff_point_inner: float = 0.0
+    profile_cutoff_width_inner: float = 1.0
+    center_mass_density_correction_factor: float = 1.0
+
+    # boundaries (per-variable names; resolved in ops/boundary.py)
+    composite_inner: str = "individual"
+    composite_outer: str = "individual"
+    bc_sigma_inner: str = "zerogradient"
+    bc_sigma_outer: str = "zerogradient"
+    bc_energy_inner: str = "zerogradient"
+    bc_energy_outer: str = "zerogradient"
+    bc_vrad_inner: str = "zerogradient"
+    bc_vrad_outer: str = "zerogradient"
+    bc_vaz_inner: str = "keplerian"
+    bc_vaz_outer: str = "keplerian"
+    keplerian_azimuthal_inner_factor: float = 1.0
+    keplerian_azimuthal_outer_factor: float = 1.0
+    keplerian_radial_inner_factor: float = 1.0
+    keplerian_radial_outer_factor: float = 1.0
+    viscous_outflow_speed: float = 1.0
+    domegadr_zero: bool = False
+
+    # damping zones (reference src/boundary_conditions/damping.cpp)
+    damping: bool = False
+    damping_inner_limit: float = 1.05
+    damping_outer_limit: float = 0.95
+    damping_time_factor: float = 1.0
+    damping_energy_inner: str = "none"
+    damping_vradial_inner: str = "none"
+    damping_vazimuthal_inner: str = "none"
+    damping_surface_density_inner: str = "none"
+    damping_energy_outer: str = "none"
+    damping_vradial_outer: str = "none"
+    damping_vazimuthal_outer: str = "none"
+    damping_surface_density_outer: str = "none"
+
+    # misc
+    calculate_disk: bool = True
+    viscous_accretion: bool = False
+    integrate_particles: bool = False
+    keep_mass_constant: bool = False
+    hydro_center_mass: float = 1.0
+
+    # numerical precision of the state arrays ("float64" or "float32")
+    dtype: str = "float64"
+
+    @property
+    def is_adiabatic(self) -> bool:
+        return self.eos == ADIABATIC
+
+    @property
+    def is_polytropic(self) -> bool:
+        return self.eos == POLYTROPIC
+
+    @property
+    def is_isothermal(self) -> bool:
+        return self.eos == ISOTHERMAL
+
+    def with_(self, **kw) -> "Physics":
+        return replace(self, **kw)
+
+
+def _parse_eos(cfg: Config) -> tuple[str, float]:
+    eos = cfg.get_lowercase("EquationOfState", "Isothermal")
+    gamma = cfg.get("AdiabaticIndex", 1.4, type=float)
+    if eos in ("isothermal", "iso"):
+        return ISOTHERMAL, gamma
+    if eos in ("adiabatic", "ideal"):
+        if gamma == 1.0:
+            return ISOTHERMAL, gamma
+        return ADIABATIC, gamma
+    if eos == "polytropic":
+        return POLYTROPIC, gamma
+    if eos == "pvte":
+        # variable-gamma: treated as adiabatic with gamma tables
+        return ADIABATIC, gamma
+    raise ValueError(f"unknown EquationOfState {eos!r}")
+
+
+def _parse_artvisc(cfg: Config) -> str:
+    s = cfg.get_lowercase("ArtificialViscosity", "SN")
+    if s.startswith("n"):
+        return ARTVISC_NONE
+    if s.startswith("s"):
+        return ARTVISC_SN
+    if s.startswith("t"):
+        return ARTVISC_TW
+    raise ValueError(f"unknown ArtificialViscosity {s!r}")
+
+
+def _parse_bcs(cfg: Config) -> dict:
+    """Composite -> per-variable expansion
+    (reference src/boundary_conditions/config.cpp:345-432)."""
+    out: dict[str, str] = {}
+
+    def expand(side: str) -> dict[str, str]:
+        comp = cfg.get_lowercase(f"{side}Boundary", "individual")
+        names = {"sigma": "", "energy": "", "vrad": "", "vaz": ""}
+        if comp == "individual":
+            pass
+        elif comp == "zerogradient":
+            names.update(sigma="zerogradient", energy="zerogradient",
+                         vrad="zerogradient")
+        elif comp == "outflow":
+            names.update(sigma="zerogradient", energy="zerogradient",
+                         vrad="outflow")
+        elif comp == "viscous":
+            names.update(sigma="zerogradient", energy="zerogradient",
+                         vrad="viscous")
+        elif comp == "reflecting":
+            names.update(sigma="zerogradient", energy="zerogradient",
+                         vrad="reflecting")
+        elif comp == "reference":
+            names.update(sigma="reference", energy="reference",
+                         vrad="reference")
+        elif comp in ("centerofmass", "custom"):
+            names.update(sigma="none", energy="none", vrad="none", vaz="none")
+        else:
+            raise ValueError(f"unknown {side}Boundary {comp!r}")
+
+        def individual(key: str, inferred: str, default_if_unset: str) -> str:
+            s = cfg.get_lowercase(key, "infer")
+            if s == "infer":
+                return inferred if inferred else default_if_unset
+            return s
+
+        side_l = side.lower()
+        out[f"composite_{side_l}"] = comp
+        return {
+            f"bc_sigma_{side_l}": individual(f"{side}BoundarySigma", names["sigma"], "zerogradient"),
+            f"bc_energy_{side_l}": individual(f"{side}BoundaryEnergy", names["energy"], "zerogradient"),
+            f"bc_vrad_{side_l}": individual(f"{side}BoundaryVrad", names["vrad"], "zerogradient"),
+            f"bc_vaz_{side_l}": individual(f"{side}BoundaryVazi", names["vaz"], "keplerian"),
+        }
+
+    out.update(expand("Inner"))
+    out.update(expand("Outer"))
+    return out
+
+
+def physics_from_config(cfg: Config, un: u.Units, dtype: str = "float64") -> Physics:
+    eos, gamma = _parse_eos(cfg)
+    bcs = _parse_bcs(cfg)
+
+    surface_cooling = cfg.get_lowercase("SurfaceCooling", "No")
+    cooling_surface_enabled = surface_cooling in ("yes", "thermal")
+    cooling_scurve_enabled = surface_cooling == "scurve"
+
+    beta_ref = cfg.get_lowercase("CoolingBetaReference", "Zero")
+
+    transport_fast = cfg.get_lowercase("Transport", "Fast")[:1] == "f"
+    integ = cfg.get_lowercase("Integrator", "Euler")
+    hydro_integrator = LEAPFROG if integ.startswith("l") else EULER
+
+    flux_limiter = cfg.get_lowercase("FluxLimiter", "VanLeer")
+    flux_limiter_type = 1 if flux_limiter in ("mc", "monotonizedcentral") else 0
+
+    frame = cfg.get_lowercase("Frame", "F")
+    corotating = frame.startswith("c") or frame.startswith("g")
+
+    return Physics(
+        eos=eos,
+        adiabatic_index=gamma,
+        polytropic_constant=cfg.get("PolytropicConstant", 0.0, type=float),
+        mu=cfg.get("mu", 1.0, type=float),
+        aspectratio_ref=cfg.get("AspectRatio", 0.05, type=float),
+        aspectratio_mode=cfg.get("AspectRatioMode", 0, type=int),
+        flaring_index=cfg.get("FlaringIndex", 0.0, type=float),
+        sigma0=cfg.get("Sigma0", 1.0, dim=u.DIM_SURFACE_DENSITY, type=float),
+        sigma_slope=cfg.get("SigmaSlope", 0.0, type=float),
+        sigma_floor=cfg.get("SigmaFloor", 1e-9, type=float),
+        sigma_adjust=cfg.get_flag("SetSigma0", False),
+        sigma_diskmass=cfg.get("DiskMass", 0.01, dim=u.DIM_MASS, type=float),
+        minimum_temperature=cfg.get("MinimumTemperature", 3.0 / un.Temp0,
+                                    dim=u.DIM_TEMPERATURE, type=float),
+        maximum_temperature=cfg.get("MaximumTemperature", 1e300,
+                                    dim=u.DIM_TEMPERATURE, type=float),
+        constant_viscosity=cfg.get("ConstantViscosity", 0.0,
+                                   dim=u.DIM_KINEMATIC_VISCOSITY, type=float),
+        viscous_alpha=cfg.get("ViscousAlpha", 0.0, type=float),
+        alpha_mode=cfg.get("AlphaMode", 0, type=int),
+        alpha_cold=cfg.get("AlphaCold", 0.01, type=float),
+        alpha_hot=cfg.get("AlphaHot", 0.1, type=float),
+        radial_viscosity_factor=cfg.get("RadialViscosityFactor", 1.0, type=float),
+        stabilize_viscosity=cfg.get("StabilizeViscosity", 0, type=int),
+        artificial_viscosity=_parse_artvisc(cfg),
+        artificial_viscosity_factor=cfg.get("ArtificialViscosityFactor", 1.41, type=float),
+        artificial_viscosity_dissipation=cfg.get_flag("ArtificialViscosityDissipation", True),
+        heating_viscous=cfg.get_flag("HeatingViscous", True),
+        heating_viscous_factor=cfg.get("HeatingViscousFactor", 1.0, type=float),
+        heating_star=cfg.get_flag("HeatingStar", False),
+        cooling_beta_enabled=cfg.get_flag("CoolingBetaLocal", False),
+        cooling_beta=cfg.get("CoolingBeta", 1.0, type=float),
+        cooling_beta_ramp_up=cfg.get("CoolingBetaRampUp", 0.0, dim=u.DIM_TIME, type=float),
+        cooling_beta_reference=(beta_ref == "reference"),
+        cooling_beta_model=(beta_ref == "model"),
+        cooling_beta_floor=(beta_ref == "floor"),
+        cooling_surface_enabled=cooling_surface_enabled,
+        surface_cooling_factor=cfg.get("CoolingRadiativeFactor", 1.0, type=float),
+        cooling_scurve_enabled=cooling_scurve_enabled,
+        opacity_mode=cfg.get_lowercase("Opacity", "Lin"),
+        kappa_const=cfg.get("KappaConst", 1.0, type=float),
+        tau_factor=cfg.get("TauFactor", 0.5, type=float),
+        tau_min=cfg.get("TauMin", 0.01, type=float),
+        kappa_factor=cfg.get("KappaFactor", 1.0, type=float),
+        density_factor=cfg.get("DensityFactor", math.sqrt(2.0 * math.pi), type=float),
+        radiative_diffusion=cfg.get_flag("RadiativeDiffusion", False),
+        fld_tolerance=cfg.get("RadiativeDiffusionTolerance", 1.5e-8, type=float),
+        fld_max_iterations=cfg.get("RadiativeDiffusionMaxIterations", 50000, type=int),
+        self_gravity=cfg.get_flag("SelfGravity", False),
+        self_gravity_mode=cfg.get_lowercase("SelfGravityMode", "besselkernel"),
+        thickness_smoothing=cfg.get("ThicknessSmoothing", 0.6, type=float),
+        thickness_smoothing_sg=cfg.get("ThicknessSmoothingSG",
+                                       cfg.get("ThicknessSmoothing", 0.6, type=float),
+                                       type=float),
+        compatibility_smoothing_planetloc=cfg.get_flag("CompatibilitySmoothingPlanetLoc", False),
+        compatibility_no_star_smoothing=cfg.get_flag("CompatibilityNoStarSmoothing", False),
+        body_force_from_potential=cfg.get_flag("BodyForceFromPotential", True),
+        fast_transport=transport_fast,
+        flux_limiter_type=flux_limiter_type,
+        hydro_integrator=hydro_integrator,
+        cfl=cfg.get("CFL", 0.5, type=float),
+        cfl_max_var=cfg.get("CFLmaxVar", 1.1, type=float),
+        heating_cooling_cfl_limit=cfg.get("HeatingCoolingCFLlimit", 10.0, type=float),
+        omega_frame=cfg.get("OmegaFrame", 0.0, type=float),
+        corotating=corotating,
+        corotation_reference_body=cfg.get("CorotationReferenceBody", 1, type=int),
+        disk_feedback=cfg.get_flag("DiskFeedback", True),
+        shock_tube=cfg.get("ShockTube", 0, type=int),
+        spreading_ring=cfg.get_flag("SpreadingRing", False),
+        initialize_pure_keplerian=cfg.get_flag("InitializePureKeplerian", False),
+        initialize_vradial_zero=cfg.get_flag("InitializeVradialZero", False),
+        imposed_disk_drift=cfg.get("ImposedDiskDrift", 0.0, type=float),
+        profile_cutoff_outer=cfg.get_flag("ProfileCutoffOuter", False),
+        profile_cutoff_point_outer=cfg.get("ProfileCutoffPointOuter", 1e300, dim=u.DIM_LENGTH, type=float),
+        profile_cutoff_width_outer=cfg.get("ProfileCutoffWidthOuter", 1.0, dim=u.DIM_LENGTH, type=float),
+        profile_cutoff_inner=cfg.get_flag("ProfileCutoffInner", False),
+        profile_cutoff_point_inner=cfg.get("ProfileCutoffPointInner", 0.0, dim=u.DIM_LENGTH, type=float),
+        profile_cutoff_width_inner=cfg.get("ProfileCutoffWidthInner", 1.0, dim=u.DIM_LENGTH, type=float),
+        center_mass_density_correction_factor=cfg.get("CenterProfileDensityCorrectionFactor", 1.0, type=float),
+        viscous_outflow_speed=cfg.get("ViscousOutflowSpeed", 1.0, type=float),
+        damping=cfg.get_flag("Damping", False),
+        damping_inner_limit=cfg.get("DampingInnerLimit", 1.05, type=float),
+        damping_outer_limit=cfg.get("DampingOuterLimit", 0.95, type=float),
+        damping_time_factor=cfg.get("DampingTimeFactor", 1.0, type=float),
+        damping_energy_inner=cfg.get_lowercase("DampingEnergyInner", "none"),
+        damping_vradial_inner=cfg.get_lowercase("DampingVRadialInner", "none"),
+        damping_vazimuthal_inner=cfg.get_lowercase("DampingVAzimuthalInner", "none"),
+        damping_surface_density_inner=cfg.get_lowercase("DampingSurfaceDensityInner", "none"),
+        damping_energy_outer=cfg.get_lowercase("DampingEnergyOuter", "none"),
+        damping_vradial_outer=cfg.get_lowercase("DampingVRadialOuter", "none"),
+        damping_vazimuthal_outer=cfg.get_lowercase("DampingVAzimuthalOuter", "none"),
+        damping_surface_density_outer=cfg.get_lowercase("DampingSurfaceDensityOuter", "none"),
+        calculate_disk=cfg.get_flag("Disk", True),
+        integrate_particles=cfg.get_flag("IntegrateParticles", False),
+        keep_mass_constant=cfg.get_flag("KeepDiskMassConstant", False),
+        dtype=dtype,
+        **bcs,
+    )

@@ -1,0 +1,153 @@
+"""Simulation driver: setup from a YAML config and the outer time loop.
+
+Re-derivation of reference src/simulation.cpp:505-560 ``sim::run`` with the
+exact dt-clamping rules (monitor-boundary landing, growth cap) and
+src/main.cpp wiring. The inner step is fully jitted; the outer loop runs on
+the host because dt is data-dependent and controls output cadence.
+"""
+
+from __future__ import annotations
+
+import time as _time
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import initial, units as u
+from .config import Config
+from .constants import Constants
+from .grid import Geometry
+from .params import Physics, physics_from_config
+from .state import FieldState
+from .step import HydroStep, StepAux, make_ref_values
+
+
+@dataclass
+class RunSettings:
+    """Output cadence & run length (reference src/Interpret.cpp:200-202)."""
+    n_snapshots: int = 1000
+    n_monitor: int = 10
+    monitor_timestep: float = 1.0
+    first_dt: float = 1e-9
+    max_iterations: int = -1
+    outdir: str = "output/out"
+    write_at_every_timestep: bool = True
+
+    @classmethod
+    def from_config(cls, cfg: Config, outdir: str | None = None) -> "RunSettings":
+        return cls(
+            n_snapshots=cfg.get("Nsnapshots", 1000, type=int),
+            n_monitor=cfg.get("Nmonitor", 10, type=int),
+            monitor_timestep=cfg.get("MonitorTimestep", 1.0, dim=u.DIM_TIME,
+                                     type=float),
+            first_dt=cfg.get("FirstDT", 1e-9, dim=u.DIM_TIME, type=float),
+            outdir=outdir or cfg.get("OutputDir", "output/out", type=str),
+            write_at_every_timestep=cfg.get_flag("WriteAtEveryTimestep", True),
+        )
+
+
+class Simulation:
+    """End-to-end simulation: config -> grid -> ICs -> jitted stepping."""
+
+    def __init__(self, cfg: Config, outdir: str | None = None,
+                 dtype: str = "float64"):
+        self.cfg = cfg
+        shock_tube = cfg.get("ShockTube", 0, type=int)
+        if shock_tube:
+            # reference src/init.cpp:446-520: all units set to 1
+            self.units = u.shock_tube_units()
+            self.constants = Constants.shock_tube()
+        else:
+            self.units = u.Units.from_config_strings(
+                str(cfg.get_raw("l0", "1.0")), str(cfg.get_raw("m0", "1.0")),
+                str(cfg.get_raw("t0")) if "t0" in cfg else None,
+                str(cfg.get_raw("temp0")) if "temp0" in cfg else None)
+            self.constants = Constants.from_units(self.units)
+        cfg.set_units(self.units)
+
+        self.phys = physics_from_config(cfg, self.units, dtype=dtype)
+        self.geometry = Geometry.from_config(cfg)
+        self.settings = RunSettings.from_config(cfg, outdir)
+
+        fields, self.phys = initial.build_initial_state(
+            self.phys, self.constants, self.geometry)
+
+        # reference src/init.cpp:335-341: snapshot refs, BCs, refs again
+        ref0 = make_ref_values(fields)
+        stepper = HydroStep(self.phys, self.constants, self.geometry, ref0)
+        fields = stepper.apply_bcs(fields)
+        self.ref_values = make_ref_values(fields)
+        self.stepper = HydroStep(self.phys, self.constants, self.geometry,
+                                 self.ref_values)
+
+        self.fields = fields
+        self.aux = self.stepper.initial_aux(fields)
+        self.time = 0.0
+        self.last_dt = self.settings.first_dt
+        self.n_monitor = 0
+        self.n_snapshot = 0
+        self.n_hydro_iter = 0
+        self.monitor_hooks = []     # callables (sim) run at monitor boundaries
+        self.snapshot_hooks = []    # callables (sim) run at snapshot boundaries
+        self.dt_history: list[float] = []
+
+    # ------------------------------------------------------------------
+    def calculate_time_step(self) -> float:
+        """reference src/simulation.cpp:100-117."""
+        if not self.phys.calculate_disk:
+            return self.last_dt
+        cfl_dt = float(self.stepper.cfl_dt(self.fields, self.aux))
+        dt = min(self.phys.cfl_max_var * self.last_dt, cfl_dt)
+        self.last_dt = dt
+        return dt
+
+    def run(self, max_steps: int | None = None):
+        """Outer loop. One monitor interval = one on-device
+        ``lax.while_loop`` (zero host round-trips inside); the host only
+        orchestrates outputs at monitor boundaries — the TPU-native
+        replacement for the reference's per-step host loop
+        (src/simulation.cpp:505-560)."""
+        s = self.settings
+        total_monitors = s.n_snapshots * s.n_monitor
+        self._handle_outputs(initial=True)
+        while self.n_monitor < total_monitors:
+            if max_steps is not None and self.n_hydro_iter >= max_steps:
+                break
+            t_target = (self.n_monitor + 1) * s.monitor_timestep
+            wall0 = _time.time()
+            (self.fields, self.aux, time_arr, last_dt_arr, n_steps,
+             dt_min, dt_max, dt_sum, dt_sq) = self.stepper.advance_to(
+                self.fields, self.aux, self.time, self.last_dt, t_target)
+            n = int(n_steps)
+            self.time = float(time_arr)
+            self.last_dt = float(last_dt_arr)
+            self.n_hydro_iter += n
+            self.monitor_stats = {
+                "n_steps": n, "walltime": _time.time() - wall0,
+                "dt_min": float(dt_min), "dt_max": float(dt_max),
+                "dt_sum": float(dt_sum), "dt_sq": float(dt_sq),
+            }
+            self.n_monitor += 1
+            self._handle_outputs()
+
+    def _handle_outputs(self, initial: bool = False):
+        s = self.settings
+        self.n_snapshot = self.n_monitor // s.n_monitor
+        write_snapshot = (s.n_monitor * self.n_snapshot == self.n_monitor)
+        for hook in self.monitor_hooks:
+            hook(self)
+        if write_snapshot:
+            for hook in self.snapshot_hooks:
+                hook(self)
+
+    # convenience -------------------------------------------------------
+    @classmethod
+    def from_file(cls, path: str, outdir: str | None = None,
+                  dtype: str = "float64") -> "Simulation":
+        return cls(Config.from_file(path), outdir=outdir, dtype=dtype)
+
+    def np_fields(self) -> dict[str, np.ndarray]:
+        f = self.fields
+        return {"Sigma": np.asarray(f.sigma), "vrad": np.asarray(f.vrad),
+                "vazi": np.asarray(f.vaz), "energy": np.asarray(f.energy)}

@@ -1,0 +1,76 @@
+"""Unit tests for the config / units / grid foundations."""
+
+import numpy as np
+import pytest
+
+from fargocpt_tpu import units as u
+from fargocpt_tpu.config import Config
+from fargocpt_tpu.constants import Constants
+from fargocpt_tpu.grid import Geometry
+
+
+def test_unit_parsing():
+    f, d = u.parse_unit_expr("g/cm2")
+    assert f == 1.0 and d == (-2.0, 1.0, 0.0, 0.0)
+    f, d = u.parse_unit_expr("solMass/yr")
+    assert np.isclose(f, u.CGS_SOLMASS / u.CGS_YEAR)
+    f, d = u.parse_unit_expr("cm^2/s")
+    assert d == (2.0, 0.0, -1.0, 0.0)
+
+
+def test_units_g_is_one():
+    un = u.Units.from_config_strings("1.0", "1.0")
+    c = Constants.from_units(un)
+    assert np.isclose(c.G, 1.0, rtol=1e-12)
+    # one orbit at 1 au around 1 Msun is 2 pi code time units
+    assert np.isclose(un.T0, np.sqrt(u.CGS_AU ** 3 / (u.CGS_G * u.CGS_SOLMASS)))
+
+
+def test_config_typed_get():
+    cfg = Config.from_dict({"Nrad": "256", "Rmin": "0.2", "Flag": "Yes",
+                            "Sigma0": "1890.673 g/cm2"})
+    cfg.set_units(u.Units.from_config_strings("1.0", "1.0"))
+    assert cfg.get("Nrad", 64, type=int) == 256
+    assert cfg.get("Rmin", 0.4, dim=u.DIM_LENGTH, type=float) == 0.2
+    assert cfg.get_flag("Flag") is True
+    sigma_code = cfg.get("Sigma0", 1.0, dim=u.DIM_SURFACE_DENSITY, type=float)
+    assert np.isclose(sigma_code * u.CGS_SOLMASS / u.CGS_AU ** 2, 1890.673)
+    assert set(cfg.unknown_keys()) == set()
+
+
+def test_config_unknown_keys():
+    cfg = Config.from_dict({"Nrad": 4, "Tpyo": 1})
+    cfg.get("Nrad", 64, type=int)
+    assert cfg.unknown_keys() == ["Tpyo"]
+    with pytest.raises(KeyError):
+        cfg.exit_on_unknown_key()
+
+
+def test_log_grid():
+    g = Geometry.build(128, 256, 0.4, 2.5, "Log")
+    # active domain edges (reference: Radii[1]=RMIN, Radii[NR-1]=RMAX)
+    assert np.isclose(g.radii[1], 0.4)
+    assert np.isclose(g.radii[g.nrad - 1], 2.5)
+    # constant ratio
+    ratios = g.radii[1:] / g.radii[:-1]
+    assert np.allclose(ratios, ratios[0])
+    # rmed between interfaces
+    assert np.all(g.rmed > g.rinf) and np.all(g.rmed < g.rsup)
+    # areas sum to the annulus area (surf is per-cell, one ring has naz cells)
+    total = g.surf.sum() * g.naz
+    annulus = np.pi * (g.radii[g.nrad] ** 2 - g.radii[0] ** 2)
+    assert np.isclose(total, annulus)
+
+
+def test_arith_grid():
+    g = Geometry.build(100, 2, 1000.0, 1001.0, "Arithmetic")
+    widths = np.diff(g.radii)
+    assert np.allclose(widths, widths[0])
+    assert np.isclose(widths[0], 1.0 / 98.0)
+
+
+def test_exponential_grid():
+    g = Geometry.build(64, 8, 0.4, 2.5, "Exponential")
+    assert np.isclose(g.radii[1], 0.4)
+    assert np.isclose(g.radii[g.nrad - 1], 2.5)
+    assert np.all(np.diff(np.diff(g.radii)) > -1e-12)  # growing cells
