@@ -1,0 +1,73 @@
+"""Headline benchmark: Mcell-updates/s/chip on the 1024x3072 polar grid.
+
+Runs the full-physics hydro step (adiabatic + alpha viscosity + SN
+artificial viscosity + viscous heating + beta cooling + CFL + FARGO
+transport) in a jitted fori_loop and reports sustained cell-update
+throughput. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+vs_baseline is relative to the 1000 Mcell/s/chip (1 Gcell/s) north-star
+target from BASELINE.json.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+NRAD, NAZ = 1024, 3072
+WARMUP_STEPS = 20
+BENCH_STEPS = 100
+TARGET_MCELLS = 1000.0  # 1 Gcell-update/s/chip
+
+
+def main():
+    from __graft_entry__ import _flagship
+
+    dtype = "float32" if jax.default_backend() == "tpu" else "float32"
+    sim = _flagship(NRAD, NAZ, dtype)
+    stepper = sim.stepper
+    fields, aux = sim.fields, sim.aux
+
+    def one(carry, _):
+        fields, aux, time_, last_dt = carry
+        cfl_dt = stepper._cfl_impl(fields, aux)
+        dt = jnp.minimum(stepper.phys.cfl_max_var * last_dt, cfl_dt)
+        fields, aux = stepper._step_impl(fields, time_, dt)
+        return (fields, aux, time_ + dt, dt), None
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=1)
+    def advance(carry, n):
+        return jax.lax.scan(one, carry, None, length=n)[0]
+
+    dt0 = jnp.asarray(1e-6, fields.sigma.dtype)
+    carry = (fields, aux, jnp.asarray(0.0, fields.sigma.dtype), dt0)
+
+    # warmup + compile (same static length as the timed run so the timed
+    # region never compiles)
+    carry = advance(carry, BENCH_STEPS)
+    jax.block_until_ready(carry[0].sigma)
+
+    t0 = time.perf_counter()
+    carry = advance(carry, BENCH_STEPS)
+    jax.block_until_ready(carry[0].sigma)
+    elapsed = time.perf_counter() - t0
+
+    cells = NRAD * NAZ
+    mcups = cells * BENCH_STEPS / elapsed / 1e6
+    result = {
+        "metric": f"Mcell-updates/s/chip at {NRAD}x{NAZ} polar grid "
+                  f"(full-physics step incl. CFL, {dtype})",
+        "value": round(mcups, 2),
+        "unit": "Mcell/s",
+        "vs_baseline": round(mcups / TARGET_MCELLS, 4),
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

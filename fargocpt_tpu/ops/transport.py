@@ -1,13 +1,21 @@
 """FARGO transport: operator-split van Leer upwind advection with the
 fast-orbital-advection azimuthal splitting (Masset 2000).
 
-Re-derivation of reference src/TransportEuler.cpp:112-685. The azimuthal
-mean rotation is removed per ring and applied as an exact integer-cell
-roll (a gather along the unsharded azimuthal axis — free of CFL cost and
-embarrassingly parallel on TPU); only the residual velocity is advected
-with upwind sweeps.
+Re-derivation of reference src/TransportEuler.cpp:112-685, restructured
+TPU-first:
 
-All helpers are pure: they take and return full (NR, NAZ) arrays.
+  * All advected quantities (radial/angular momenta, energy, density) are
+    stacked into one (K, NR, NAZ) tensor so each sweep is a single fused
+    kernel chain instead of K separate passes over HBM.
+  * The per-ring integer-cell azimuthal roll (``AdvectSHIFT``) is NOT a
+    gather (gathers are slow on TPU): it is decomposed into O(log NAZ)
+    static lane-rolls + selects on the shift's binary digits.
+  * The reference's "density MUST be advected last" aliasing constraint
+    (src/TransportEuler.cpp:161,303) disappears: all quantities divide by
+    the same pre-sweep density snapshot by construction.
+
+All helpers are pure and operate on trailing (NR, NAZ) axes so they work
+batched.
 """
 
 from __future__ import annotations
@@ -16,7 +24,15 @@ import jax
 import jax.numpy as jnp
 
 from ..params import Physics
-from .common import Geom, azim_next, azim_prev, flux_limiter
+from .common import Geom, flux_limiter
+
+
+def _next(x):
+    return jnp.roll(x, -1, axis=-1)
+
+
+def _prev(x):
+    return jnp.roll(x, 1, axis=-1)
 
 
 def star_radial(phys: Physics, g: Geom, q: jax.Array, vrad: jax.Array,
@@ -24,73 +40,88 @@ def star_radial(phys: Physics, g: Geom, q: jax.Array, vrad: jax.Array,
     """Upwind face values of cell-centered q (reference
     src/TransportEuler.cpp:349-406 ``compute_star_radial``).
 
-    Returns (NR+1, NAZ); rows 0 and NR are zero (no flux through the
-    domain-edge faces, matching the reference's untouched buffer rows).
+    q: (..., NR, NAZ); vrad: (NR+1, NAZ). Returns (..., NR+1, NAZ); face
+    rows 0 and NR are zero (no flux through the domain-edge faces).
     """
     nr = g.nrad
     kind = phys.flux_limiter_type
-    # limited slopes on cells 1..NR-2 (zero on ghost cells)
-    dqm = (q[1:-1] - q[:-2]) * g.inv_diff_rmed[1:nr - 1]
-    dqp = (q[2:] - q[1:-1]) * g.inv_diff_rmed[2:nr]
+    dqm = (q[..., 1:-1, :] - q[..., :-2, :]) * g.inv_diff_rmed[1:nr - 1]
+    dqp = (q[..., 2:, :] - q[..., 1:-1, :]) * g.inv_diff_rmed[2:nr]
     dq_mid = flux_limiter(dqp, dqm, kind)
-    zrow = jnp.zeros_like(q[:1])
-    dq = jnp.concatenate([zrow, dq_mid, zrow], axis=0)       # (NR, NAZ)
+    zrow = jnp.zeros_like(q[..., :1, :])
+    dq = jnp.concatenate([zrow, dq_mid, zrow], axis=-2)      # (..., NR, NAZ)
 
     rme = g.rmed_ext                                          # (NR+1,1)
     dr_minus = rme[1:nr] - rme[:nr - 1]                       # face f: Rmed[f]-Rmed[f-1]
     dr_plus = rme[2:nr + 1] - rme[1:nr]                       # face f: Rmed[f+1]-Rmed[f]
     vf = vrad[1:nr]                                           # faces 1..NR-1
-    up = q[:-1] + (dr_minus - vf * dt) * 0.5 * dq[:-1]
-    dn = q[1:] - (dr_plus + vf * dt) * 0.5 * dq[1:]
+    up = q[..., :-1, :] + (dr_minus - vf * dt) * 0.5 * dq[..., :-1, :]
+    dn = q[..., 1:, :] - (dr_plus + vf * dt) * 0.5 * dq[..., 1:, :]
     qs_mid = jnp.where(vf > 0.0, up, dn)
-    return jnp.concatenate([jnp.zeros_like(qs_mid[:1]), qs_mid,
-                            jnp.zeros_like(qs_mid[:1])], axis=0)
+    zface = jnp.zeros_like(qs_mid[..., :1, :])
+    return jnp.concatenate([zface, qs_mid, zface], axis=-2)
 
 
 def star_theta(phys: Physics, g: Geom, q: jax.Array, v: jax.Array,
                dt) -> jax.Array:
     """Azimuthal upwind interface values (reference
     src/TransportEuler.cpp:416-466 ``ComputeStarTheta``). Interface j sits
-    between cells j-1 and j."""
+    between cells j-1 and j. Batched over leading axes."""
     kind = phys.flux_limiter_type
     dxtheta = g.dphi * g.rb
-    dqm = q - azim_prev(q)
-    dqp = azim_next(q) - q
+    dqm = q - _prev(q)
+    dqp = _next(q) - q
     dq = 0.5 * flux_limiter(dqp, dqm, kind) / dxtheta
     ksi = v * dt
-    up = azim_prev(q) + (dxtheta - ksi) * azim_prev(dq)
+    up = _prev(q) + (dxtheta - ksi) * _prev(dq)
     dn = q - (dxtheta + ksi) * dq
     return jnp.where(ksi > 0.0, up, dn)
 
 
-def van_leer_radial(phys: Physics, g: Geom, q, sig_int, density_star,
-                    vrad, dt):
-    """Advect q radially in specific form (reference
-    src/TransportEuler.cpp:545-620). Returns (q_new, face_flux) where
-    face_flux[i] is the q-flux through face i (for massflow diagnostics)."""
-    work = q / sig_int
+def van_leer_radial_batch(phys: Physics, g: Geom, qs, sig_int, density_star,
+                          vrad, dt):
+    """Advect a stack of quantities radially in specific form (reference
+    src/TransportEuler.cpp:545-620). qs: (K, NR, NAZ).
+    Returns (qs_new, face_flux) with face_flux: (K, NR+1, NAZ)."""
+    work = qs / sig_int
     qrstar = star_radial(phys, g, work, vrad, dt)
-    flux = dt * g.dphi * g.ra * qrstar * density_star * vrad  # (NR+1, NAZ)
-    q_new = q + (flux[:-1] - flux[1:]) * g.inv_surf
-    return q_new, flux
+    flux = dt * g.dphi * g.ra * qrstar * density_star * vrad
+    qs_new = qs + (flux[..., :-1, :] - flux[..., 1:, :]) * g.inv_surf
+    return qs_new, flux
 
 
-def van_leer_theta(phys: Physics, g: Geom, q, sig_int, density_star, v, dt):
-    """Advect q azimuthally in specific form (reference
+def van_leer_theta_batch(phys: Physics, g: Geom, qs, sig_int, density_star,
+                         v, dt):
+    """Advect a stack azimuthally in specific form (reference
     src/TransportEuler.cpp:630-664)."""
-    work = q / sig_int
+    work = qs / sig_int
     qrstar = star_theta(phys, g, work, v, dt)
     f = (g.rsup - g.rinf) * dt * qrstar * density_star * v
-    return q + (f - azim_next(f)) * g.inv_surf
+    return qs + (f - _next(f)) * g.inv_surf
 
 
 def advect_shift(q: jax.Array, nshift: jax.Array) -> jax.Array:
     """Exact integer-cell azimuthal roll per ring — the FARGO trick
-    (reference src/TransportEuler.cpp:238-268 ``AdvectSHIFT``)."""
+    (reference src/TransportEuler.cpp:238-268 ``AdvectSHIFT``).
+
+    TPU-native formulation: decompose the per-ring shift into its binary
+    digits and apply O(log NAZ) static full-array rolls with per-ring
+    selects — no gather (a (NR, NAZ) gather costs ~20x more than these
+    fused shifts on TPU).
+
+    q: (..., NR, NAZ); nshift: (NR,) int32. out[.., i, j] = q[.., i, (j - s_i) mod NAZ].
+    """
     naz = q.shape[-1]
-    j = jnp.arange(naz, dtype=nshift.dtype)[None, :]
-    src = jnp.mod(j - nshift[:, None], naz)
-    return jnp.take_along_axis(q, src, axis=-1)
+    s = jnp.mod(nshift, naz).astype(jnp.int32)               # (NR,)
+    nbits = max(1, (naz - 1).bit_length())
+    sel = s[:, None]                                         # (NR,1)
+    out = q
+    for b in range(nbits):
+        amount = 1 << b
+        rolled = jnp.roll(out, amount, axis=-1)
+        take = (sel >> b) & 1
+        out = jnp.where(take == 1, rolled, out)
+    return out
 
 
 def compute_momenta(g: Geom, sigma, vrad, vaz, omega_frame):
@@ -98,7 +129,7 @@ def compute_momenta(g: Geom, sigma, vrad, vaz, omega_frame):
     rp = sigma * vrad[1:]
     rm = sigma * vrad[:-1]
     corot = g.rb * omega_frame
-    ap = sigma * (azim_next(vaz) + corot) * g.rb
+    ap = sigma * (_next(vaz) + corot) * g.rb
     am = sigma * (vaz + corot) * g.rb
     return rp, rm, ap, am
 
@@ -111,7 +142,7 @@ def velocities_from_momenta(g: Geom, sigma, rp, rm, ap, am, vrad_old,
     vr_mid = (rp[:-1] + rm[1:]) / (sigma[:-1] + sigma[1:])   # faces 1..NR-1
     vrad = jnp.concatenate(
         [jnp.zeros_like(vr_mid[:1]), vr_mid, vrad_old[nr:]], axis=0)
-    vaz = (azim_prev(ap) + am) / (azim_prev(sigma) + sigma) * g.inv_rb \
+    vaz = (_prev(ap) + am) / (_prev(sigma) + sigma) * g.inv_rb \
         - g.rb * omega_frame
     return vrad, vaz
 
@@ -121,64 +152,50 @@ def transport(phys: Physics, g: Geom, sigma, vrad, vaz, energy,
     """Full FARGO transport substep (reference src/TransportEuler.cpp:112-136
     ``Transport`` + OneWindRad + OneWindTheta).
 
-    Returns (sigma, vrad, vaz, energy, diag) where diag carries the
-    radial mass-flux field through faces for monitoring.
-    """
+    Returns (sigma, vrad, vaz, energy, mass_flux) where mass_flux is the
+    radial mass flux through faces (monitoring)."""
     adiabatic = phys.is_adiabatic
 
     rp, rm, ap, am = compute_momenta(g, sigma, vrad, vaz, omega_frame)
+    names = [rp, rm, ap, am] + ([energy] if adiabatic else []) + [sigma]
+    qs = jnp.stack(names, axis=0)                            # (K, NR, NAZ)
+    k_sigma = qs.shape[0] - 1
 
     # ---- radial sweep (OneWindRad, reference :138-167) ----
     density_star = star_radial(phys, g, sigma, vrad, dt)
-    sig_int = sigma
-    rp, _ = van_leer_radial(phys, g, rp, sig_int, density_star, vrad, dt)
-    rm, _ = van_leer_radial(phys, g, rm, sig_int, density_star, vrad, dt)
-    ap, _ = van_leer_radial(phys, g, ap, sig_int, density_star, vrad, dt)
-    am, _ = van_leer_radial(phys, g, am, sig_int, density_star, vrad, dt)
-    if adiabatic:
-        energy, _ = van_leer_radial(phys, g, energy, sig_int, density_star,
-                                    vrad, dt)
-    sigma, mass_flux = van_leer_radial(phys, g, sigma, sig_int, density_star,
-                                       vrad, dt)  # density MUST be last
+    qs, flux = van_leer_radial_batch(phys, g, qs, sigma, density_star,
+                                     vrad, dt)
+    mass_flux = flux[k_sigma]
 
     # ---- azimuthal sweep (OneWindTheta, reference :270-288) ----
-    vmean = jnp.mean(vaz, axis=-1, keepdims=True)            # (NR,1)
+    vaz_for_mean = vaz
+    vmean = jnp.mean(vaz_for_mean, axis=-1, keepdims=True)   # (NR,1)
     vres = vaz - vmean
-    invdt = 1.0 / dt
     ntilde = vmean * g.inv_rb * dt * g.invdphi               # (NR,1)
     nround = jnp.floor(ntilde + 0.5)
     nshift = nround.astype(jnp.int32)[:, 0]                  # (NR,)
-    vconst_row = (ntilde - nround) * g.rb * invdt * g.dphi   # (NR,1)
+    vconst_row = (ntilde - nround) * g.rb * g.dphi / dt      # (NR,1)
 
     if not phys.fast_transport:
         # standard advection: fold the constant residual into vres and skip
-        # the uniform pass (reference :225-231 NoSplitAdvection)
+        # the uniform pass (reference :225-235 NoSplitAdvection)
         vres = vres + vconst_row
         passes = [vres]
     else:
-        vconst = jnp.broadcast_to(vconst_row, vres.shape)
-        passes = [vres, vconst]
+        passes = [vres, jnp.broadcast_to(vconst_row, vres.shape)]
 
     for v in passes:
-        density_star = star_theta(phys, g, sigma, v, dt)
-        sig_int = sigma
-        rp = van_leer_theta(phys, g, rp, sig_int, density_star, v, dt)
-        rm = van_leer_theta(phys, g, rm, sig_int, density_star, v, dt)
-        ap = van_leer_theta(phys, g, ap, sig_int, density_star, v, dt)
-        am = van_leer_theta(phys, g, am, sig_int, density_star, v, dt)
-        if adiabatic:
-            energy = van_leer_theta(phys, g, energy, sig_int, density_star,
-                                    v, dt)
-        sigma = van_leer_theta(phys, g, sigma, sig_int, density_star, v, dt)
+        sig_now = qs[k_sigma]
+        density_star = star_theta(phys, g, sig_now, v, dt)
+        qs = van_leer_theta_batch(phys, g, qs, sig_now, density_star, v, dt)
 
-    # integer shift (the FARGO roll)
-    rp = advect_shift(rp, nshift)
-    rm = advect_shift(rm, nshift)
-    ap = advect_shift(ap, nshift)
-    am = advect_shift(am, nshift)
+    # integer shift (the FARGO roll), all quantities at once
+    qs = advect_shift(qs, nshift)
+
+    rp, rm, ap, am = qs[0], qs[1], qs[2], qs[3]
     if adiabatic:
-        energy = advect_shift(energy, nshift)
-    sigma = advect_shift(sigma, nshift)
+        energy = qs[4]
+    sigma = qs[k_sigma]
 
     vrad, vaz = velocities_from_momenta(g, sigma, rp, rm, ap, am, vrad,
                                         omega_frame)
