@@ -96,6 +96,23 @@ def _vrad_outer(name: str, vr, vr0, g: Geom):
     raise NotImplementedError(f"vrad outer BC {name!r}")
 
 
+def _balanced_value(phys: Physics, constants, g: Geom, nr_row: int,
+                    omega_frame):
+    """Pressure-gradient/smoothing-balanced equilibrium v_az at a ghost ring
+    (reference src/boundary_conditions/balanced.cpp:23-75, Baruteau 2008)."""
+    R = g.rb[nr_row, 0]
+    vk2 = constants.G * phys.hydro_center_mass / R
+    support = jnp.zeros_like(R)
+    if not phys.profile_cutoff_outer:
+        h = phys.aspectratio_ref * R ** phys.flaring_index
+        support = support + (2.0 * phys.flaring_index - 1.0
+                             - phys.sigma_slope) * h ** 2
+        he2 = (h * phys.thickness_smoothing) ** 2
+        support = support + (1.0 + (phys.flaring_index + 1.0) * he2) \
+            / jnp.sqrt(1.0 + he2) ** 3
+    return jnp.sqrt(vk2 * support) - R * omega_frame
+
+
 # ----- v_az BCs --------------------------------------------------------------
 
 def _vaz_inner(phys: Physics, constants, name: str, vaz, vaz0, g: Geom,
@@ -113,6 +130,9 @@ def _vaz_inner(phys: Physics, constants, name: str, vaz, vaz0, g: Geom,
     if name == "zeroshear":
         # d(omega)/dr = 0: vaz[0] = vaz[1] * Rb[0]/Rb[1]
         return vaz.at[0].set(vaz[1] * g.rb[0, 0] / g.rb[1, 0])
+    if name == "balanced":
+        return vaz.at[0].set(_balanced_value(phys, constants, g, 0,
+                                             omega_frame))
     if name == "none":
         return vaz
     raise NotImplementedError(f"vaz inner BC {name!r}")
@@ -132,6 +152,9 @@ def _vaz_outer(phys: Physics, constants, name: str, vaz, vaz0, g: Geom,
         return vaz.at[nr - 1].set(vaz0[nr - 1])
     if name == "zeroshear":
         return vaz.at[nr - 1].set(vaz[nr - 2] * g.rb[nr - 1, 0] / g.rb[nr - 2, 0])
+    if name == "balanced":
+        return vaz.at[nr - 1].set(_balanced_value(phys, constants, g, nr - 1,
+                                                  omega_frame))
     if name == "none":
         return vaz
     raise NotImplementedError(f"vaz outer BC {name!r}")

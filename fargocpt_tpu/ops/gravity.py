@@ -38,12 +38,81 @@ def single_star(dtype=jnp.float64, mass: float = 1.0) -> BodiesOnGrid:
 
 
 def smoothing_length(phys: Physics, scale_height: jax.Array,
-                     body_index: int) -> jax.Array:
-    """epsilon * H per cell (reference src/Force.cpp:124-131); the
-    planet-location compatibility variant is handled by the caller."""
+                     body_index: int, body_r=None) -> jax.Array:
+    """epsilon * H, either per cell (reference src/Force.cpp:124-131) or at
+    the planet location (compatibility mode, :133-143: eps*h0*a^(1+F))."""
     if phys.compatibility_no_star_smoothing and body_index == 0:
         return jnp.zeros_like(scale_height)
+    if phys.compatibility_smoothing_planetloc and body_r is not None:
+        h_loc = phys.aspectratio_ref * body_r ** (1.0 + phys.flaring_index)
+        return jnp.broadcast_to(phys.thickness_smoothing * h_loc,
+                                scale_height.shape)
     return phys.thickness_smoothing * scale_height
+
+
+def disk_on_body_accel(phys: Physics, constants, g: Geom,
+                       bodies: BodiesOnGrid, n_bodies: int,
+                       cell_x: jax.Array, cell_y: jax.Array,
+                       scale_height: jax.Array, sigma: jax.Array):
+    """Acceleration of each body due to the gas disk
+    (reference src/Force.cpp:23-122 ``ComputeDiskOnPlanetAccel``): smoothed
+    sum of cell-mass attractions over the active rings; the MPI_Allreduce
+    becomes the jnp.sum (a cross-shard reduce under the mesh).
+
+    Returns (ax, ay) arrays of length n_bodies.
+    """
+    nr = g.nrad
+    cellmass = g.surf * sigma                      # (NR, NAZ)
+    # active rings only (radial_first_active..radial_active_size-1)
+    axs, ays = [], []
+    for k in range(n_bodies):
+        body_r = jnp.sqrt(bodies.x[k] ** 2 + bodies.y[k] ** 2)
+        smooth = smoothing_length(phys, scale_height, k, body_r)
+        dx = cell_x - bodies.x[k]
+        dy = cell_y - bodies.y[k]
+        d_sm2 = dx * dx + dy * dy + smooth * smooth
+        inv_d3 = d_sm2 ** -1.5
+        r_sm = bodies.cubic_smoothing_radius[k]
+        d_sm = jnp.sqrt(d_sm2)
+        q = d_sm / jnp.where(r_sm > 0.0, r_sm, 1.0)
+        # derivative form of the Klahr & Kley cubic smoothing
+        # (reference src/Force.cpp:79-96)
+        klahr = jnp.where((r_sm > 0.0) & (d_sm < r_sm),
+                          -(3.0 * q ** 4 - 4.0 * q ** 3), 1.0)
+        w = constants.G * cellmass * inv_d3 * klahr
+        axs.append(jnp.sum((w * dx)[1:nr - 1]))
+        ays.append(jnp.sum((w * dy)[1:nr - 1]))
+    return jnp.stack(axs), jnp.stack(ays)
+
+
+def indirect_term_disk(phys: Physics, bodies: BodiesOnGrid, n_center: int,
+                       disk_ax, disk_ay):
+    """-(sum of m_k a_k)/(sum m_k) over the hydro-frame-center bodies
+    (reference src/frame_of_reference.cpp:69-93)."""
+    m = bodies.mass[:n_center]
+    mc = jnp.sum(m)
+    itx = -jnp.sum(m * disk_ax[:n_center]) / mc
+    ity = -jnp.sum(m * disk_ay[:n_center]) / mc
+    return itx, ity
+
+
+def indirect_term_nbody(constants, bodies: BodiesOnGrid, n_center: int,
+                        n_bodies: int):
+    """Euler-mode N-body indirect term
+    (reference src/frame_of_reference.cpp:114-133): acceleration of the
+    frame-center COM from the mutual N-body forces. Zero when all bodies
+    define the frame center."""
+    if n_center >= n_bodies or n_bodies == 1:
+        z = jnp.zeros((), bodies.x.dtype)
+        return z, z
+    from ..nbody.system import mutual_accelerations
+    ax, ay = mutual_accelerations(bodies.x, bodies.y, bodies.mass,
+                                  constants.G)
+    m = bodies.mass[:n_center]
+    mc = jnp.sum(m)
+    itx = -jnp.sum(m * ax[:n_center]) / mc
+    ity = -jnp.sum(m * ay[:n_center]) / mc
+    return itx, ity
 
 
 def nbody_potential(phys: Physics, constants, g: Geom,
@@ -58,7 +127,8 @@ def nbody_potential(phys: Physics, constants, g: Geom,
     """
     pot = jnp.zeros_like(cell_x)
     for k in range(n_bodies):
-        smooth = smoothing_length(phys, scale_height, k)
+        body_r = jnp.sqrt(bodies.x[k] ** 2 + bodies.y[k] ** 2)
+        smooth = smoothing_length(phys, scale_height, k, body_r)
         dx = cell_x - bodies.x[k]
         dy = cell_y - bodies.y[k]
         d_sm = jnp.sqrt(dx * dx + dy * dy + smooth * smooth)

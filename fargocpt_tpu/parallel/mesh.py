@@ -58,6 +58,11 @@ def shard_fields(fields, mesh: Mesh):
     return jax.tree_util.tree_map(place, fields)
 
 
-def shard_aux(aux, mesh: Mesh):
-    sh = field_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), aux)
+def shard_state(state, mesh: Mesh):
+    """Place a full SystemState on the mesh: grid fields radial-sharded,
+    body arrays and scalars replicated."""
+    return shard_fields(state, mesh)
+
+
+# backwards-compatible alias
+shard_aux = shard_state

@@ -1,15 +1,15 @@
 """Simulation driver: setup from a YAML config and the outer time loop.
 
-Re-derivation of reference src/simulation.cpp:505-560 ``sim::run`` with the
-exact dt-clamping rules (monitor-boundary landing, growth cap) and
-src/main.cpp wiring. The inner step is fully jitted; the outer loop runs on
-the host because dt is data-dependent and controls output cadence.
+Re-derivation of reference src/simulation.cpp:505-560 ``sim::run`` and
+src/main.cpp wiring. One monitor interval = one on-device
+``lax.while_loop`` (zero host round-trips inside); the host only
+orchestrates outputs at monitor boundaries.
 """
 
 from __future__ import annotations
 
 import time as _time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax.numpy as jnp
 import numpy as np
@@ -18,9 +18,10 @@ from . import initial, units as u
 from .config import Config
 from .constants import Constants
 from .grid import Geometry
+from .nbody import system as nbody_sys
 from .params import Physics, physics_from_config
 from .state import FieldState
-from .step import HydroStep, StepAux, make_ref_values
+from .step import HydroStep, SystemState, make_ref_values
 
 
 @dataclass
@@ -67,6 +68,17 @@ class Simulation:
         cfg.set_units(self.units)
 
         self.phys = physics_from_config(cfg, self.units, dtype=dtype)
+
+        # N-body setup (reference src/nbody/planetary_system.cpp:68-134)
+        self.bodies = nbody_sys.parse_bodies(cfg, self.units)
+        self.n_hydroframe = nbody_sys.hydroframe_center_count(
+            cfg, len(self.bodies))
+        nb_init = nbody_sys.initialize_system(self.bodies, self.constants.G,
+                                              self.n_hydroframe)
+        hydro_center_mass = float(
+            nb_init["mass"][:self.n_hydroframe].sum())
+        self.phys = self.phys.with_(hydro_center_mass=hydro_center_mass)
+
         self.geometry = Geometry.from_config(cfg)
         self.settings = RunSettings.from_config(cfg, outdir)
 
@@ -75,14 +87,18 @@ class Simulation:
 
         # reference src/init.cpp:335-341: snapshot refs, BCs, refs again
         ref0 = make_ref_values(fields)
-        stepper = HydroStep(self.phys, self.constants, self.geometry, ref0)
-        fields = stepper.apply_bcs(fields)
+        stepper0 = HydroStep(self.phys, self.constants, self.geometry, ref0,
+                             self.bodies, self.n_hydroframe)
+        fields = stepper0.apply_bcs(fields)
         self.ref_values = make_ref_values(fields)
         self.stepper = HydroStep(self.phys, self.constants, self.geometry,
-                                 self.ref_values)
+                                 self.ref_values, self.bodies,
+                                 self.n_hydroframe)
 
-        self.fields = fields
-        self.aux = self.stepper.initial_aux(fields)
+        nbody_state = nbody_sys.make_state(nb_init, jnp.dtype(dtype))
+        self.state: SystemState = self.stepper.initial_system_state(
+            fields, nbody_state)
+
         self.time = 0.0
         self.last_dt = self.settings.first_dt
         self.n_monitor = 0
@@ -90,24 +106,34 @@ class Simulation:
         self.n_hydro_iter = 0
         self.monitor_hooks = []     # callables (sim) run at monitor boundaries
         self.snapshot_hooks = []    # callables (sim) run at snapshot boundaries
-        self.dt_history: list[float] = []
+        self.monitor_stats: dict = {}
+
+    # convenience views -------------------------------------------------
+    @property
+    def fields(self) -> FieldState:
+        return self.state.fields
+
+    @fields.setter
+    def fields(self, value: FieldState):
+        self.state = self.state.replace(fields=value)
 
     # ------------------------------------------------------------------
     def calculate_time_step(self) -> float:
         """reference src/simulation.cpp:100-117."""
         if not self.phys.calculate_disk:
             return self.last_dt
-        cfl_dt = float(self.stepper.cfl_dt(self.fields, self.aux))
+        cfl_dt = float(self.stepper.cfl_dt(self.state))
         dt = min(self.phys.cfl_max_var * self.last_dt, cfl_dt)
         self.last_dt = dt
         return dt
 
+    def step_once(self, dt: float):
+        self.state = self.stepper.step(self.state, self.time, dt)
+        self.time += dt
+        self.n_hydro_iter += 1
+
     def run(self, max_steps: int | None = None):
-        """Outer loop. One monitor interval = one on-device
-        ``lax.while_loop`` (zero host round-trips inside); the host only
-        orchestrates outputs at monitor boundaries — the TPU-native
-        replacement for the reference's per-step host loop
-        (src/simulation.cpp:505-560)."""
+        """Outer loop (reference src/simulation.cpp:505-560)."""
         s = self.settings
         total_monitors = s.n_snapshots * s.n_monitor
         self._handle_outputs(initial=True)
@@ -116,9 +142,9 @@ class Simulation:
                 break
             t_target = (self.n_monitor + 1) * s.monitor_timestep
             wall0 = _time.time()
-            (self.fields, self.aux, time_arr, last_dt_arr, n_steps,
+            (self.state, time_arr, last_dt_arr, n_steps,
              dt_min, dt_max, dt_sum, dt_sq) = self.stepper.advance_to(
-                self.fields, self.aux, self.time, self.last_dt, t_target)
+                self.state, self.time, self.last_dt, t_target)
             n = int(n_steps)
             self.time = float(time_arr)
             self.last_dt = float(last_dt_arr)
@@ -151,3 +177,24 @@ class Simulation:
         f = self.fields
         return {"Sigma": np.asarray(f.sigma), "vrad": np.asarray(f.vrad),
                 "vazi": np.asarray(f.vaz), "energy": np.asarray(f.energy)}
+
+    def orbital_elements(self, k: int) -> dict:
+        """Keplerian elements of body k about the accumulated inner mass
+        (reference src/nbody/planetary_system.cpp:773-820)."""
+        nb = self.state.nbody
+        x = np.asarray(nb.x)
+        y = np.asarray(nb.y)
+        vx = np.asarray(nb.vx)
+        vy = np.asarray(nb.vy)
+        m = np.asarray(nb.mass)
+        if k == 0 and self.n_hydroframe == 1:
+            return nbody_sys.orbital_elements(0, 0, 0, 0, 0, 0, 1)
+        # elements relative to the COM of bodies 0..k-1
+        mc = m[:k].sum()
+        cx = (m[:k] * x[:k]).sum() / mc
+        cy = (m[:k] * y[:k]).sum() / mc
+        cvx = (m[:k] * vx[:k]).sum() / mc
+        cvy = (m[:k] * vy[:k]).sum() / mc
+        return nbody_sys.orbital_elements(
+            x[k] - cx, y[k] - cy, vx[k] - cvx, vy[k] - cvy, mc, m[k],
+            self.constants.G)

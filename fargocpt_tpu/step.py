@@ -1,27 +1,32 @@
-"""The fused hydro time step.
+"""The fused hydro + N-body time step.
 
 Re-derivation of reference src/simulation.cpp:148-274 ``step_Euler`` (and
-:276-483 ``step_LeapFrog``) as one pure function over the state pytree.
-All substeps chain inside a single jit scope, so XLA fuses the elementwise
-work between the stencil shifts; the reference needs ~30 full-grid memory
-round-trips per step, this compiles to a handful.
+:276-483 ``step_LeapFrog``) as one pure function over a ``SystemState``
+pytree. All substeps — disk feedback on the bodies, indirect terms, gas
+potential, momentum/energy sources, viscosity, FARGO transport, N-body
+integration, frame centering, boundary conditions — chain inside a single
+jit scope; XLA fuses the elementwise work between stencil shifts, and a
+whole monitor interval runs in one ``lax.while_loop`` with zero host
+round-trips.
 
-Everything configuration-dependent (Physics, Geometry, Constants) is
-closed over as compile-time constants.
+Everything configuration-dependent (Physics, Geometry, Constants, static
+body properties) is closed over as compile-time constants.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .constants import Constants
 from .grid import Geometry
 from .params import Physics, LEAPFROG
 from .state import FieldState
+from .nbody import system as nbody_sys
+from .nbody.system import BodyConfig, NBodyState
 from .ops import artvisc, boundary, cfl, energy as energy_ops, eos, gravity, \
     sources, transport
 from .ops import viscosity as visc_ops
@@ -31,11 +36,20 @@ from .ops.common import Geom, prepare_geom
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
-class StepAux:
-    """Per-step carry-over diagnostics the next CFL evaluation needs
-    (reference keeps these in the QPLUS/QMINUS grids across steps)."""
+class SystemState:
+    """Complete per-run dynamic state carried through the jitted loop."""
+    fields: FieldState
+    # Q+/Q- from the last energy substep feed the next CFL evaluation
+    # (the reference keeps these in the QPLUS/QMINUS grids across steps)
     qplus: jax.Array
     qminus: jax.Array
+    nbody: NBodyState
+    omega_frame: jax.Array   # scalar
+    frame_angle: jax.Array   # scalar
+
+    def replace(self, **kw) -> "SystemState":
+        from dataclasses import replace as _replace
+        return _replace(self, **kw)
 
 
 class HydroStep:
@@ -43,7 +57,8 @@ class HydroStep:
 
     def __init__(self, phys: Physics, constants: Constants,
                  geometry: Geometry, ref_values: RefValues,
-                 bodies: gravity.BodiesOnGrid | None = None):
+                 bodies: list[BodyConfig] | None = None,
+                 n_hydroframe: int = 1):
         self.phys = phys
         self.constants = constants
         self.geometry = geometry
@@ -54,13 +69,42 @@ class HydroStep:
         x, y = geometry.cell_centers_xy()
         self.cell_x = jnp.asarray(x, dtype)
         self.cell_y = jnp.asarray(y, dtype)
-        self.n_bodies = 1 if bodies is None else int(bodies.x.shape[0])
-        self.bodies = bodies if bodies is not None else \
-            gravity.single_star(dtype, phys.hydro_center_mass)
+
+        self.bodies_cfg = bodies if bodies is not None else \
+            [BodyConfig(name="DefaultStar", mass=phys.hydro_center_mass)]
+        self.n_bodies = len(self.bodies_cfg)
+        self.n_hydroframe = n_hydroframe
+        # static per-body properties
+        self.body_radius = jnp.asarray(
+            [b.radius for b in self.bodies_cfg], dtype)
+        self.body_temperature = jnp.asarray(
+            [b.temperature for b in self.bodies_cfg], dtype)
+        self.body_rampup = jnp.asarray(
+            [b.ramp_up_time for b in self.bodies_cfg], dtype)
+        self.body_cubic_factor = jnp.asarray(
+            [b.cubic_smoothing_factor for b in self.bodies_cfg], dtype)
+        # orbital periods for mass ramp-up (from the initial orbits)
+        periods = []
+        G = constants.G
+        for b in self.bodies_cfg:
+            if b.semi_major_axis > 0:
+                periods.append(2 * np.pi * np.sqrt(
+                    b.semi_major_axis ** 3 / (G * phys.hydro_center_mass)))
+            else:
+                periods.append(0.0)
+        self.body_period = jnp.asarray(periods, dtype)
+
         # static locally-isothermal sound-speed profile
         # (reference src/SourceEuler.cpp:1080-1088 — never updated for
         # aspectratio_mode == 0)
         self.cs_iso = eos.sound_speed_iso_profile(phys, constants, self.g.rb)
+
+        # wave-damping zones (reference src/boundary_conditions/damping.cpp)
+        if phys.damping:
+            from .ops.damping import DampingZones
+            self.damping = DampingZones(phys, constants, geometry, dtype)
+        else:
+            self.damping = None
 
         self._step = jax.jit(self._step_impl)
         self._cfl = jax.jit(self._cfl_impl)
@@ -78,22 +122,35 @@ class HydroStep:
     def viscosity_grid(self, cs, h):
         return visc_ops.kinematic_viscosity(self.phys, self.g, cs, h)
 
+    def bodies_on_grid(self, nb: NBodyState, time) -> gravity.BodiesOnGrid:
+        """Snapshot of body data the gas-side ops need, with mass ramp-up
+        and the Klahr cubic smoothing radius."""
+        mass = nbody_sys.rampup_masses(nb, self.body_rampup,
+                                       self.body_period, time)
+        dist = nbody_sys.dist_to_primary(nb)
+        roche = nbody_sys.dimensionless_roche_radius(nb)
+        cubic = roche * dist * self.body_cubic_factor
+        return gravity.BodiesOnGrid(x=nb.x, y=nb.y, mass=mass,
+                                    cubic_smoothing_radius=cubic)
+
     # ------------------------------------------------------------------
-    def _apply_bcs(self, sigma, vrad, vaz, energy, omega_frame):
+    def _apply_bcs(self, sigma, vrad, vaz, energy, omega_frame,
+                   final: bool = False, dt=None):
+        """reference src/boundary_conditions/boundary_conditions.cpp:65-110;
+        damping runs first and only on the final application of a step
+        (:45-63 ``handle_damping``)."""
+        if final and self.phys.damping and self.damping is not None:
+            sigma, vrad, vaz, energy = self.damping.apply(
+                self.phys, sigma, vrad, vaz, energy, self.ref_values, dt)
         return boundary.apply_boundary_conditions(
             self.phys, self.constants, self.g, sigma, vrad, vaz, energy,
             self.ref_values, omega_frame)
 
-    def _substeps(self, sigma, vrad, vaz, energy, time, dt, omega_frame):
+    def _substeps(self, sigma, vrad, vaz, energy, pot, time, dt, omega_frame):
         """Source + viscosity + energy substeps (the 'kick' part)."""
         phys, constants, g = self.phys, self.constants, self.g
 
         cs, press, h = self.derived(sigma, energy)
-
-        pot = gravity.nbody_potential(
-            phys, constants, g, self.bodies, self.n_bodies,
-            self.cell_x, self.cell_y, h,
-            jnp.zeros((), self.dtype), jnp.zeros((), self.dtype))
 
         vrad, vaz, energy = sources.update_with_sourceterms(
             phys, g, sigma, press, pot, vrad, vaz, energy, omega_frame, dt)
@@ -122,53 +179,99 @@ class HydroStep:
                 jnp.zeros_like(sigma), time, dt)
         return sigma, vrad, vaz, energy, qplus, qminus
 
-    def _step_impl(self, fields: FieldState, time, dt):
+    def _step_impl(self, state: SystemState, time, dt):
         """One Euler step (reference src/simulation.cpp:148-274)."""
         phys, constants, g = self.phys, self.constants, self.g
-        omega_frame = jnp.asarray(phys.omega_frame, self.dtype)
+        f = state.fields
+        sigma, vrad, vaz, energy = f.sigma, f.vrad, f.vaz, f.energy
+        nb = state.nbody
+        omega_frame = state.omega_frame
 
-        sigma, vrad, vaz, energy = (fields.sigma, fields.vrad, fields.vaz,
-                                    fields.energy)
+        zero = jnp.zeros((), self.dtype)
+        bodies = self.bodies_on_grid(nb, time)
+        cs0, _, h0 = self.derived(sigma, energy)
 
-        sigma, vrad, vaz, energy, qplus, qminus = self._substeps(
-            sigma, vrad, vaz, energy, time, dt, omega_frame)
+        # --- disk feedback on the bodies (reference :154-158) ---
+        it_disk_x = it_disk_y = zero
+        if phys.disk_feedback and phys.calculate_disk:
+            dax, day = gravity.disk_on_body_accel(
+                phys, constants, g, bodies, self.n_bodies,
+                self.cell_x, self.cell_y, h0, sigma)
+            nb = nbody_sys.kick(nb, dax, day, dt)
+            it_disk_x, it_disk_y = gravity.indirect_term_disk(
+                phys, bodies, self.n_hydroframe, dax, day)
 
-        # boundary conditions before transport (final=false)
-        sigma, vrad, vaz, energy = self._apply_bcs(sigma, vrad, vaz, energy,
-                                                   omega_frame)
+        # --- N-body indirect term, Euler mode (reference :160-166) ---
+        it_nb_x, it_nb_y = gravity.indirect_term_nbody(
+            constants, bodies, self.n_hydroframe, self.n_bodies)
+        it_x = it_disk_x + it_nb_x
+        it_y = it_disk_y + it_nb_y
+        nb = nbody_sys.kick(nb, it_x, it_y, dt)
 
-        sigma, vrad, vaz, energy, _mass_flux = transport.transport(
-            phys, g, sigma, vrad, vaz, energy, omega_frame, dt)
-        sigma = eos.apply_sigma_floor(phys, sigma)
-        if phys.is_adiabatic:
-            energy = eos.energy_floor_ceiling(phys, constants, sigma, energy)
+        # --- gravitational potential on the gas (reference :168-176) ---
+        if phys.indirect_term_disk_on_disk:
+            pot_it = (it_x, it_y)
+        else:
+            pot_it = (it_nb_x, it_nb_y)
+        pot = gravity.nbody_potential(
+            phys, constants, g, bodies, self.n_bodies,
+            self.cell_x, self.cell_y, h0, pot_it[0], pot_it[1])
 
-        # final boundary conditions (+ damping, when enabled)
-        sigma, vrad, vaz, energy = self._apply_bcs(sigma, vrad, vaz, energy,
-                                                   omega_frame)
+        # --- frame rotation (reference :186 handle_corotation) ---
+        # fixed rotating frame: bodies rotate by -Omega dt; corotating
+        # (dynamic Omega) support comes with the corotation module
+        nb = nbody_sys.rotate(nb, omega_frame * dt)
+        frame_angle = state.frame_angle + omega_frame * dt
 
-        new_fields = FieldState(sigma=sigma, vrad=vrad, vaz=vaz,
-                                energy=energy)
-        return new_fields, StepAux(qplus=qplus, qminus=qminus)
+        # --- gas substeps ---
+        if phys.calculate_disk:
+            sigma, vrad, vaz, energy, qplus, qminus = self._substeps(
+                sigma, vrad, vaz, energy, pot, time, dt, omega_frame)
 
-    def _cfl_impl(self, fields: FieldState, aux: StepAux):
+            # boundary conditions before transport (final=false)
+            sigma, vrad, vaz, energy = self._apply_bcs(
+                sigma, vrad, vaz, energy, omega_frame)
+
+            sigma, vrad, vaz, energy, _mass_flux = transport.transport(
+                phys, g, sigma, vrad, vaz, energy, omega_frame, dt)
+            sigma = eos.apply_sigma_floor(phys, sigma)
+            if phys.is_adiabatic:
+                energy = eos.energy_floor_ceiling(phys, constants, sigma,
+                                                  energy)
+        else:
+            qplus, qminus = state.qplus, state.qminus
+
+        # --- N-body drift under mutual gravity (reference :218-221) ---
+        nb = nbody_sys.integrate(nb, constants.G, dt)
+        nb = nbody_sys.move_to_hydro_frame_center(nb, self.n_hydroframe)
+
+        if phys.calculate_disk:
+            # final boundary conditions (+ damping, when enabled)
+            sigma, vrad, vaz, energy = self._apply_bcs(
+                sigma, vrad, vaz, energy, omega_frame, final=True, dt=dt)
+
+        return state.replace(
+            fields=FieldState(sigma=sigma, vrad=vrad, vaz=vaz, energy=energy),
+            qplus=qplus, qminus=qminus, nbody=nb,
+            frame_angle=frame_angle)
+
+    def _cfl_impl(self, state: SystemState):
         phys = self.phys
-        cs, press, h = self.derived(fields.sigma, fields.energy)
+        f = state.fields
+        cs, press, h = self.derived(f.sigma, f.energy)
         nu = self.viscosity_grid(cs, h)
-        return cfl.condition_cfl(phys, self.g, fields.sigma, fields.vrad,
-                                 fields.vaz, fields.energy, cs, nu,
-                                 aux.qplus, aux.qminus)
+        return cfl.condition_cfl(phys, self.g, f.sigma, f.vrad, f.vaz,
+                                 f.energy, cs, nu, state.qplus, state.qminus)
 
-    def _advance_impl(self, fields: FieldState, aux: StepAux, time, last_dt,
-                      t_target):
+    def _advance_impl(self, state: SystemState, time, last_dt, t_target):
         """Advance to ``t_target`` (one monitor interval) entirely on-device
         with a ``lax.while_loop`` — replaces the reference's host loop
         (src/simulation.cpp:505-560) including the exact dt clamping rules:
         dt = min(CFL_max_var * last_dt, cfl_dt), stretched/clamped to land
         exactly on the monitor boundary (:541-552).
 
-        Returns (fields, aux, time, last_dt, n_steps, dt_min, dt_max,
-        dt_sum, dt_sum_sq).
+        Returns (state, time, last_dt, n_steps, dt_min, dt_max, dt_sum,
+        dt_sum_sq).
         """
         dtype = self.dtype
         big = jnp.asarray(jnp.finfo(dtype).max, dtype)
@@ -177,59 +280,79 @@ class HydroStep:
             return jnp.logical_not(carry[-1])
 
         def body(carry):
-            (fields, aux, time, last_dt, n, dmin, dmax, dsum, dsq,
-             _done) = carry
-            cfl_dt = self._cfl_impl(fields, aux)
+            (state, time, last_dt, n, dmin, dmax, dsum, dsq, _done) = carry
+            cfl_dt = self._cfl_impl(state)
             dt = jnp.minimum(self.phys.cfl_max_var * last_dt, cfl_dt)
             time_left = t_target - time
             clamp = (dt > time_left) | (time_left < dt * 1.05)
             step_dt = jnp.where(clamp, time_left, dt)
-            fields, aux = self._step_impl(fields, time, step_dt)
+            state = self._step_impl(state, time, step_dt)
             time = jnp.where(clamp, t_target, time + step_dt)
-            return (fields, aux, time, dt, n + 1,
+            # last_dt carries the unclamped dt (reference
+            # src/simulation.cpp:100-117)
+            return (state, time, dt, n + 1,
                     jnp.minimum(dmin, step_dt), jnp.maximum(dmax, step_dt),
                     dsum + step_dt, dsq + step_dt * step_dt, clamp)
 
         zero = jnp.zeros((), dtype)
-        init = (fields, aux, jnp.asarray(time, dtype),
-                jnp.asarray(last_dt, dtype), jnp.zeros((), jnp.int32),
-                big, zero, zero, zero, jnp.asarray(False))
+        init = (state, jnp.asarray(time, dtype), jnp.asarray(last_dt, dtype),
+                jnp.zeros((), jnp.int32), big, zero, zero, zero,
+                jnp.asarray(False))
         out = jax.lax.while_loop(cond, body, init)
         return out[:-1]
 
     # public API ---------------------------------------------------------
-    def advance_to(self, fields: FieldState, aux: StepAux, time, last_dt,
-                   t_target):
-        return self._advance(fields, aux, jnp.asarray(time, self.dtype),
+    def advance_to(self, state: SystemState, time, last_dt, t_target):
+        return self._advance(state, jnp.asarray(time, self.dtype),
                              jnp.asarray(last_dt, self.dtype),
                              jnp.asarray(t_target, self.dtype))
 
-    def step(self, fields: FieldState, time, dt):
-        return self._step(fields, jnp.asarray(time, self.dtype),
+    def step(self, state: SystemState, time, dt):
+        return self._step(state, jnp.asarray(time, self.dtype),
                           jnp.asarray(dt, self.dtype))
 
-    def cfl_dt(self, fields: FieldState, aux: StepAux) -> jax.Array:
-        return self._cfl(fields, aux)
+    def cfl_dt(self, state: SystemState) -> jax.Array:
+        return self._cfl(state)
 
-    def initial_aux(self, fields: FieldState | None = None) -> StepAux:
-        """Q+/Q- for the first CFL evaluation (reference
+    def initial_system_state(self, fields: FieldState,
+                             nbody: NBodyState) -> SystemState:
+        """Assemble the run state; Q+/Q- seeded as at init (reference
         src/SourceEuler.cpp:1507-1547 ``compute_heating_cooling_for_CFL``)."""
-        shape = (self.geometry.nrad, self.geometry.naz)
-        z = jnp.zeros(shape, self.dtype)
-        if fields is None or not self.phys.is_adiabatic:
-            return StepAux(qplus=z, qminus=z)
         phys, constants, g = self.phys, self.constants, self.g
-        sigma, energy = fields.sigma, fields.energy
-        cs, _, h = self.derived(sigma, energy)
-        nu = self.viscosity_grid(cs, h)
-        tau_rr, tau_pp, tau_rp, div_v = visc_ops.viscous_stress_tensor(
-            phys, g, sigma, fields.vrad, fields.vaz, nu)
-        _, qplus, qminus = energy_ops.substep3(
-            phys, constants, g, sigma, energy, fields.vrad, fields.vaz, nu,
-            tau_rr, tau_pp, tau_rp, div_v, h,
-            self.ref_values.sigma0, self.ref_values.energy0,
-            jnp.zeros_like(sigma), 0.0, 0.0)
-        return StepAux(qplus=qplus, qminus=qminus)
+        z = jnp.zeros((self.geometry.nrad, self.geometry.naz), self.dtype)
+        qplus, qminus = z, z
+        if phys.is_adiabatic:
+            sigma, energy = fields.sigma, fields.energy
+            cs, _, h = self.derived(sigma, energy)
+            nu = self.viscosity_grid(cs, h)
+            tau_rr, tau_pp, tau_rp, div_v = visc_ops.viscous_stress_tensor(
+                phys, g, sigma, fields.vrad, fields.vaz, nu)
+            _, qplus, qminus = energy_ops.substep3(
+                phys, constants, g, sigma, energy, fields.vrad, fields.vaz,
+                nu, tau_rr, tau_pp, tau_rp, div_v, h,
+                self.ref_values.sigma0, self.ref_values.energy0,
+                jnp.zeros_like(sigma), 0.0, 0.0)
+        return SystemState(
+            fields=fields, qplus=qplus, qminus=qminus, nbody=nbody,
+            omega_frame=jnp.asarray(phys.omega_frame, self.dtype),
+            frame_angle=jnp.zeros((), self.dtype))
+
+    def disk_torques(self, state: SystemState, time=0.0):
+        """Specific torque of the gas disk on each body,
+        Gamma_k = m_k (x_k a_y - y_k a_x) (reference src/output.cpp
+        ``write_torques`` path via ComputeDiskOnNbodyAccel)."""
+        def impl(state, time):
+            f = state.fields
+            _, _, h = self.derived(f.sigma, f.energy)
+            bodies = self.bodies_on_grid(state.nbody, time)
+            ax, ay = gravity.disk_on_body_accel(
+                self.phys, self.constants, self.g, bodies, self.n_bodies,
+                self.cell_x, self.cell_y, h, f.sigma)
+            return state.nbody.mass * (state.nbody.x * ay
+                                       - state.nbody.y * ax)
+        if not hasattr(self, "_disk_torques"):
+            self._disk_torques = jax.jit(impl)
+        return self._disk_torques(state, jnp.asarray(time, self.dtype))
 
     def apply_bcs(self, fields: FieldState) -> FieldState:
         """Standalone BC application (used once at init, reference

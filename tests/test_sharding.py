@@ -35,8 +35,7 @@ def test_sharded_matches_single_device():
     # sharded run over an 8-device radial mesh
     sim8 = Simulation(small_config())
     mesh = pmesh.make_mesh(8)
-    sim8.fields = pmesh.shard_fields(sim8.fields, mesh)
-    sim8.aux = pmesh.shard_aux(sim8.aux, mesh)
+    sim8.state = pmesh.shard_state(sim8.state, mesh)
     sim8.run()
 
     assert sim8.n_hydro_iter == sim1.n_hydro_iter
@@ -51,9 +50,8 @@ def test_sharded_matches_single_device():
 def test_sharding_layout_preserved():
     sim = Simulation(small_config())
     mesh = pmesh.make_mesh(8)
-    sim.fields = pmesh.shard_fields(sim.fields, mesh)
-    sim.aux = pmesh.shard_aux(sim.aux, mesh)
-    new_fields, _aux = sim.stepper.step(sim.fields, 0.0, 1e-6)
+    sim.state = pmesh.shard_state(sim.state, mesh)
+    new_state = sim.stepper.step(sim.state, 0.0, 1e-6)
     # output stays sharded over the radial axis (no silent full gather)
-    shard_count = len(new_fields.sigma.sharding.device_set)
+    shard_count = len(new_state.fields.sigma.sharding.device_set)
     assert shard_count == 8
