@@ -1,0 +1,371 @@
+"""Snapshot / monitor output and restart.
+
+Re-derivation of reference src/output.cpp: the on-disk layout is kept
+byte-compatible where analysis tooling depends on it —
+
+  outdir/
+    dimensions.dat            (reference src/parameters.cpp:1127-1177)
+    used_rad.dat              (interface radii, src/init.cpp:232-252)
+    units.yml, constants.yml
+    info2D.yml                (self-describing variable list, :788-850)
+    snapshots/list.txt        (snapshot registry, :183-191)
+    snapshots/<N>/Sigma.dat   (raw little-endian float64, NR x NAZ)
+    snapshots/<N>/vrad.dat    ((NR+1) x NAZ)
+    snapshots/<N>/vazi.dat, energy.dat, Temperature.dat, ...
+    snapshots/<N>/misc.bin    (binary struct, src/output.h:16-24)
+    snapshots/<N>/nbody.bin   (per-body state)
+    snapshots/<N>/config.yml
+    monitor/Quantities.dat    (~20 scalars/monitor, :326-490)
+    monitor/timestepLogging.dat (dt statistics, src/hydro_dt_logger.cpp)
+    monitor/nbody{i}.dat      (per-planet orbit data)
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import struct
+from pathlib import Path
+
+import jax
+import numpy as np
+import yaml
+
+from .ops import quantities as quant
+
+# column layout of Quantities.dat (reference src/output.cpp:39-76, v2.5)
+QUANTITIES_COLUMNS = [
+    "snapshot number", "monitor number", "time", "mass", "radius",
+    "angular momentum", "total energy", "internal energy",
+    "kinematic energy", "potential energy", "radial kinetic energy",
+    "azimuthal kinetic energy", "eccentricity", "periastron",
+    "viscous dissipation", "luminosity", "pdivv",
+    "inner boundary mass inflow", "inner boundary mass outflow",
+    "outer boundary mass inflow", "outer boundary mass outflow",
+    "wave damping inner mass creation", "wave damping inner mass removal",
+    "wave damping outer mass creation", "wave damping outer mass removal",
+    "density floor mass creation", "aspect ratio",
+    "indirect term nbody x", "indirect term nbody y",
+    "indirect term disk x", "indirect term disk y", "frame angle",
+    "advection torque", "viscous torque", "gravitational torque",
+]
+
+MISC_STRUCT = "=IIddddQ"   # reference src/output.h:16-24 misc_entry
+
+
+class OutputWriter:
+    """Writes reference-layout output for a Simulation."""
+
+    def __init__(self, sim, outdir: str | None = None):
+        self.sim = sim
+        self.outdir = Path(outdir or sim.settings.outdir)
+        self.snapshot_dir = None
+        self._quantities_initialized = False
+        self._setup()
+        # hook into the simulation
+        sim.monitor_hooks.append(self._on_monitor)
+        sim.snapshot_hooks.append(self._on_snapshot)
+
+    # ------------------------------------------------------------------
+    def _setup(self):
+        for sub in ("snapshots", "monitor", "parameters"):
+            (self.outdir / sub).mkdir(parents=True, exist_ok=True)
+        self._write_dimensions()
+        self._write_used_rad()
+        self._write_units()
+        self._write_info2d()
+
+    def _write_dimensions(self):
+        g = self.sim.geometry
+        spacing = {"logarithmic": "Logarithmic", "arithmetic": "Arithmetic",
+                   "exponential": "Exponential",
+                   "custom": "Custom"}[g.spacing]
+        with open(self.outdir / "dimensions.dat", "w") as f:
+            f.write("#RMIN\tRMAX\tPHIMIN\tPHIMAX          \tNRAD\tNAZ\t"
+                    "NGHRAD\tNGHAZ\tRadial_spacing\n")
+            f.write(f"{g.rmin:.16g}\t{g.rmax:.16g}\t{0.0:.16g}\t"
+                    f"{2 * math.pi:.16g}\t{g.nrad}\t{g.naz}\t1\t1\t"
+                    f"{spacing}\n")
+
+    def _write_used_rad(self):
+        with open(self.outdir / "used_rad.dat", "w") as f:
+            for r in self.sim.geometry.radii:
+                f.write(f"{r:.18g}\n")
+
+    def _write_units(self):
+        un = self.sim.units
+        units = {
+            "length": {"unit": "cm", "factor": un.length},
+            "mass": {"unit": "g", "factor": un.mass},
+            "time": {"unit": "s", "factor": un.time},
+            "temperature": {"unit": "K", "factor": un.temperature},
+            "velocity": {"unit": "cm s^-1", "factor": un.velocity},
+            "mass surface density": {"unit": "g cm^-2",
+                                     "factor": un.surface_density},
+            "energy surface density": {"unit": "erg cm^-2",
+                                       "factor": un.energy_density},
+        }
+        with open(self.outdir / "units.yml", "w") as f:
+            yaml.safe_dump(units, f)
+        c = self.sim.constants
+        with open(self.outdir / "constants.yml", "w") as f:
+            yaml.safe_dump({"G": c.G, "R": c.R, "sigma_sb": c.sigma_sb,
+                            "c": c.c}, f)
+
+    def _field_specs(self):
+        un = self.sim.units
+        g = self.sim.geometry
+        return {
+            "Sigma": dict(unit="g cm^-2", factor=un.surface_density,
+                          nrad=g.nrad, vector=False),
+            "vrad": dict(unit="cm s^-1", factor=un.velocity,
+                         nrad=g.nrad + 1, vector=True),
+            "vazi": dict(unit="cm s^-1", factor=un.velocity,
+                         nrad=g.nrad, vector=False),
+            "energy": dict(unit="erg cm^-2", factor=un.energy_density,
+                           nrad=g.nrad, vector=False),
+            "Temperature": dict(unit="K", factor=un.temperature,
+                                nrad=g.nrad, vector=False),
+        }
+
+    def _write_info2d(self):
+        g = self.sim.geometry
+        lines = ["# 2D output variable descriptions", "# version 0.1", ""]
+        for name, spec in self._field_specs().items():
+            lines += [
+                f"{name}:",
+                f"  cgs symbols: {spec['unit']}",
+                f"  code_to_cgs_factor: {spec['factor']:.17g}",
+                f"  unit: {spec['factor']:.17g} {spec['unit']}",
+                f"  Nrad: {spec['nrad']}",
+                f"  Nazi: {g.naz}",
+                "  bigendian: 0",
+                f"  on_radial_interface: "
+                f"{'true' if spec['vector'] else 'false'}",
+                f"  on_azimuthal_interface: "
+                f"{'true' if name == 'vazi' else 'false'}",
+                f"  filename: {name}.dat",
+                "",
+            ]
+        (self.outdir / "info2D.yml").write_text("\n".join(lines))
+
+    # ------------------------------------------------------------------
+    def write_snapshot(self, snapshot_id: str | None = None,
+                       register: bool = True):
+        sim = self.sim
+        sid = snapshot_id if snapshot_id is not None else str(sim.n_snapshot)
+        sdir = self.outdir / "snapshots" / sid
+        if sdir.exists():
+            shutil.rmtree(sdir)
+        sdir.mkdir(parents=True)
+        self.snapshot_dir = sdir
+
+        f = sim.fields
+        np.asarray(f.sigma, np.float64).tofile(sdir / "Sigma.dat")
+        np.asarray(f.vrad, np.float64).tofile(sdir / "vrad.dat")
+        np.asarray(f.vaz, np.float64).tofile(sdir / "vazi.dat")
+        np.asarray(f.energy, np.float64).tofile(sdir / "energy.dat")
+        if sim.phys.is_adiabatic:
+            from .ops import eos
+            gam = sim.phys.adiabatic_index
+            temp = sim.phys.mu / sim.constants.R * (gam - 1.0) \
+                * np.asarray(f.energy) / np.asarray(f.sigma)
+            temp.astype(np.float64).tofile(sdir / "Temperature.dat")
+        # Q grids for bitwise-exact restart (reference src/restart.cpp:73-90)
+        np.asarray(sim.state.qplus, np.float64).tofile(sdir / "Qplus.dat")
+        np.asarray(sim.state.qminus, np.float64).tofile(sdir / "Qminus.dat")
+
+        self._write_misc(sdir)
+        self._write_nbody_bin(sdir)
+
+        if register:
+            with open(self.outdir / "snapshots" / "list.txt", "a") as fl:
+                fl.write(sid + "\n")
+
+    def _write_misc(self, sdir: Path):
+        sim = self.sim
+        blob = struct.pack(
+            MISC_STRUCT, sim.n_snapshot, sim.n_monitor, sim.time,
+            float(sim.state.omega_frame), float(sim.state.frame_angle),
+            sim.last_dt, sim.n_hydro_iter)
+        (sdir / "misc.bin").write_bytes(blob)
+
+    def _write_nbody_bin(self, sdir: Path):
+        nb = self.sim.state.nbody
+        arr = np.stack([np.asarray(nb.x), np.asarray(nb.y),
+                        np.asarray(nb.vx), np.asarray(nb.vy),
+                        np.asarray(nb.mass)], axis=1).astype(np.float64)
+        arr.tofile(sdir / "nbody.bin")
+
+    # ------------------------------------------------------------------
+    def write_quantities(self):
+        sim = self.sim
+        path = self.outdir / "monitor" / "Quantities.dat"
+        if not self._quantities_initialized:
+            if not path.exists():
+                with open(path, "w") as f:
+                    f.write("#FargoCPT quantities file\n")
+                    f.write("#version: 2.4\n")
+                    for i, name in enumerate(QUANTITIES_COLUMNS):
+                        f.write(f"#variable: {i} | {name} | code units\n")
+            self._quantities_initialized = True
+
+        vals = self._compute_quantities()
+        row = [0.0] * len(QUANTITIES_COLUMNS)
+        row[0] = sim.n_snapshot
+        row[1] = sim.n_monitor
+        row[2] = sim.time
+        for name, v in vals.items():
+            row[QUANTITIES_COLUMNS.index(name)] = float(v)
+        row[QUANTITIES_COLUMNS.index("frame angle")] = \
+            float(sim.state.frame_angle)
+        with open(path, "a") as f:
+            f.write("\t".join(f"{v:.18g}" for v in row) + "\n")
+
+    def _compute_quantities(self):
+        sim = self.sim
+        st = sim.stepper
+        f = sim.fields
+        cs, press, h = st.derived(f.sigma, f.energy)
+        bodies = st.bodies_on_grid(sim.state.nbody, sim.time)
+        import jax.numpy as jnp
+        pot = None
+        from .ops import gravity
+        zero = jnp.zeros((), st.dtype)
+        pot = gravity.nbody_potential(
+            sim.phys, sim.constants, st.g, bodies, st.n_bodies,
+            st.cell_x, st.cell_y, h, zero, zero)
+        cos_phi = jnp.asarray(sim.geometry.cos_phi, st.dtype)[None, :]
+        sin_phi = jnp.asarray(sim.geometry.sin_phi, st.dtype)[None, :]
+        radius_limit = 2.0 * sim.geometry.rmax
+        return quant.monitor_quantities(
+            sim.phys, sim.constants, st.g, f.sigma, f.vrad, f.vaz, f.energy,
+            pot, sim.state.qplus, sim.state.qminus, sim.state.omega_frame,
+            sim.state.frame_angle, cos_phi, sin_phi, radius_limit)
+
+    def write_timestep_log(self):
+        sim = self.sim
+        st = sim.monitor_stats
+        if not st:
+            return
+        path = self.outdir / "monitor" / "timestepLogging.dat"
+        if not path.exists():
+            with open(path, "w") as f:
+                f.write("# timestep logging file\n")
+                f.write("#variable: 0 | snapshot number | 1\n")
+                f.write("#variable: 1 | monitor number | 1\n")
+                f.write("#variable: 2 | time | code\n")
+                f.write("#variable: 3 | walltime | s\n")
+                f.write("#variable: 4 | walltime per hydrostep | ms\n")
+                f.write("#variable: 5 | mean dt | code\n")
+                f.write("#variable: 6 | min dt | code\n")
+                f.write("#variable: 7 | std dev dt | code\n")
+        n = max(st["n_steps"], 1)
+        mean = st["dt_sum"] / n
+        var = max(st["dt_sq"] / n - mean ** 2, 0.0)
+        with open(path, "a") as f:
+            f.write(f"{sim.n_snapshot}\t{sim.n_monitor}\t{sim.time:.18g}\t"
+                    f"{st['walltime']:.6g}\t"
+                    f"{1e3 * st['walltime'] / n:.6g}\t"
+                    f"{mean:.18g}\t{st['dt_min']:.18g}\t"
+                    f"{math.sqrt(var):.18g}\n")
+
+    def write_nbody_monitor(self):
+        sim = self.sim
+        nb = sim.state.nbody
+        for k in range(len(np.asarray(nb.mass))):
+            path = self.outdir / "monitor" / f"nbody{k}.dat"
+            new = not path.exists()
+            el = sim.orbital_elements(k)
+            torque = float(sim.stepper.disk_torques(sim.state, sim.time)[k]) \
+                if sim.phys.calculate_disk else 0.0
+            with open(path, "a") as f:
+                if new:
+                    cols = ["snapshot number", "monitor number", "x", "y",
+                            "vx", "vy", "mass", "time", "omega frame",
+                            "mdcp", "eccentricity", "angular momentum",
+                            "semi-major axis", "omega kepler", "mean anomaly",
+                            "eccentric anomaly", "true anomaly",
+                            "pericenter angle", "torque", "accreted mass",
+                            "indirect torque"]
+                    f.write("#FargoCPT planet file\n#version: 2.1\n")
+                    for i, c in enumerate(cols):
+                        f.write(f"#variable: {i} | {c} | code units\n")
+                x, y = float(nb.x[k]), float(nb.y[k])
+                vx, vy = float(nb.vx[k]), float(nb.vy[k])
+                m = float(nb.mass[k])
+                L = m * (x * vy - y * vx)
+                omega_k = math.sqrt(
+                    sim.constants.G * sim.phys.hydro_center_mass
+                    / max(el["a"], 1e-300) ** 3) if el["a"] > 0 else 0.0
+                f.write("\t".join(f"{v:.18g}" for v in [
+                    sim.n_snapshot, sim.n_monitor, x, y, vx, vy, m, sim.time,
+                    float(sim.state.omega_frame), 0.0, el["e"], L, el["a"],
+                    omega_k, el["mean_anomaly"], el["eccentric_anomaly"],
+                    el["true_anomaly"], el["pericenter_angle"], torque,
+                    0.0, 0.0]) + "\n")
+
+    # hooks ---------------------------------------------------------------
+    def _on_monitor(self, sim):
+        self.write_quantities()
+        self.write_timestep_log()
+        self.write_nbody_monitor()
+
+    def _on_snapshot(self, sim):
+        self.write_snapshot()
+
+
+# ---------------------------------------------------------------------------
+# restart
+# ---------------------------------------------------------------------------
+
+def load_misc(snapshot_dir: str | Path) -> dict:
+    blob = (Path(snapshot_dir) / "misc.bin").read_bytes()
+    vals = struct.unpack(MISC_STRUCT, blob[:struct.calcsize(MISC_STRUCT)])
+    return {"n_snapshot": vals[0], "n_monitor": vals[1], "time": vals[2],
+            "omega_frame": vals[3], "frame_angle": vals[4],
+            "last_dt": vals[5], "n_hydro_iter": vals[6]}
+
+
+def last_snapshot_id(outdir: str | Path) -> str:
+    path = Path(outdir) / "snapshots" / "list.txt"
+    ids = [l.strip() for l in path.read_text().splitlines() if l.strip()]
+    return ids[-1]
+
+
+def restore_simulation(sim, outdir: str | Path, snapshot_id: str | int):
+    """Load a snapshot back into a freshly constructed Simulation
+    (reference src/restart.cpp:19-131)."""
+    import jax.numpy as jnp
+    sdir = Path(outdir) / "snapshots" / str(snapshot_id)
+    g = sim.geometry
+    dt = jnp.dtype(sim.phys.dtype)
+
+    def rd(name, nrad):
+        return jnp.asarray(
+            np.fromfile(sdir / name, np.float64).reshape(nrad, g.naz), dt)
+
+    fields = sim.fields.replace(
+        sigma=rd("Sigma.dat", g.nrad), vrad=rd("vrad.dat", g.nrad + 1),
+        vaz=rd("vazi.dat", g.nrad), energy=rd("energy.dat", g.nrad))
+    misc = load_misc(sdir)
+    nb_arr = np.fromfile(sdir / "nbody.bin", np.float64).reshape(-1, 5)
+    nbody = sim.state.nbody.replace(
+        x=jnp.asarray(nb_arr[:, 0], dt), y=jnp.asarray(nb_arr[:, 1], dt),
+        vx=jnp.asarray(nb_arr[:, 2], dt), vy=jnp.asarray(nb_arr[:, 3], dt),
+        mass=jnp.asarray(nb_arr[:, 4], dt))
+    qplus = rd("Qplus.dat", g.nrad) if (sdir / "Qplus.dat").exists() \
+        else sim.state.qplus
+    qminus = rd("Qminus.dat", g.nrad) if (sdir / "Qminus.dat").exists() \
+        else sim.state.qminus
+    sim.state = sim.state.replace(
+        fields=fields, nbody=nbody, qplus=qplus, qminus=qminus,
+        omega_frame=jnp.asarray(misc["omega_frame"], dt),
+        frame_angle=jnp.asarray(misc["frame_angle"], dt))
+    sim.time = misc["time"]
+    sim.last_dt = misc["last_dt"]
+    sim.n_monitor = misc["n_monitor"]
+    sim.n_snapshot = misc["n_snapshot"]
+    sim.n_hydro_iter = misc["n_hydro_iter"]
+    return sim

@@ -1,0 +1,126 @@
+"""Output layout + restart fidelity (analog of reference test/binary_io and
+the bitwise-identical-restart design goal, src/restart.cpp:76-90)."""
+
+import struct
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from fargocpt_tpu.config import Config
+from fargocpt_tpu.sim import Simulation
+from fargocpt_tpu import output as out
+
+
+def cfg_dict(outdir, monitors=2):
+    return {
+        "EquationOfState": "Ideal", "AdiabaticIndex": "1.4",
+        "AspectRatio": "0.05", "ViscousAlpha": "0.002",
+        "Sigma0": "200 g/cm2", "SigmaSlope": "0.5",
+        "HeatingViscous": "Yes", "CoolingBetaLocal": "Yes",
+        "CoolingBeta": "10", "ArtificialViscosity": "SN",
+        "Nrad": "32", "Naz": "16", "Rmin": "0.4", "Rmax": "2.5",
+        "InnerBoundary": "outflow", "OuterBoundary": "outflow",
+        "Nsnapshots": str(monitors), "Nmonitor": "1",
+        "MonitorTimestep": "0.3",
+        "OutputDir": str(outdir),
+        "nbody": [
+            {"name": "star", "semi-major axis": "0.0", "mass": "1.0"},
+            {"name": "planet", "semi-major axis": "1.0", "mass": "1e-4"},
+        ],
+    }
+
+
+def test_output_layout(tmp_path):
+    outdir = tmp_path / "out"
+    sim = Simulation(Config.from_dict(cfg_dict(outdir)))
+    writer = out.OutputWriter(sim)
+    sim.run()
+
+    # static metadata
+    dims = np.genfromtxt(outdir / "dimensions.dat", usecols=(4, 5),
+                         unpack=True, dtype=int)
+    assert tuple(dims) == (32, 16)
+    radii = np.genfromtxt(outdir / "used_rad.dat")
+    assert radii.shape == (33,)
+    assert np.isclose(radii[1], 0.4) and np.isclose(radii[-2], 2.5)
+
+    # snapshots 0..2 registered and readable
+    ids = (outdir / "snapshots" / "list.txt").read_text().split()
+    assert ids == ["0", "1", "2"]
+    sigma = np.fromfile(outdir / "snapshots" / "2" / "Sigma.dat",
+                        np.float64).reshape(32, 16)
+    assert np.all(np.isfinite(sigma)) and np.all(sigma > 0)
+    vrad = np.fromfile(outdir / "snapshots" / "2" / "vrad.dat", np.float64)
+    assert vrad.size == 33 * 16
+
+    # misc.bin struct (reference src/output.h:16-24)
+    misc = out.load_misc(outdir / "snapshots" / "2")
+    assert misc["n_monitor"] == 2
+    assert np.isclose(misc["time"], 0.6)
+
+    # Quantities.dat rows
+    q = np.loadtxt(outdir / "monitor" / "Quantities.dat")
+    assert q.shape[0] == 3        # monitors 0, 1, 2
+    assert q.shape[1] == len(out.QUANTITIES_COLUMNS)
+    mass_col = out.QUANTITIES_COLUMNS.index("mass")
+    assert np.all(q[:, mass_col] > 0)
+
+    # per-planet monitor files
+    nb = np.loadtxt(outdir / "monitor" / "nbody1.dat")
+    a_col = 12
+    assert np.allclose(nb[:, a_col], 1.0, rtol=1e-4)
+
+
+def test_restart_is_bitwise_identical(tmp_path):
+    out_a = tmp_path / "a"
+    # run 1: two monitor intervals straight through
+    sim_a = Simulation(Config.from_dict(cfg_dict(out_a, monitors=2)))
+    out.OutputWriter(sim_a)
+    sim_a.run()
+
+    # run 2: one interval, then restart from snapshot 1 and finish
+    out_b = tmp_path / "b"
+    sim_b = Simulation(Config.from_dict(cfg_dict(out_b, monitors=1)))
+    out.OutputWriter(sim_b)
+    sim_b.run()
+
+    sim_c = Simulation(Config.from_dict(cfg_dict(out_b, monitors=2)))
+    out.restore_simulation(sim_c, out_b, 1)
+    assert sim_c.n_monitor == 1
+    sim_c.run()
+
+    for name in ("sigma", "vrad", "vaz", "energy"):
+        a = np.asarray(getattr(sim_a.fields, name))
+        c = np.asarray(getattr(sim_c.fields, name))
+        np.testing.assert_array_equal(
+            a, c, err_msg=f"{name} not bitwise identical after restart")
+    np.testing.assert_array_equal(np.asarray(sim_a.state.nbody.x),
+                                  np.asarray(sim_c.state.nbody.x))
+
+
+def test_cli_start_and_auto(tmp_path):
+    setup = tmp_path / "setup.yml"
+    import yaml
+    outdir = tmp_path / "cli_out"
+    cfg = cfg_dict(outdir, monitors=1)
+    with open(setup, "w") as f:
+        yaml.safe_dump(cfg, f)
+    env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin",
+           "HOME": "/root"}
+    import os
+    env["PYTHONPATH"] = os.getcwd()
+    r = subprocess.run(
+        [sys.executable, "-m", "fargocpt_tpu", "start", str(setup)],
+        capture_output=True, text=True, env={**os.environ, **env},
+        timeout=600)
+    assert r.returncode == 0, r.stderr
+    assert (outdir / "snapshots" / "1" / "Sigma.dat").exists()
+    # auto mode resumes from the last snapshot without rerunning
+    r2 = subprocess.run(
+        [sys.executable, "-m", "fargocpt_tpu", "auto", str(setup)],
+        capture_output=True, text=True, env={**os.environ, **env},
+        timeout=600)
+    assert r2.returncode == 0, r2.stderr
+    assert "resuming from snapshot 1" in r2.stdout
