@@ -85,6 +85,18 @@ class Simulation:
         fields, self.phys = initial.build_initial_state(
             self.phys, self.constants, self.geometry)
 
+        # self-gravity: equilibrium v_az correction from the axisymmetric
+        # SG pull (reference src/init.cpp:1722-1724 + selfgravity.cpp:749)
+        if self.phys.self_gravity and not cfg.get_flag("CentrifugalBalance",
+                                                       False):
+            from .ops.selfgravity import SelfGravity
+            sg = SelfGravity(self.phys, self.constants, self.geometry,
+                             jnp.dtype(dtype))
+            vaz_new = sg.init_azimuthal_velocity_correction(
+                self.phys, self.geometry, np.asarray(fields.sigma),
+                np.asarray(fields.vaz))
+            fields = fields.replace(vaz=jnp.asarray(vaz_new, jnp.dtype(dtype)))
+
         # reference src/init.cpp:335-341: snapshot refs, BCs, refs again
         ref0 = make_ref_values(fields)
         stepper0 = HydroStep(self.phys, self.constants, self.geometry, ref0,

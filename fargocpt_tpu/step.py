@@ -106,6 +106,13 @@ class HydroStep:
         else:
             self.damping = None
 
+        # self-gravity FFT solver (reference src/selfgravity.cpp)
+        if phys.self_gravity:
+            from .ops.selfgravity import SelfGravity
+            self.selfgravity = SelfGravity(phys, constants, geometry, dtype)
+        else:
+            self.selfgravity = None
+
         self._step = jax.jit(self._step_impl)
         self._cfl = jax.jit(self._cfl_impl)
         self._advance = jax.jit(self._advance_impl)
@@ -151,6 +158,11 @@ class HydroStep:
         phys, constants, g = self.phys, self.constants, self.g
 
         cs, press, h = self.derived(sigma, energy)
+
+        # self-gravity kick first (reference src/SourceEuler.cpp:438-441)
+        if self.selfgravity is not None:
+            g_r, g_t = self.selfgravity.accelerations(sigma)
+            vrad, vaz = self.selfgravity.kick(g, vrad, vaz, g_r, g_t, dt)
 
         vrad, vaz, energy = sources.update_with_sourceterms(
             phys, g, sigma, press, pot, vrad, vaz, energy, omega_frame, dt)
