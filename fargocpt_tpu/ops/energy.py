@@ -56,10 +56,78 @@ def beta_cooling(phys: Physics, constants, g: Geom, sigma, energy,
     return delta_e * omega_k * beta_inv
 
 
+def kappa_tau_eff(phys: Physics, constants, units, sigma, temperature,
+                  scale_height):
+    """Opacity, vertical optical depth, effective optical depth
+    (reference src/compute.cpp:41-87 ``kappa_eff``)."""
+    from . import opacity as opacity_mod
+    rho = sigma / (phys.density_factor * scale_height)
+    kappa = opacity_mod.opacity(phys, units, rho, temperature)
+    tau = phys.tau_factor / phys.density_factor * kappa * sigma
+    if phys.opacity_mode == "simple":
+        # D'Angelo et al. 2003 eq. 28
+        tau_eff = 3.0 / 8.0 * tau
+    elif phys.heating_star:
+        # irradiated disk (D'Angelo & Marzari 2012)
+        tau_eff = 3.0 / 8.0 * tau + 0.5 + 1.0 / (4.0 * tau + phys.tau_min)
+    else:
+        tau_eff = 3.0 / 8.0 * tau + jnp.sqrt(3.0) / 4.0 \
+            + 1.0 / (4.0 * tau + phys.tau_min)
+    return kappa, tau, tau_eff
+
+
+def thermal_cooling(phys: Physics, constants, temperature, tau_eff):
+    """Surface radiative cooling Q- = factor 2 sigma_sb (T^4 - Tmin^4)/tau_eff
+    (reference src/SourceEuler.cpp:790-820)."""
+    t4 = temperature ** 4
+    tmin4 = phys.minimum_temperature ** 4
+    return phys.surface_cooling_factor * 2.0 * constants.sigma_sb \
+        * (t4 - tmin4) / tau_eff
+
+
+def irradiation(phys: Physics, constants, g: Geom, bodies, n_bodies: int,
+                body_radius, body_temperature, body_irradiates: list,
+                body_rampup_time, cell_x, cell_y, aspect_ratio_grid,
+                tau_eff, current_time):
+    """Stellar irradiation heating (Menou & Goodman 2004 via
+    D'Angelo & Marzari 2012; reference src/SourceEuler.cpp:538-611)."""
+    qplus = jnp.zeros_like(tau_eff)
+    sig_sb = constants.sigma_sb
+    dlogh_dlogr = 9.0 / 7.0   # Chiang & Goldreich 1997
+    eps = 0.5
+    for k in range(n_bodies):
+        if not body_irradiates[k]:
+            continue
+        t_ramp = body_rampup_time[k]
+        ramping = jnp.where(
+            (t_ramp > 0.0) & (current_time < t_ramp),
+            1.0 - jnp.cos(current_time * (jnp.pi / 2.0)
+                          / jnp.where(t_ramp > 0.0, t_ramp, 1.0)) ** 2,
+            1.0)
+        x, y = bodies.x[k], bodies.y[k]
+        r_star = body_radius[k]
+        t_star = body_temperature[k]
+        l1 = bodies.cubic_smoothing_radius[k]
+        off_center = x * x + y * y > 1e-10
+        min_dist = jnp.where(off_center, jnp.maximum(r_star, l1), r_star)
+        dist = jnp.maximum(
+            jnp.sqrt((cell_x - x) ** 2 + (cell_y - y) ** 2), min_dist)
+        roverd = jnp.where(dist < r_star, 1.0, r_star / dist)
+        w_g = 0.4 * roverd + aspect_ratio_grid * (dlogh_dlogr - 1.0)
+        t_irr4 = (1.0 - eps) * t_star ** 4 * roverd ** 2 * w_g
+        qplus = qplus + ramping * 2.0 * sig_sb * t_irr4 / tau_eff
+    return qplus
+
+
 def substep3(phys: Physics, constants, g: Geom, sigma, energy, vrad, vaz,
              nu, tau_rr, tau_pp, tau_rp, div_v, scale_height,
-             sigma0_ref, energy0_ref, tau_eff, current_time, dt):
+             sigma0_ref, energy0_ref, tau_eff, current_time, dt,
+             units=None, irradiation_ctx=None):
     """Energy update with Q+ / Q- (reference src/SourceEuler.cpp:956-1051).
+
+    ``irradiation_ctx`` (when stellar heating is on) carries
+    (bodies, n_bodies, body_radius, body_temperature, body_irradiates,
+    body_rampup_time, cell_x, cell_y).
 
     Returns (energy_new, qplus, qminus) with Q grids already divided by the
     radiative correction factor alpha (they feed the CFL heating/cooling
@@ -67,17 +135,36 @@ def substep3(phys: Physics, constants, g: Geom, sigma, energy, vrad, vaz,
     """
     nr = g.nrad
 
+    needs_tau = phys.cooling_surface_enabled or phys.heating_star \
+        or phys.cooling_scurve_enabled
+    temperature = None
+    if needs_tau and units is not None:
+        from . import eos as eos_mod
+        temperature = eos_mod.temperature(phys, constants, sigma, energy,
+                                          None)
+        _kappa, _tau, tau_eff = kappa_tau_eff(phys, constants, units, sigma,
+                                              temperature, scale_height)
+
     qminus = jnp.zeros_like(energy)
     if phys.cooling_beta_enabled:
         qminus = qminus + beta_cooling(phys, constants, g, sigma, energy,
                                        sigma0_ref, energy0_ref, current_time)
-    # surface / scurve cooling require the opacity module (later stage)
+    if phys.cooling_surface_enabled and temperature is not None:
+        qminus = qminus + thermal_cooling(phys, constants, temperature,
+                                          tau_eff)
 
     qplus = jnp.zeros_like(energy)
     if phys.heating_viscous:
         qplus = qplus + viscous_heating(phys, g, sigma, nu, tau_rr, tau_pp,
                                         tau_rp, div_v)
-    # irradiation requires planet temperatures (later stage)
+    if phys.heating_star and irradiation_ctx is not None:
+        (bodies, n_bodies, body_radius, body_temperature, body_irradiates,
+         body_rampup_time, cell_x, cell_y) = irradiation_ctx
+        aspect = scale_height * g.inv_rb
+        qplus = qplus + irradiation(
+            phys, constants, g, bodies, n_bodies, body_radius,
+            body_temperature, body_irradiates, body_rampup_time,
+            cell_x, cell_y, aspect, tau_eff, current_time)
 
     # radiative correction factor alpha (reference :1018-1024)
     gam = eos.gamma_eff(phys)

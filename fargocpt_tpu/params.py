@@ -95,8 +95,11 @@ class Physics:
 
     # radiative diffusion (FLD) — wired in ops/fld.py
     radiative_diffusion: bool = False
-    fld_tolerance: float = 1.5e-8
+    fld_tolerance: float = 1e-10
     fld_max_iterations: int = 50000
+    fld_omega: float = 1.5
+    fld_inner_boundary: str = "none"
+    fld_outer_boundary: str = "none"
 
     # self-gravity
     self_gravity: bool = False
@@ -297,12 +300,22 @@ def physics_from_config(cfg: Config, un: u.Units, dtype: str = "float64") -> Phy
     frame = cfg.get_lowercase("Frame", "F")
     corotating = frame.startswith("c") or frame.startswith("g")
 
+    # Temperature0 overrides the aspect ratio (reference
+    # src/Interpret.cpp:193-197): h0 = sqrt(T0 * R / mu)
+    aspectratio_ref = cfg.get("AspectRatio", 0.05, type=float)
+    t0_code = cfg.get("Temperature0", -1.0, dim=u.DIM_TEMPERATURE, type=float)
+    if t0_code > 0.0:
+        from .constants import Constants
+        c_tmp = Constants.from_units(un)
+        mu_val = cfg.get("mu", 1.0, type=float)
+        aspectratio_ref = math.sqrt(t0_code * c_tmp.R / mu_val)
+
     return Physics(
         eos=eos,
         adiabatic_index=gamma,
         polytropic_constant=cfg.get("PolytropicConstant", 0.0, type=float),
         mu=cfg.get("mu", 1.0, type=float),
-        aspectratio_ref=cfg.get("AspectRatio", 0.05, type=float),
+        aspectratio_ref=aspectratio_ref,
         aspectratio_mode=cfg.get("AspectRatioMode", 0, type=int),
         flaring_index=cfg.get("FlaringIndex", 0.0, type=float),
         sigma0=cfg.get("Sigma0", 1.0, dim=u.DIM_SURFACE_DENSITY, type=float),
@@ -344,8 +357,15 @@ def physics_from_config(cfg: Config, un: u.Units, dtype: str = "float64") -> Phy
         kappa_factor=cfg.get("KappaFactor", 1.0, type=float),
         density_factor=cfg.get("DensityFactor", math.sqrt(2.0 * math.pi), type=float),
         radiative_diffusion=cfg.get_flag("RadiativeDiffusion", False),
-        fld_tolerance=cfg.get("RadiativeDiffusionTolerance", 1.5e-8, type=float),
-        fld_max_iterations=cfg.get("RadiativeDiffusionMaxIterations", 50000, type=int),
+        fld_tolerance=cfg.get("RadiativeDiffusionTolerance", 1e-10,
+                              dim=u.DIM_TEMPERATURE, type=float),
+        fld_max_iterations=cfg.get("RadiativeDiffusionMaxIterations", 50000,
+                                   type=int),
+        fld_omega=cfg.get("RadiativeDiffusionOmega", 1.5, type=float),
+        fld_inner_boundary=cfg.get_lowercase(
+            "RadiativeDiffusionInnerBoundary", "none"),
+        fld_outer_boundary=cfg.get_lowercase(
+            "RadiativeDiffusionOuterBoundary", "none"),
         self_gravity=cfg.get_flag("SelfGravity", False),
         self_gravity_mode=cfg.get_lowercase("SelfGravityMode", "besselkernel"),
         thickness_smoothing=cfg.get("ThicknessSmoothing", 0.6, type=float),

@@ -78,6 +78,10 @@ class Simulation:
         hydro_center_mass = float(
             nb_init["mass"][:self.n_hydroframe].sum())
         self.phys = self.phys.with_(hydro_center_mass=hydro_center_mass)
+        # reference src/nbody/planetary_system.cpp:137-146 derive_config:
+        # stellar heating is on iff any body irradiates
+        if any(b.irradiate for b in self.bodies):
+            self.phys = self.phys.with_(heating_star=True)
 
         self.geometry = Geometry.from_config(cfg)
         self.settings = RunSettings.from_config(cfg, outdir)
@@ -100,12 +104,12 @@ class Simulation:
         # reference src/init.cpp:335-341: snapshot refs, BCs, refs again
         ref0 = make_ref_values(fields)
         stepper0 = HydroStep(self.phys, self.constants, self.geometry, ref0,
-                             self.bodies, self.n_hydroframe)
+                             self.bodies, self.n_hydroframe, units=self.units)
         fields = stepper0.apply_bcs(fields)
         self.ref_values = make_ref_values(fields)
         self.stepper = HydroStep(self.phys, self.constants, self.geometry,
                                  self.ref_values, self.bodies,
-                                 self.n_hydroframe)
+                                 self.n_hydroframe, units=self.units)
 
         nbody_state = nbody_sys.make_state(nb_init, jnp.dtype(dtype))
         self.state: SystemState = self.stepper.initial_system_state(

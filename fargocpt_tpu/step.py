@@ -58,8 +58,12 @@ class HydroStep:
     def __init__(self, phys: Physics, constants: Constants,
                  geometry: Geometry, ref_values: RefValues,
                  bodies: list[BodyConfig] | None = None,
-                 n_hydroframe: int = 1):
+                 n_hydroframe: int = 1, units=None):
         self.phys = phys
+        if units is None:
+            from . import units as u
+            units = u.Units() if not phys.shock_tube else u.shock_tube_units()
+        self.units = units
         self.constants = constants
         self.geometry = geometry
         dtype = jnp.dtype(phys.dtype)
@@ -83,6 +87,8 @@ class HydroStep:
             [b.ramp_up_time for b in self.bodies_cfg], dtype)
         self.body_cubic_factor = jnp.asarray(
             [b.cubic_smoothing_factor for b in self.bodies_cfg], dtype)
+        self.body_irradiation_rampup = jnp.asarray(
+            [b.irradiation_rampup for b in self.bodies_cfg], dtype)
         # orbital periods for mass ramp-up (from the initial orbits)
         periods = []
         G = constants.G
@@ -112,6 +118,19 @@ class HydroStep:
             self.selfgravity = SelfGravity(phys, constants, geometry, dtype)
         else:
             self.selfgravity = None
+
+        # FLD radiative diffusion (reference src/fld.cpp)
+        if phys.radiative_diffusion and phys.is_adiabatic:
+            from .ops.fld import FLDSolver, FLDConfig
+            self.fld = FLDSolver(
+                phys, constants, self.units, geometry,
+                FLDConfig(tolerance=phys.fld_tolerance,
+                          max_iterations=phys.fld_max_iterations,
+                          omega=phys.fld_omega,
+                          inner_boundary=phys.fld_inner_boundary,
+                          outer_boundary=phys.fld_outer_boundary), dtype)
+        else:
+            self.fld = None
 
         self._step = jax.jit(self._step_impl)
         self._cfl = jax.jit(self._cfl_impl)
@@ -153,7 +172,16 @@ class HydroStep:
             self.phys, self.constants, self.g, sigma, vrad, vaz, energy,
             self.ref_values, omega_frame)
 
-    def _substeps(self, sigma, vrad, vaz, energy, pot, time, dt, omega_frame):
+    def irradiation_ctx(self, bodies):
+        if not self.phys.heating_star:
+            return None
+        return (bodies, self.n_bodies, self.body_radius,
+                self.body_temperature,
+                [b.irradiate for b in self.bodies_cfg],
+                self.body_irradiation_rampup, self.cell_x, self.cell_y)
+
+    def _substeps(self, sigma, vrad, vaz, energy, pot, time, dt, omega_frame,
+                  bodies):
         """Source + viscosity + energy substeps (the 'kick' part)."""
         phys, constants, g = self.phys, self.constants, self.g
 
@@ -188,7 +216,8 @@ class HydroStep:
                 phys, constants, g, sigma, energy, vrad, vaz, nu,
                 tau_rr, tau_pp, tau_rp, div_v, h,
                 self.ref_values.sigma0, self.ref_values.energy0,
-                jnp.zeros_like(sigma), time, dt)
+                jnp.zeros_like(sigma), time, dt,
+                units=self.units, irradiation_ctx=self.irradiation_ctx(bodies))
         return sigma, vrad, vaz, energy, qplus, qminus
 
     def _step_impl(self, state: SystemState, time, dt):
@@ -238,7 +267,15 @@ class HydroStep:
         # --- gas substeps ---
         if phys.calculate_disk:
             sigma, vrad, vaz, energy, qplus, qminus = self._substeps(
-                sigma, vrad, vaz, energy, pot, time, dt, omega_frame)
+                sigma, vrad, vaz, energy, pot, time, dt, omega_frame, bodies)
+
+            # FLD radiative diffusion (reference src/simulation.cpp:203-206)
+            if self.fld is not None:
+                _, _, h_now = self.derived(sigma, energy)
+                energy, _n_iter = self.fld.radiative_diffusion(
+                    g, sigma, energy, h_now, dt)
+                energy = eos.energy_floor_ceiling(phys, constants, sigma,
+                                                  energy)
 
             # boundary conditions before transport (final=false)
             sigma, vrad, vaz, energy = self._apply_bcs(
@@ -339,11 +376,13 @@ class HydroStep:
             nu = self.viscosity_grid(cs, h)
             tau_rr, tau_pp, tau_rp, div_v = visc_ops.viscous_stress_tensor(
                 phys, g, sigma, fields.vrad, fields.vaz, nu)
+            bodies = self.bodies_on_grid(nbody, 0.0)
             _, qplus, qminus = energy_ops.substep3(
                 phys, constants, g, sigma, energy, fields.vrad, fields.vaz,
                 nu, tau_rr, tau_pp, tau_rp, div_v, h,
                 self.ref_values.sigma0, self.ref_values.energy0,
-                jnp.zeros_like(sigma), 0.0, 0.0)
+                jnp.zeros_like(sigma), 0.0, 0.0,
+                units=self.units, irradiation_ctx=self.irradiation_ctx(bodies))
         return SystemState(
             fields=fields, qplus=qplus, qminus=qminus, nbody=nbody,
             omega_frame=jnp.asarray(phys.omega_frame, self.dtype),
