@@ -1,0 +1,337 @@
+"""Lagrangian dust particles: drag, semi-implicit integration, stochastic
+diffusion.
+
+Re-derivation of reference src/particles/particles.cpp and
+src/particles/dust_diffusion.cpp, TPU-first: particle state is a
+struct-of-arrays pytree integrated in lockstep inside the jitted step; the
+per-particle OpenMP loops become vectorized gathers from the gas grids,
+and the per-rank MPI migration (reference :2016-2160) disappears —
+particles are replicated (they are small) while the gas stays sharded.
+
+Physics:
+  * stopping time: Woitke & Helling 2002 / Picogna, Stoll & Kley 2018
+    blended Epstein + Stokes drag law (reference :1130-1215 calc_tstop)
+  * integrator: semi-implicit exponential midpoint in polar coordinates
+    (Zhu et al. 2014 A4-A12 with the Mignone et al. 2019 exponential
+    propagator; reference :1579-1674) — handles arbitrarily stiff drag
+  * diffusion: Charnoz et al. 2011 Brownian kicks with the
+    Youdin & Lithwick 2007 Schmidt number (reference dust_diffusion.cpp)
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..params import Physics
+from ..units import CGS_KB, CGS_AMU
+from ..ops.common import Geom
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class ParticleState:
+    """Struct-of-arrays particle state (polar coordinates, length N)."""
+    r: jax.Array
+    phi: jax.Array
+    r_dot: jax.Array
+    phi_dot: jax.Array
+    size: jax.Array       # physical particle radius (code length units)
+    stokes: jax.Array     # diagnostic: tstop * Omega_K
+    alive: jax.Array      # escape mask (dead particles are frozen)
+    rng_key: jax.Array    # for diffusion kicks
+
+    def replace(self, **kw) -> "ParticleState":
+        from dataclasses import replace as _replace
+        return _replace(self, **kw)
+
+    @property
+    def n(self) -> int:
+        return self.r.shape[0]
+
+
+@dataclass(frozen=True)
+class ParticleParams:
+    """Static particle configuration (reference src/parameters.cpp dust
+    section)."""
+    density: float = 0.0          # internal particle density (code units)
+    gas_drag: bool = True
+    disk_gravity: bool = False
+    diffusion: bool = False
+    integrator: str = "midpoint"  # midpoint | explicit
+    min_escape_radius: float = 0.0
+    max_escape_radius: float = 1e300
+
+
+# ---------------------------------------------------------------------------
+# gas-field interpolation at particle positions
+# ---------------------------------------------------------------------------
+
+def _lin_weights(positions, x):
+    """Index pair + weights for linear interpolation on a sorted 1-D grid."""
+    i = jnp.clip(jnp.searchsorted(positions, x) - 1, 0,
+                 positions.shape[0] - 2)
+    x0 = positions[i]
+    x1 = positions[i + 1]
+    w = jnp.clip((x - x0) / (x1 - x0), 0.0, 1.0)
+    return i, w
+
+
+def interpolate(field, radial_pos, r, phi, naz, az_offset=0.0):
+    """Bilinear interpolation of a grid field at particle positions.
+
+    ``radial_pos`` are the radial sample points of the field's rows
+    (cell centers or faces); azimuthal samples sit at
+    (j + az_offset) dphi, periodic."""
+    dphi = 2.0 * math.pi / naz
+    i, wr = _lin_weights(radial_pos, r)
+    t = phi / dphi - az_offset
+    j0 = jnp.floor(t).astype(jnp.int32)
+    wa = t - j0
+    j0 = jnp.mod(j0, naz)
+    j1 = jnp.mod(j0 + 1, naz)
+    f00 = field[i, j0]
+    f01 = field[i, j1]
+    f10 = field[i + 1, j0]
+    f11 = field[i + 1, j1]
+    return ((1 - wr) * ((1 - wa) * f00 + wa * f01)
+            + wr * ((1 - wa) * f10 + wa * f11))
+
+
+@dataclass(frozen=True)
+class GasAtParticles:
+    rho: jax.Array
+    temperature: jax.Array
+    vg_r: jax.Array
+    vg_phi: jax.Array     # inertial-frame azimuthal gas velocity
+
+
+def sample_gas(geom_np, g: Geom, rho, temperature, vrad, vaz, omega_frame,
+               r, phi):
+    """Gas state at the particle positions (reference :1441-1470)."""
+    rmed = jnp.asarray(geom_np.rmed, r.dtype)
+    radii = jnp.asarray(geom_np.radii, r.dtype)
+    naz = g.naz
+    rho_p = interpolate(rho, rmed, r, phi, naz, az_offset=0.0)
+    T_p = interpolate(temperature, rmed, r, phi, naz, az_offset=0.0)
+    vg_r = interpolate(vrad, radii, r, phi, naz, az_offset=0.0)
+    # v_az rows sample at azimuth (j-1/2) dphi (reference src/init.cpp:1552)
+    vg_phi = interpolate(vaz, rmed, r, phi, naz, az_offset=-0.5)
+    vg_phi = vg_phi + omega_frame * r
+    return GasAtParticles(rho=rho_p, temperature=T_p, vg_r=vg_r,
+                          vg_phi=vg_phi)
+
+
+# ---------------------------------------------------------------------------
+# drag law
+# ---------------------------------------------------------------------------
+
+def calc_tstop(phys: Physics, constants, units, size, rho, vrel, temperature,
+               particle_density):
+    """Stopping time (reference src/particles/particles.cpp:1130-1215)."""
+    m0 = phys.mu * (CGS_AMU / units.mass)
+    k_B_code = CGS_KB / (units.energy / units.temperature)
+    vthermal = jnp.sqrt(8.0 * k_B_code * temperature / (jnp.pi * m0))
+    a0 = 1.5e-8 / units.length                       # H2 radius in code units
+    cross_section = jnp.pi * a0 ** 2
+    nu_mol = (1.0 / 3.0) * m0 * vthermal / cross_section
+    l_mfp = m0 / jnp.pi / a0 ** 2 / rho
+    c_s = vthermal * math.sqrt(math.pi / 8.0)
+    Kn = 0.5 * l_mfp / size
+    vrel = jnp.maximum(vrel, 1e-15 * c_s)
+    Ma = vrel / c_s
+    Re = 2.0 * size * rho * vrel / nu_mol
+    CdE = 2.0 * jnp.sqrt(Ma * Ma + 128.0 / (9.0 * jnp.pi))
+    # Stokes drag coefficient branches (reference :1185-1195)
+    cds_low = 24.0 * nu_mol / (2.0 * size * rho * c_s) \
+        + 3.6 / c_s * vrel ** 0.687 * (2.0 * size * rho / nu_mol) ** -0.313
+    cds_mid = 24.0 * Ma / Re + 3.6 * Ma * Re ** -0.313
+    cds_high = Ma * 9.5e-5 * Re ** 1.397
+    cds_max = Ma * 2.61
+    CdS = jnp.where(Re <= 1e-3, cds_low,
+                    jnp.where(Re <= 500.0, cds_mid,
+                              jnp.where(Re <= 1500.0, cds_high, cds_max)))
+    Cd = (9.0 * Kn * Kn * CdE + CdS) / (3.0 * Kn + 1.0) ** 2
+    return 4.0 * l_mfp * particle_density / (3.0 * rho * Cd * c_s * Kn)
+
+
+# ---------------------------------------------------------------------------
+# gravity on particles
+# ---------------------------------------------------------------------------
+
+def gravity_derivatives(constants, bodies, n_bodies, r, phi):
+    """(d(r_dot)/dt, d(l)/dt) from the N-body potential in polar
+    coordinates about the grid origin (reference
+    ``calculate_derivitives_from_star_and_planets``)."""
+    r_ddot = jnp.zeros_like(r)
+    l_dot = jnp.zeros_like(r)
+    G = constants.G
+    for k in range(n_bodies):
+        xk, yk, mk = bodies.x[k], bodies.y[k], bodies.mass[k]
+        rk = jnp.sqrt(xk * xk + yk * yk)
+        phik = jnp.arctan2(yk, xk)
+        cosd = jnp.cos(phi - phik)
+        sind = jnp.sin(phi - phik)
+        d2 = r * r + rk * rk - 2.0 * r * rk * cosd
+        d3 = jnp.maximum(d2, 1e-300) ** 1.5
+        r_ddot = r_ddot - G * mk * (r - rk * cosd) / d3
+        l_dot = l_dot - G * mk * r * rk * sind / d3
+    return r_ddot, l_dot
+
+
+# ---------------------------------------------------------------------------
+# semi-implicit exponential midpoint integrator
+# ---------------------------------------------------------------------------
+
+def integrate_expmid(phys: Physics, pp: ParticleParams, constants, units,
+                     geom_np, g: Geom, state: ParticleState,
+                     rho, temperature, vrad, vaz, bodies, n_bodies,
+                     omega_frame, dt):
+    """One dt of particle motion (reference :1579-1674, Zhu et al. 2014)."""
+    r0, phi0 = state.r, state.phi
+    r_dot0, phi_dot0 = state.r_dot, state.phi_dot
+    l0 = r0 * r0 * phi_dot0
+    hfdt = 0.5 * dt
+
+    # half-drift
+    r1 = r0 + r_dot0 * hfdt
+    phi1 = phi0 + 0.5 * (l0 / r0 ** 2 + l0 / r1 ** 2) * hfdt
+
+    # kick — the stopping time is computed even with drag disabled: the
+    # Stokes number feeds the diffusion Schmidt number (reference
+    # ``check_tstop``, src/particles/particles.cpp:1548-1551)
+    gas = sample_gas(geom_np, g, rho, temperature, vrad, vaz,
+                     omega_frame, r1, phi1)
+    vrel_r = gas.vg_r - r_dot0
+    l_gas = r1 * gas.vg_phi
+    vrel_phi = (l_gas - l0) / r1
+    vrel = jnp.sqrt(vrel_r ** 2 + vrel_phi ** 2)
+    ts_physical = calc_tstop(phys, constants, units, state.size, gas.rho,
+                             vrel, gas.temperature, pp.density)
+    if pp.gas_drag:
+        ts = ts_physical
+    else:
+        ts = jnp.full_like(r0, 1e100)
+        vrel_r = jnp.zeros_like(r0)
+        l_gas = l0
+
+    r_ddot_grav, l_dot_grav = gravity_derivatives(constants, bodies,
+                                                  n_bodies, r1, phi1)
+
+    # exponential propagator (Mignone et al. 2019 eq. 33)
+    x = dt / ts
+    exp_ts = jnp.exp(-x)
+    h1 = ts * -jnp.expm1(-x)
+
+    l2 = exp_ts * l0 + h1 * l_dot_grav
+    if pp.gas_drag:
+        l2 = l2 + h1 * l_gas / ts
+
+    r_dot2 = exp_ts * r_dot0
+    r_dot2 = r_dot2 + h1 * 0.5 * (l0 * l0 + l2 * l2) / r1 ** 3
+    r_dot2 = r_dot2 + h1 * r_ddot_grav
+    if pp.gas_drag:
+        v_r_g = vrel_r + r_dot0
+        r_dot2 = r_dot2 + h1 * v_r_g / ts
+
+    # half-drift
+    r3 = r1 + r_dot2 * hfdt
+    phi3 = phi1 + 0.5 * (l2 / r1 ** 2 + l2 / r3 ** 2) * hfdt
+    phi3 = jnp.mod(phi3, 2.0 * jnp.pi)
+
+    omega_k = jnp.sqrt(constants.G * phys.hydro_center_mass / r3 ** 3)
+    alive = state.alive & (r3 > pp.min_escape_radius) \
+        & (r3 < pp.max_escape_radius)
+
+    def keep(new, old):
+        return jnp.where(alive, new, old)
+
+    return state.replace(
+        r=keep(r3, state.r), phi=keep(phi3, state.phi),
+        r_dot=keep(r_dot2, state.r_dot),
+        phi_dot=keep(l2 / r3 ** 2, state.phi_dot),
+        stokes=keep(ts_physical * omega_k, state.stokes), alive=alive)
+
+
+# ---------------------------------------------------------------------------
+# stochastic dust diffusion
+# ---------------------------------------------------------------------------
+
+def schmidt_number(St):
+    """Youdin & Lithwick 2007 eq. 37."""
+    st2 = St * St
+    return (1.0 + st2) ** 2 / (1.0 + 4.0 * st2)
+
+
+def diffuse_dust(phys: Physics, constants, geom_np, g: Geom,
+                 state: ParticleState, rho, cs, scale_height, dt):
+    """Brownian radial kicks (reference dust_diffusion.cpp:30-76,
+    Charnoz et al. 2011 eq. 17/21). Uses counter-based jax.random in place
+    of the reference's per-thread JSF64 generators — same distributions,
+    reproducible under jit."""
+    key, sub = jax.random.split(state.rng_key)
+    rmed = jnp.asarray(geom_np.rmed, state.r.dtype)
+    naz = g.naz
+    r, phi = state.r, state.phi
+    # gas diffusion coefficient Dg = alpha cs H (cell values, no interp)
+    h_grid = scale_height * g.inv_rb
+    dg_grid = phys.viscous_alpha * cs * h_grid * g.rb
+    Dg = interpolate(dg_grid, rmed, r, phi, naz)
+    rho_p = interpolate(rho, rmed, r, phi, naz)
+    # radial density derivative (cell-centered finite differences)
+    drho_dr_grid = jnp.gradient(rho, axis=0) \
+        / jnp.asarray(np.gradient(geom_np.rmed)[:, None], rho.dtype)
+    drho_dr = interpolate(drho_dr_grid, rmed, r, phi, naz)
+
+    Sc = schmidt_number(state.stokes)
+    Dd = Dg / Sc
+    omega_k = jnp.sqrt(constants.G * phys.hydro_center_mass / r ** 3)
+    mean = Dd / rho_p * drho_dr * dt * dt * omega_k
+    sigma = jnp.sqrt(2.0 * Dd * dt)
+    snv = jax.random.normal(sub, r.shape, r.dtype)
+    corr_2d = r * (jnp.sqrt(1.0 + (sigma * snv / r) ** 2) - 1.0)
+    deltar = mean + snv * sigma + corr_2d
+    rnew = r + deltar
+    phi_dot = state.phi_dot * (r / rnew) ** 1.5
+    return state.replace(r=rnew, phi_dot=phi_dot, rng_key=key)
+
+
+# ---------------------------------------------------------------------------
+# initialization
+# ---------------------------------------------------------------------------
+
+def init_particles(n: int, rmin: float, rmax: float, slope: float,
+                   sizes, GM: float, eccentricity: float = 0.0,
+                   seed: int = 1337, dtype=jnp.float64,
+                   radii_explicit=None) -> ParticleState:
+    """Particles on near-Keplerian orbits with a power-law radial
+    distribution (reference src/particles/particles.cpp:516-723)."""
+    rng = np.random.default_rng(seed)
+    if radii_explicit is not None:
+        r = np.asarray(radii_explicit, np.float64)
+    else:
+        # inverse-CDF sampling of dN/dr ~ r^-slope on [rmin, rmax]
+        u_ = rng.random(n)
+        if abs(slope - 1.0) < 1e-12:
+            r = rmin * (rmax / rmin) ** u_
+        else:
+            p = 1.0 - slope
+            r = (rmin ** p + u_ * (rmax ** p - rmin ** p)) ** (1.0 / p)
+    phi = rng.random(n) * 2.0 * np.pi
+    ecc = rng.random(n) * eccentricity
+    v_k = np.sqrt(GM / r)
+    # start at apocenter of the eccentric orbit
+    vphi = v_k * np.sqrt(np.maximum(1.0 - ecc, 0.0) / (1.0 + ecc))
+    sizes = np.broadcast_to(np.asarray(sizes, np.float64), (n,))
+    return ParticleState(
+        r=jnp.asarray(r, dtype), phi=jnp.asarray(phi, dtype),
+        r_dot=jnp.zeros(n, dtype),
+        phi_dot=jnp.asarray(vphi / r, dtype),
+        size=jnp.asarray(sizes, dtype),
+        stokes=jnp.zeros(n, dtype),
+        alive=jnp.ones(n, bool),
+        rng_key=jax.random.PRNGKey(seed))

@@ -115,6 +115,13 @@ class Simulation:
         self.state: SystemState = self.stepper.initial_system_state(
             fields, nbody_state)
 
+        # dust particles (reference src/particles/particles.cpp:516-790)
+        if self.phys.integrate_particles:
+            from .particles import dust
+            pp, pstate = self._setup_particles(cfg, dtype)
+            self.stepper.particle_params = pp
+            self.state = self.state.replace(particles=pstate)
+
         self.time = 0.0
         self.last_dt = self.settings.first_dt
         self.n_monitor = 0
@@ -123,6 +130,42 @@ class Simulation:
         self.monitor_hooks = []     # callables (sim) run at monitor boundaries
         self.snapshot_hooks = []    # callables (sim) run at snapshot boundaries
         self.monitor_stats: dict = {}
+
+    def _setup_particles(self, cfg: Config, dtype: str):
+        """Parse the particle configuration and build the initial swarm
+        (reference src/parameters.cpp particle section + particles.cpp:516)."""
+        from .particles import dust
+        n = cfg.get("NumberOfParticles", 0, type=int)
+        n_species = max(cfg.get("ParticleSpeciesNumber", 1, type=int), 1)
+        radius0 = cfg.get("ParticleRadius", 100.0 / self.units.length,
+                          dim=u.DIM_LENGTH, type=float)
+        factor = cfg.get("ParticleRadiusIncreaseFactor", 10.0, type=float)
+        density = cfg.get("ParticleDensity", 2.65 / self.units.density,
+                          dim=u.DIM_DENSITY, type=float)
+        rmin_p = cfg.get("ParticleMinimumRadius", self.geometry.rmin,
+                         dim=u.DIM_LENGTH, type=float)
+        rmax_p = cfg.get("ParticleMaximumRadius", self.geometry.rmax,
+                         dim=u.DIM_LENGTH, type=float)
+        pp = dust.ParticleParams(
+            density=density,
+            gas_drag=cfg.get_flag("ParticleGasDragEnabled", True),
+            disk_gravity=cfg.get_flag("ParticleDiskGravityEnabled", False),
+            diffusion=cfg.get_flag("ParticleDustDiffusion", False),
+            integrator=cfg.get_lowercase("ParticleIntegrator", "midpoint"),
+            min_escape_radius=cfg.get("ParticleMinimumEscapeRadius", rmin_p,
+                                      dim=u.DIM_LENGTH, type=float),
+            max_escape_radius=cfg.get("ParticleMaximumEscapeRadius", rmax_p,
+                                      dim=u.DIM_LENGTH, type=float))
+        sizes = radius0 * factor ** (np.arange(n) % n_species)
+        pstate = dust.init_particles(
+            n, rmin_p, rmax_p,
+            cfg.get("ParticleSurfaceDensitySlope",
+                    self.phys.sigma_slope, type=float),
+            sizes, self.constants.G * self.phys.hydro_center_mass,
+            eccentricity=cfg.get("ParticleEccentricity", 0.0, type=float),
+            seed=cfg.get("RandomSeed", 1337, type=int),
+            dtype=jnp.dtype(dtype))
+        return pp, pstate
 
     # convenience views -------------------------------------------------
     @property

@@ -46,6 +46,7 @@ class SystemState:
     nbody: NBodyState
     omega_frame: jax.Array   # scalar
     frame_angle: jax.Array   # scalar
+    particles: object = None  # ParticleState when dust is enabled
 
     def replace(self, **kw) -> "SystemState":
         from dataclasses import replace as _replace
@@ -58,7 +59,8 @@ class HydroStep:
     def __init__(self, phys: Physics, constants: Constants,
                  geometry: Geometry, ref_values: RefValues,
                  bodies: list[BodyConfig] | None = None,
-                 n_hydroframe: int = 1, units=None):
+                 n_hydroframe: int = 1, units=None, particle_params=None):
+        self.particle_params = particle_params
         self.phys = phys
         if units is None:
             from . import units as u
@@ -258,10 +260,35 @@ class HydroStep:
             phys, constants, g, bodies, self.n_bodies,
             self.cell_x, self.cell_y, h0, pot_it[0], pot_it[1])
 
+        # --- dust particles (reference :178-182 particles::integrate) ---
+        particles = state.particles
+        if phys.integrate_particles and particles is not None:
+            from .particles import dust
+            pp = self.particle_params or dust.ParticleParams()
+            gam = phys.adiabatic_index
+            if phys.is_adiabatic:
+                temp = phys.mu / constants.R * (gam - 1.0) * energy / sigma
+            else:
+                temp = phys.mu / constants.R * \
+                    eos.pressure(phys, constants, sigma, energy, cs0) / sigma
+            rho_mid = sigma / (phys.density_factor * h0)
+            particles = dust.integrate_expmid(
+                phys, pp, constants, self.units, self.geometry, g, particles,
+                rho_mid, temp, vrad, vaz, bodies, self.n_bodies,
+                omega_frame, dt)
+            if pp.diffusion:
+                particles = dust.diffuse_dust(
+                    phys, constants, self.geometry, g, particles, rho_mid,
+                    cs0, h0, dt)
+
         # --- frame rotation (reference :186 handle_corotation) ---
         # fixed rotating frame: bodies rotate by -Omega dt; corotating
         # (dynamic Omega) support comes with the corotation module
         nb = nbody_sys.rotate(nb, omega_frame * dt)
+        if phys.integrate_particles and particles is not None:
+            # particles rotate with the frame (reference particles::rotate)
+            particles = particles.replace(
+                phi=jnp.mod(particles.phi - omega_frame * dt, 2.0 * jnp.pi))
         frame_angle = state.frame_angle + omega_frame * dt
 
         # --- gas substeps ---
@@ -302,7 +329,7 @@ class HydroStep:
         return state.replace(
             fields=FieldState(sigma=sigma, vrad=vrad, vaz=vaz, energy=energy),
             qplus=qplus, qminus=qminus, nbody=nb,
-            frame_angle=frame_angle)
+            frame_angle=frame_angle, particles=particles)
 
     def _cfl_impl(self, state: SystemState):
         phys = self.phys

@@ -1,0 +1,151 @@
+"""Lagrangian dust: radial drift speed vs theory.
+
+Port of reference test/dust_drift: particles of different sizes embedded in
+a pressure-supported isothermal disk must drift inward at
+v_drift = eta vK / (St + 1/St), eta = h^2 (-sigmaslope - Tslope)
+(Nakagawa et al. 1986 / Picogna & Kley 2015 eq. C.1), matching to 1%
+averaged over the last tenth of the time series
+(reference test/dust_drift/calc_deviation.py:33-62).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fargocpt_tpu.config import Config
+from fargocpt_tpu.sim import Simulation
+
+H0 = 0.05
+SIGMA_SLOPE = 1.0
+T_SLOPE = 1.0   # = 1 - 2*FlaringIndex with F = 0
+
+
+def drift_config(orbits=20):
+    return Config.from_dict({
+        "Sigma0": "88.87231453905 g/cm2", "SigmaSlope": str(SIGMA_SLOPE),
+        "SigmaFloor": "1e-7",
+        "AspectRatio": str(H0), "FlaringIndex": "0.0",
+        "ViscousAlpha": "0.0", "ConstantViscosity": "0.0",
+        "ArtificialViscosity": "None",
+        "EquationOfState": "Isothermal",
+        # reference dust_drift.yml: "Need to set thickness smoothing to zero
+        # in order to compare to the theoretical drift rates."
+        "ThicknessSmoothing": "0.0",
+        "InnerBoundary": "reflecting", "OuterBoundary": "reflecting",
+        "Damping": "Yes", "DampingInnerLimit": "1.10",
+        "DampingOuterLimit": "0.90",
+        "DampingVRadialInner": "initial", "DampingVRadialOuter": "initial",
+        "Transport": "FARGO",
+        "Nrad": "192", "Naz": "384", "Rmin": "0.5", "Rmax": "3.0",
+        "RadialSpacing": "Logarithmic",
+        "Nsnapshots": "1", "Nmonitor": str(orbits * 10),
+        "MonitorTimestep": "0.628318531",
+        "IntegrateParticles": "Yes",
+        "ParticleIntegrator": "midpoint",
+        "NumberOfParticles": "5", "ParticleSpeciesNumber": "5",
+        "ParticleRadius": "1e-14",   # code units; overridden below
+        "ParticleDensity": "2.65 g/cm3",
+        "ParticleMinimumRadius": "0.6", "ParticleMaximumRadius": "2.5",
+        "ParticleMinimumEscapeRadius": "0.52",
+        "ParticleMaximumEscapeRadius": "2.9",
+        "ParticleGasDragEnabled": "yes",
+        "ParticleDustDiffusion": "no",
+    })
+
+
+@pytest.mark.slow
+def test_dust_drift_speed():
+    sim = Simulation(drift_config())
+
+    # place one particle per size at r ~ 1.3 on circular Keplerian orbits,
+    # sizes spanning St ~ 3e-3 .. 3e1
+    n = 5
+    sizes = np.array([4e-15, 4e-14, 4e-13, 4e-12, 4e-11])
+    r0 = np.full(n, 1.3)
+    p = sim.state.particles
+    vk = np.sqrt(sim.constants.G * sim.phys.hydro_center_mass / r0)
+    p = p.replace(r=jnp.asarray(r0), phi=jnp.asarray(np.linspace(0, 5, n)),
+                  r_dot=jnp.zeros(n), phi_dot=jnp.asarray(vk / r0),
+                  size=jnp.asarray(sizes), alive=jnp.ones(n, bool))
+    sim.state = sim.state.replace(particles=p)
+
+    times, radii, stokes, vgr = [], [], [], []
+
+    def record(s):
+        times.append(s.time)
+        pr = np.asarray(s.state.particles.r).copy()
+        radii.append(pr)
+        stokes.append(np.asarray(s.state.particles.stokes).copy())
+        # gas radial velocity at the particle radii (the drift theory is
+        # relative to the gas; the residual numerical gas drift ~1e-7 vK
+        # would otherwise dominate for St << 1)
+        vr_prof = np.asarray(s.fields.vrad).mean(1)
+        vgr.append(np.interp(pr, s.geometry.radii, vr_prof))
+
+    sim.monitor_hooks.append(record)
+    sim.run()
+
+    t = np.array(times[1:])
+    r = np.array(radii[1:])          # (Nt, n)
+    st = np.array(stokes[1:])
+    vg = np.array(vgr[1:])
+    assert np.all(np.asarray(sim.state.particles.alive))
+
+    rdot = (r[1:] - r[:-1]) / (t[1:] - t[:-1])[:, None]
+    # average over the final third (epicycle oscillations of the largest-St
+    # particle need several orbits to average out; the reference runs 100
+    # orbits and averages 10)
+    navg = max(len(rdot) // 3, 3)
+    eta = H0 ** 2 * (-SIGMA_SLOPE - T_SLOPE)
+    for k in range(n):
+        st_avg = st[-navg:, k].mean()
+        r_avg = r[-navg:, k].mean()
+        v_k = np.sqrt(sim.constants.G / r_avg)
+        vtheo = eta * v_k / (st_avg + 1.0 / st_avg)
+        gas_advection = vg[-navg:, k].mean() / (1.0 + st_avg ** 2)
+        q = (np.mean(rdot[-navg:, k]) - gas_advection) / vtheo
+        assert abs(q - 1.0) < 0.015, \
+            f"particle {k}: St={st_avg:.3g}, vdrift/vtheo = {q:.4f}"
+
+
+@pytest.mark.slow
+def test_dust_diffusion_variance():
+    """Stochastic diffusion (analog of reference test/dust_diffusion): the
+    radial variance of a tightly coupled particle swarm grows as 2 D t with
+    D = alpha cs H r (Charnoz et al. 2011)."""
+    cfg_dict = dict(drift_config(orbits=2)._raw)
+    cfg_dict.update({
+        "viscousalpha": "0.01",
+        "numberofparticles": "4000", "particlespeciesnumber": "1",
+        "particledustdiffusion": "yes",
+        "particlegasdragenabled": "no",
+        "nrad": "96", "naz": "64",
+    })
+    sim = Simulation(Config.from_dict(cfg_dict))
+    n = 4000
+    p = sim.state.particles
+    r0 = np.full(n, 1.3)
+    vk = np.sqrt(sim.constants.G / r0)
+    p = p.replace(r=jnp.asarray(r0),
+                  phi=jnp.asarray(np.random.default_rng(0).random(n) * 6.28),
+                  r_dot=jnp.zeros(n), phi_dot=jnp.asarray(vk / r0),
+                  alive=jnp.ones(n, bool))
+    sim.state = sim.state.replace(particles=p)
+    sim.run()
+    r = np.asarray(sim.state.particles.r)
+    var = np.var(r)
+    h0, alpha, r_c = H0, 0.01, 1.3
+    cs = h0 / np.sqrt(r_c)               # cs = h0 vK (F = 0)
+    D = alpha * cs * h0 * r_c            # Dg = alpha cs (H/r) r = alpha cs H
+    expected = 2.0 * D * sim.time
+    assert abs(var / expected - 1.0) < 0.2, (var, expected)
+
+
+def test_particle_state_smoke():
+    """Particles integrate inside the jitted step and keep sane values."""
+    sim = Simulation(drift_config(orbits=1))
+    sim.run(max_steps=50)
+    p = sim.state.particles
+    assert np.all(np.isfinite(np.asarray(p.r)))
+    assert np.all(np.asarray(p.stokes) > 0)
