@@ -14,6 +14,12 @@ import sys
 import time
 
 import jax
+
+# persistent compilation cache: repeated bench/driver runs skip the large
+# XLA compile of the fused step
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 NRAD, NAZ = 1024, 3072

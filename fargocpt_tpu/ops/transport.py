@@ -113,8 +113,10 @@ def advect_shift(q: jax.Array, nshift: jax.Array) -> jax.Array:
     """
     naz = q.shape[-1]
     s = jnp.mod(nshift, naz).astype(jnp.int32)               # (NR,)
-    nbits = max(1, (naz - 1).bit_length())
+    # off-TPU fallback: binary-digit decomposition into O(log NAZ) static
+    # full-array rolls + per-ring selects (no gather)
     sel = s[:, None]                                         # (NR,1)
+    nbits = max(1, (naz - 1).bit_length())
     out = q
     for b in range(nbits):
         amount = 1 << b
@@ -159,6 +161,9 @@ def transport(phys: Physics, g: Geom, sigma, vrad, vaz, energy,
     rp, rm, ap, am = compute_momenta(g, sigma, vrad, vaz, omega_frame)
     names = [rp, rm, ap, am] + ([energy] if adiabatic else []) + [sigma]
     qs = jnp.stack(names, axis=0)                            # (K, NR, NAZ)
+    # compile-time guard (see step.py): keep the simplifier from relating
+    # the momenta construction to the post-sweep velocity reconstruction
+    qs = jax.lax.optimization_barrier(qs)
     k_sigma = qs.shape[0] - 1
 
     # ---- radial sweep (OneWindRad, reference :138-167) ----
@@ -184,13 +189,25 @@ def transport(phys: Physics, g: Geom, sigma, vrad, vaz, energy,
     else:
         passes = [vres, jnp.broadcast_to(vconst_row, vres.shape)]
 
+    from . import pallas_kernels as pk
+    tile = next((t for t in (16, 8, 32, 4, 2, 1) if g.nrad % t == 0), 1)
+    fuse = pk.use_pallas() and sigma.ndim == 2
     for v in passes:
-        sig_now = qs[k_sigma]
-        density_star = star_theta(phys, g, sig_now, v, dt)
-        qs = van_leer_theta_batch(phys, g, qs, sig_now, density_star, v, dt)
+        if fuse:
+            qs = pk.theta_sweep_pallas(
+                qs, v, g.rb, g.rsup - g.rinf, g.inv_surf, dt,
+                dphi=g.dphi, limiter=phys.flux_limiter_type, tile=tile)
+        else:
+            sig_now = qs[k_sigma]
+            density_star = star_theta(phys, g, sig_now, v, dt)
+            qs = van_leer_theta_batch(phys, g, qs, sig_now, density_star, v,
+                                      dt)
 
     # integer shift (the FARGO roll), all quantities at once
-    qs = advect_shift(qs, nshift)
+    if fuse:
+        qs = pk.advect_shift_pallas(qs, nshift, tile=tile)
+    else:
+        qs = advect_shift(qs, nshift)
 
     rp, rm, ap, am = qs[0], qs[1], qs[2], qs[3]
     if adiabatic:

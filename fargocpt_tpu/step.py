@@ -196,9 +196,11 @@ class HydroStep:
 
         vrad, vaz, energy = sources.update_with_sourceterms(
             phys, g, sigma, press, pot, vrad, vaz, energy, omega_frame, dt)
+        vrad, vaz, energy = jax.lax.optimization_barrier((vrad, vaz, energy))
 
         vrad, vaz, energy = artvisc.update_with_artificial_viscosity(
             phys, g, sigma, vrad, vaz, energy, dt)
+        vrad, vaz, energy = jax.lax.optimization_barrier((vrad, vaz, energy))
         if phys.is_adiabatic and phys.artificial_viscosity_dissipation:
             energy = eos.energy_floor_ceiling(phys, constants, sigma, energy)
 
@@ -210,6 +212,7 @@ class HydroStep:
             phys, g, sigma, vrad, vaz, nu)
         vrad, vaz = visc_ops.update_velocities_with_viscosity(
             phys, g, sigma, vrad, vaz, tau_rr, tau_pp, tau_rp, dt)
+        vrad, vaz = jax.lax.optimization_barrier((vrad, vaz))
 
         qplus = jnp.zeros_like(sigma)
         qminus = jnp.zeros_like(sigma)
@@ -295,6 +298,12 @@ class HydroStep:
         if phys.calculate_disk:
             sigma, vrad, vaz, energy, qplus, qminus = self._substeps(
                 sigma, vrad, vaz, energy, pot, time, dt, omega_frame, bodies)
+            # compile-time guard: stop XLA's algebraic simplifier from
+            # chasing simplifications across substep boundaries — the long
+            # chains of azimuthal rolls (concat-of-slices) otherwise blow
+            # XLA:TPU compile time up by two orders of magnitude
+            sigma, vrad, vaz, energy = jax.lax.optimization_barrier(
+                (sigma, vrad, vaz, energy))
 
             # FLD radiative diffusion (reference src/simulation.cpp:203-206)
             if self.fld is not None:
@@ -310,6 +319,8 @@ class HydroStep:
 
             sigma, vrad, vaz, energy, _mass_flux = transport.transport(
                 phys, g, sigma, vrad, vaz, energy, omega_frame, dt)
+            sigma, vrad, vaz, energy = jax.lax.optimization_barrier(
+                (sigma, vrad, vaz, energy))
             sigma = eos.apply_sigma_floor(phys, sigma)
             if phys.is_adiabatic:
                 energy = eos.energy_floor_ceiling(phys, constants, sigma,
