@@ -1,0 +1,112 @@
+"""Accretion of gas onto planets.
+
+Re-derivation of reference src/accretion.cpp: Kley-type two-zone
+Hill-sphere accretion (:84-222) — a fraction f_acc of the mass inside
+frac * R_Hill is removed per orbital period (log-2 normalized), with an
+inner zone accreting twice as hard; removed mass and momentum are added to
+the planet when disk feedback is on.
+
+TPU-native: the reference's index-window double loop becomes full-grid
+masks (the Hill disk covers a tiny fraction of cells; the masked update is
+one fused pass per accreting body, and the momentum sums become
+cross-shard reduces under the mesh).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..params import Physics
+from .common import Geom, azim_next
+
+
+def orbital_period(constants, phys: Physics, x, y, vx, vy):
+    """Osculating orbital period about the hydro center
+    (used for the accretion normalization)."""
+    GM = constants.G * phys.hydro_center_mass
+    r = jnp.sqrt(x * x + y * y)
+    v2 = vx * vx + vy * vy
+    # specific orbital energy -> semi-major axis
+    eps = 0.5 * v2 - GM / r
+    a = jnp.where(eps < 0.0, -GM / (2.0 * eps), r)
+    return 2.0 * jnp.pi * jnp.sqrt(a ** 3 / GM)
+
+
+def accrete_onto_planets(phys: Physics, constants, g: Geom, nb, bodies,
+                         accretion_efficiency, accretion_types: list,
+                         cell_x, cell_y, sigma, energy, vrad, vaz,
+                         omega_frame, dt):
+    """Kley accretion for every accreting body.
+
+    Returns (sigma, energy, nb) with the bodies' mass/velocity updated when
+    disk feedback is enabled (reference :200-219).
+    """
+    nr = g.nrad
+    floor = phys.sigma_floor * phys.sigma0
+    # cell-centered cartesian gas velocities (reference :155-161)
+    vt_cell = 0.5 * (vaz + azim_next(vaz)) + g.rb * omega_frame
+    vr_cell = 0.5 * (vrad[:-1] + vrad[1:])
+    vx_cell = (vr_cell * cell_x - vt_cell * cell_y) * g.inv_rb
+    vy_cell = (vr_cell * cell_y + vt_cell * cell_x) * g.inv_rb
+
+    # active rows for the momentum bookkeeping (reference :172-176:
+    # radial_first_active < i < radial_active_size)
+    row = jnp.arange(nr)[:, None]
+    active = (row > 1) & (row < nr - 2)
+
+    from ..nbody import system as nbody_sys
+    dist_prim = nbody_sys.dist_to_primary(nb)
+    roche = nbody_sys.dimensionless_roche_radius(nb)
+
+    new_mass = nb.mass
+    new_vx, new_vy = nb.vx, nb.vy
+
+    for k, acc_type in enumerate(accretion_types):
+        if acc_type != "kley":
+            continue
+        r_hill = roche[k] * dist_prim[k]
+        period = orbital_period(constants, phys, nb.x[k], nb.y[k],
+                                nb.vx[k], nb.vy[k])
+        facc = dt * accretion_efficiency[k] / period * jnp.log(2.0)
+        facc1 = facc / 3.0
+        facc2 = 2.0 * facc / 3.0
+        frac1 = phys.accretion_radius_fraction
+        frac2 = 0.5 * phys.accretion_radius_fraction
+
+        dx = nb.x[k] - cell_x
+        dy = nb.y[k] - cell_y
+        dist = jnp.sqrt(dx * dx + dy * dy)
+        facc_max = 1.0 - floor / sigma
+        zone1 = dist < frac1 * r_hill
+        zone2 = dist < frac2 * r_hill
+
+        # zone 1 (outer)
+        f1 = jnp.where(zone1, jnp.minimum(facc1, facc_max), 0.0)
+        dm1 = f1 * sigma * g.surf
+        sigma = sigma * (1.0 - f1)
+        if phys.is_adiabatic:
+            energy = energy * (1.0 - f1)
+        # zone 2 (inner) acts on the already reduced density; the reference
+        # caps with the pre-zone-1 facc_max and scales energy by the
+        # uncapped facc2 (reference :183-198)
+        f2 = jnp.where(zone2, jnp.minimum(facc2, facc_max), 0.0)
+        dm2 = f2 * sigma * g.surf
+        sigma = sigma * (1.0 - f2)
+        if phys.is_adiabatic:
+            energy = energy * jnp.where(zone2, 1.0 - facc2, 1.0)
+
+        dm = jnp.where(active, dm1 + dm2, 0.0)
+        d_m = jnp.sum(dm)
+        d_px = jnp.sum(dm * vx_cell)
+        d_py = jnp.sum(dm * vy_cell)
+
+        if phys.disk_feedback:
+            m_old = new_mass[k]
+            m_new = m_old + d_m
+            new_vx = new_vx.at[k].set((m_old * new_vx[k] + d_px) / m_new)
+            new_vy = new_vy.at[k].set((m_old * new_vy[k] + d_py) / m_new)
+            new_mass = new_mass.at[k].set(m_new)
+
+    nb = nb.replace(mass=new_mass, vx=new_vx, vy=new_vy)
+    return sigma, energy, nb

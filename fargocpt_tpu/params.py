@@ -176,6 +176,9 @@ class Physics:
     damping_vazimuthal_outer: str = "none"
     damping_surface_density_outer: str = "none"
 
+    # accretion onto planets (reference src/accretion.cpp)
+    accretion_radius_fraction: float = 1.0
+
     # misc
     calculate_disk: bool = True
     viscous_accretion: bool = False
@@ -410,6 +413,7 @@ def physics_from_config(cfg: Config, un: u.Units, dtype: str = "float64") -> Phy
         damping_vradial_outer=cfg.get_lowercase("DampingVRadialOuter", "none"),
         damping_vazimuthal_outer=cfg.get_lowercase("DampingVAzimuthalOuter", "none"),
         damping_surface_density_outer=cfg.get_lowercase("DampingSurfaceDensityOuter", "none"),
+        accretion_radius_fraction=cfg.get("MassAccretionRadius", 1.0, type=float),
         calculate_disk=cfg.get_flag("Disk", True),
         integrate_particles=cfg.get_flag("IntegrateParticles", False),
         keep_mass_constant=cfg.get_flag("KeepDiskMassConstant", False),

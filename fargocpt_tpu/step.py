@@ -46,6 +46,10 @@ class SystemState:
     nbody: NBodyState
     omega_frame: jax.Array   # scalar
     frame_angle: jax.Array   # scalar
+    # reference-body position stored at init for the corotation measurement
+    # (reference src/frame_of_reference.cpp:19-27 ``init_corotation``)
+    corot_ref_x: jax.Array = None
+    corot_ref_y: jax.Array = None
     particles: object = None  # ParticleState when dust is enabled
 
     def replace(self, **kw) -> "SystemState":
@@ -91,6 +95,12 @@ class HydroStep:
             [b.cubic_smoothing_factor for b in self.bodies_cfg], dtype)
         self.body_irradiation_rampup = jnp.asarray(
             [b.irradiation_rampup for b in self.bodies_cfg], dtype)
+        self.body_accretion_efficiency = jnp.asarray(
+            [b.accretion_efficiency for b in self.bodies_cfg], dtype)
+        self.body_accretion_types = [b.accretion_type
+                                     for b in self.bodies_cfg]
+        self.any_accretion = any(t != "none"
+                                 for t in self.body_accretion_types)
         # orbital periods for mass ramp-up (from the initial orbits)
         periods = []
         G = constants.G
@@ -225,8 +235,192 @@ class HydroStep:
                 units=self.units, irradiation_ctx=self.irradiation_ctx(bodies))
         return sigma, vrad, vaz, energy, qplus, qminus
 
+    def _nbody_feedback_kicks(self, sigma, h, nb, time, dt):
+        """Disk force on the bodies + indirect terms; returns the kicked
+        bodies and the indirect-term components."""
+        phys, constants, g = self.phys, self.constants, self.g
+        zero = jnp.zeros((), self.dtype)
+        bodies = self.bodies_on_grid(nb, time)
+        it_disk_x = it_disk_y = zero
+        if phys.disk_feedback and phys.calculate_disk:
+            dax, day = gravity.disk_on_body_accel(
+                phys, constants, g, bodies, self.n_bodies,
+                self.cell_x, self.cell_y, h, sigma)
+            nb = nbody_sys.kick(nb, dax, day, dt)
+            it_disk_x, it_disk_y = gravity.indirect_term_disk(
+                phys, bodies, self.n_hydroframe, dax, day)
+        it_nb_x, it_nb_y = gravity.indirect_term_nbody(
+            constants, bodies, self.n_hydroframe, self.n_bodies)
+        nb = nbody_sys.kick(nb, it_disk_x + it_nb_x, it_disk_y + it_nb_y, dt)
+        return nb, (it_disk_x, it_disk_y), (it_nb_x, it_nb_y)
+
+    def _gas_kick(self, sigma, vrad, vaz, energy, nb, indirect, time, dt,
+                  omega_frame):
+        """Potential + source/viscosity/energy kicks over ``dt``."""
+        phys, constants, g = self.phys, self.constants, self.g
+        bodies = self.bodies_on_grid(nb, time)
+        _, _, h = self.derived(sigma, energy)
+        pot = gravity.nbody_potential(
+            phys, constants, g, bodies, self.n_bodies,
+            self.cell_x, self.cell_y, h, indirect[0], indirect[1])
+        sigma, vrad, vaz, energy, qplus, qminus = self._substeps(
+            sigma, vrad, vaz, energy, pot, time, dt, omega_frame, bodies)
+        sigma, vrad, vaz, energy = jax.lax.optimization_barrier(
+            (sigma, vrad, vaz, energy))
+        if self.fld is not None:
+            _, _, h_now = self.derived(sigma, energy)
+            energy, _n_iter = self.fld.radiative_diffusion(
+                g, sigma, energy, h_now, dt)
+            energy = eos.energy_floor_ceiling(phys, constants, sigma, energy)
+        return sigma, vrad, vaz, energy, qplus, qminus
+
+    def _step_leapfrog_impl(self, state: SystemState, time, dt):
+        """Leapfrog step: gas kick-drift-kick, bodies drift-kick-drift
+        (reference src/simulation.cpp:276-483 ``step_LeapFrog``)."""
+        phys, constants, g = self.phys, self.constants, self.g
+        f = state.fields
+        sigma, vrad, vaz, energy = f.sigma, f.vrad, f.vaz, f.energy
+        nb = state.nbody
+        omega_frame = state.omega_frame
+        hdt = 0.5 * dt
+        mid_time = time + hdt
+
+        # N-body drift 1/2
+        nb = nbody_sys.integrate(nb, constants.G, hdt)
+        nb = nbody_sys.move_to_hydro_frame_center(nb, self.n_hydroframe)
+
+        _, _, h0 = self.derived(sigma, energy)
+        # accretion (half step) + N-body kick 1/2
+        if phys.calculate_disk and self.any_accretion:
+            from .ops import accretion as accretion_ops
+            bodies = self.bodies_on_grid(nb, time)
+            sigma, energy, nb = accretion_ops.accrete_onto_planets(
+                phys, constants, g, nb, bodies,
+                self.body_accretion_efficiency, self.body_accretion_types,
+                self.cell_x, self.cell_y, sigma, energy, vrad, vaz,
+                omega_frame, hdt)
+            sigma = eos.apply_sigma_floor(phys, sigma)
+        nb, it_disk, it_nb = self._nbody_feedback_kicks(sigma, h0, nb,
+                                                        time, hdt)
+
+        # frame rotation (half step)
+        if phys.corotating:
+            omega_frame, vaz = self._corotation_update(
+                state, nb, vaz, omega_frame, hdt)
+        nb = nbody_sys.rotate(nb, omega_frame * hdt)
+        frame_angle = state.frame_angle + omega_frame * hdt
+        indirect = it_nb if not phys.indirect_term_disk_on_disk else \
+            (it_disk[0] + it_nb[0], it_disk[1] + it_nb[1])
+
+        particles = state.particles  # integrated in halves below
+        if phys.integrate_particles and particles is not None:
+            particles = self._integrate_particles(
+                sigma, vrad, vaz, energy, nb, particles, omega_frame, hdt,
+                time)
+
+        if phys.calculate_disk:
+            # gas kick 1/2 + drift 1/1
+            sigma, vrad, vaz, energy, qplus, qminus = self._gas_kick(
+                sigma, vrad, vaz, energy, nb, indirect, time, hdt,
+                omega_frame)
+            sigma, vrad, vaz, energy = self._apply_bcs(
+                sigma, vrad, vaz, energy, omega_frame)
+            sigma, vrad, vaz, energy, _flux = transport.transport(
+                phys, g, sigma, vrad, vaz, energy, omega_frame, dt)
+            sigma, vrad, vaz, energy = jax.lax.optimization_barrier(
+                (sigma, vrad, vaz, energy))
+            sigma = eos.apply_sigma_floor(phys, sigma)
+            if phys.is_adiabatic:
+                energy = eos.energy_floor_ceiling(phys, constants, sigma,
+                                                  energy)
+
+            # gas kick 2/2 (bodies still at x_{i+1/2})
+            nb, it_disk, it_nb = self._nbody_feedback_kicks(
+                sigma, h0, nb, mid_time, hdt)
+            indirect = it_nb if not phys.indirect_term_disk_on_disk else \
+                (it_disk[0] + it_nb[0], it_disk[1] + it_nb[1])
+            sigma, vrad, vaz, energy, qplus, qminus = self._gas_kick(
+                sigma, vrad, vaz, energy, nb, indirect, mid_time, hdt,
+                omega_frame)
+        else:
+            qplus, qminus = state.qplus, state.qminus
+
+        if phys.integrate_particles and particles is not None:
+            particles = self._integrate_particles(
+                sigma, vrad, vaz, energy, nb, particles, omega_frame, hdt,
+                mid_time)
+
+        # accretion (second half) handled inside kick 2 region in the
+        # reference; N-body drift 2/2
+        if phys.calculate_disk and self.any_accretion:
+            from .ops import accretion as accretion_ops
+            bodies = self.bodies_on_grid(nb, mid_time)
+            sigma, energy, nb = accretion_ops.accrete_onto_planets(
+                phys, constants, g, nb, bodies,
+                self.body_accretion_efficiency, self.body_accretion_types,
+                self.cell_x, self.cell_y, sigma, energy, vrad, vaz,
+                omega_frame, hdt)
+            sigma = eos.apply_sigma_floor(phys, sigma)
+        nb = nbody_sys.integrate(nb, constants.G, hdt)
+        nb = nbody_sys.move_to_hydro_frame_center(nb, self.n_hydroframe)
+        if phys.corotating:
+            omega_frame, vaz = self._corotation_update(
+                state, nb, vaz, omega_frame, hdt)
+        nb = nbody_sys.rotate(nb, omega_frame * hdt)
+        frame_angle = frame_angle + omega_frame * hdt
+        if phys.integrate_particles and particles is not None:
+            particles = particles.replace(
+                phi=jnp.mod(particles.phi - omega_frame * dt, 2.0 * jnp.pi))
+
+        if phys.calculate_disk:
+            sigma, vrad, vaz, energy = self._apply_bcs(
+                sigma, vrad, vaz, energy, omega_frame, final=True, dt=dt)
+
+        return state.replace(
+            fields=FieldState(sigma=sigma, vrad=vrad, vaz=vaz, energy=energy),
+            qplus=qplus, qminus=qminus, nbody=nb,
+            frame_angle=frame_angle, particles=particles)
+
+    def _corotation_update(self, state, nb, vaz, omega_frame, dt):
+        """Corotating frame: measure the reference body's swept angle since
+        the stored init position, update Omega and correct v_az
+        (reference src/frame_of_reference.cpp:30-52 ``handle_corotation``)."""
+        k = self.phys.corotation_reference_body
+        x, y = nb.x[k], nb.y[k]
+        d_new = jnp.sqrt(x * x + y * y)
+        ox, oy = state.corot_ref_x, state.corot_ref_y
+        d_old = jnp.sqrt(ox * ox + oy * oy)
+        cross = ox * y - x * oy
+        omega_new = jnp.arcsin(cross / (d_new * d_old)) / dt
+        domega = omega_new - omega_frame
+        vaz = vaz - domega * self.g.rb
+        return omega_new, vaz
+
+    def _integrate_particles(self, sigma, vrad, vaz, energy, nb, particles,
+                             omega_frame, dt, time):
+        from .particles import dust
+        phys, constants, g = self.phys, self.constants, self.g
+        pp = self.particle_params or dust.ParticleParams()
+        cs0, press, h0 = self.derived(sigma, energy)
+        temp = phys.mu / constants.R * press / sigma \
+            if not phys.is_adiabatic else \
+            phys.mu / constants.R * (phys.adiabatic_index - 1.0) \
+            * energy / sigma
+        rho_mid = sigma / (phys.density_factor * h0)
+        bodies = self.bodies_on_grid(nb, time)
+        particles = dust.integrate_expmid(
+            phys, pp, constants, self.units, self.geometry, g, particles,
+            rho_mid, temp, vrad, vaz, bodies, self.n_bodies, omega_frame, dt)
+        if pp.diffusion:
+            particles = dust.diffuse_dust(
+                phys, constants, self.geometry, g, particles, rho_mid,
+                cs0, h0, dt)
+        return particles
+
     def _step_impl(self, state: SystemState, time, dt):
         """One Euler step (reference src/simulation.cpp:148-274)."""
+        if self.phys.hydro_integrator == LEAPFROG:
+            return self._step_leapfrog_impl(state, time, dt)
         phys, constants, g = self.phys, self.constants, self.g
         f = state.fields
         sigma, vrad, vaz, energy = f.sigma, f.vrad, f.vaz, f.energy
@@ -236,6 +430,17 @@ class HydroStep:
         zero = jnp.zeros((), self.dtype)
         bodies = self.bodies_on_grid(nb, time)
         cs0, _, h0 = self.derived(sigma, energy)
+
+        # --- accretion onto planets (reference :150-153) ---
+        if phys.calculate_disk and self.any_accretion:
+            from .ops import accretion as accretion_ops
+            sigma, energy, nb = accretion_ops.accrete_onto_planets(
+                phys, constants, g, nb, bodies,
+                self.body_accretion_efficiency, self.body_accretion_types,
+                self.cell_x, self.cell_y, sigma, energy, vrad, vaz,
+                omega_frame, dt)
+            sigma = eos.apply_sigma_floor(phys, sigma)
+            bodies = self.bodies_on_grid(nb, time)
 
         # --- disk feedback on the bodies (reference :154-158) ---
         it_disk_x = it_disk_y = zero
@@ -285,8 +490,9 @@ class HydroStep:
                     cs0, h0, dt)
 
         # --- frame rotation (reference :186 handle_corotation) ---
-        # fixed rotating frame: bodies rotate by -Omega dt; corotating
-        # (dynamic Omega) support comes with the corotation module
+        if phys.corotating:
+            omega_frame, vaz = self._corotation_update(
+                state, nb, vaz, omega_frame, dt)
         nb = nbody_sys.rotate(nb, omega_frame * dt)
         if phys.integrate_particles and particles is not None:
             # particles rotate with the frame (reference particles::rotate)
@@ -339,7 +545,7 @@ class HydroStep:
 
         return state.replace(
             fields=FieldState(sigma=sigma, vrad=vrad, vaz=vaz, energy=energy),
-            qplus=qplus, qminus=qminus, nbody=nb,
+            qplus=qplus, qminus=qminus, nbody=nb, omega_frame=omega_frame,
             frame_angle=frame_angle, particles=particles)
 
     def _cfl_impl(self, state: SystemState):
@@ -421,10 +627,18 @@ class HydroStep:
                 self.ref_values.sigma0, self.ref_values.energy0,
                 jnp.zeros_like(sigma), 0.0, 0.0,
                 units=self.units, irradiation_ctx=self.irradiation_ctx(bodies))
+        k = min(phys.corotation_reference_body, self.n_bodies - 1)
+        omega0 = phys.omega_frame
+        if phys.corotating and self.n_bodies > 1:
+            # start corotating with the reference body's angular velocity
+            x, y = float(nbody.x[k]), float(nbody.y[k])
+            vx, vy = float(nbody.vx[k]), float(nbody.vy[k])
+            omega0 = (x * vy - y * vx) / max(x * x + y * y, 1e-300)
         return SystemState(
             fields=fields, qplus=qplus, qminus=qminus, nbody=nbody,
-            omega_frame=jnp.asarray(phys.omega_frame, self.dtype),
-            frame_angle=jnp.zeros((), self.dtype))
+            omega_frame=jnp.asarray(omega0, self.dtype),
+            frame_angle=jnp.zeros((), self.dtype),
+            corot_ref_x=nbody.x[k], corot_ref_y=nbody.y[k])
 
     def disk_torques(self, state: SystemState, time=0.0):
         """Specific torque of the gas disk on each body,

@@ -83,3 +83,63 @@ def test_binary_barycenter_init():
     # separation = a(1-e)
     sep = np.hypot(float(nb.x[1] - nb.x[0]), float(nb.y[1] - nb.y[0]))
     assert np.isclose(sep, 0.5 * (1 - 0.1))
+
+
+def test_kley_accretion():
+    """Planet accretes gas from its Hill sphere (reference
+    src/accretion.cpp:84-222): planet mass grows, local gas is depleted."""
+    import jax.numpy as jnp
+    from fargocpt_tpu import output as out
+    cfg = Config.from_dict({
+        "EquationOfState": "Isothermal", "AspectRatio": "0.05",
+        "Sigma0": "500 g/cm2", "SigmaSlope": "0.5",
+        "ViscousAlpha": "0.003",
+        "Nrad": "128", "Naz": "256", "Rmin": "0.4", "Rmax": "2.5",
+        "RadialSpacing": "Log",
+        "InnerBoundary": "outflow", "OuterBoundary": "outflow",
+        "DiskFeedback": "yes",
+        "Nsnapshots": "1", "Nmonitor": "1", "MonitorTimestep": "3.0",
+        "nbody": [
+            {"name": "star", "semi-major axis": "0.0", "mass": "1.0"},
+            {"name": "planet", "semi-major axis": "1.0", "mass": "1e-3",
+             "accretion efficiency": "1.0", "accretion method": "kley"},
+        ],
+    })
+    sim = Simulation(cfg)
+    m0 = float(sim.state.nbody.mass[1])
+    gas_mass0 = float(np.sum(np.asarray(sim.fields.sigma)[1:-1]
+                             * sim.geometry.surf[1:-1, None]))
+    sim.run()
+    m1 = float(sim.state.nbody.mass[1])
+    gas_mass1 = float(np.sum(np.asarray(sim.fields.sigma)[1:-1]
+                             * sim.geometry.surf[1:-1, None]))
+    assert m1 > m0, "planet did not accrete"
+    # accreted mass must come out of the gas (up to boundary losses)
+    assert gas_mass1 < gas_mass0
+    # planet stays on a sane orbit
+    el = sim.orbital_elements(1)
+    assert 0.9 < el["a"] < 1.1
+
+
+def test_corotating_frame():
+    """Corotating frame: the reference body stays at a fixed azimuth and
+    OmegaFrame tracks its orbital frequency (reference
+    src/frame_of_reference.cpp:30-60)."""
+    cfg = kepler_config(extra={"Frame": "C", "CorotationReferenceBody": "1"})
+    sim = Simulation(cfg)
+    # expected orbital frequency of the planet (a=1, M=1+1e-3)
+    omega_expected = np.sqrt(sim.constants.G * (1.0 + 1e-3))
+    # step past the first-measurement transient (the reference's
+    # handle_corotation also measures Omega=0 on the very first step)
+    for _ in range(5):
+        sim.step_once(1e-2)
+    nb0 = sim.state.nbody
+    phi0 = np.arctan2(float(nb0.y[1]), float(nb0.x[1]))
+    for _ in range(500):
+        sim.step_once(1e-2)
+    nb = sim.state.nbody
+    phi1 = np.arctan2(float(nb.y[1]), float(nb.x[1]))
+    assert abs(((phi1 - phi0 + np.pi) % (2 * np.pi)) - np.pi) < 1e-4, \
+        "planet drifted in the corotating frame"
+    assert np.isclose(float(sim.state.omega_frame), omega_expected,
+                      rtol=1e-6)

@@ -83,3 +83,11 @@ def test_shocktube_sn_euler():
 
 def test_shocktube_tw_euler():
     run_and_check("TW")
+
+
+def test_shocktube_sn_leapfrog():
+    run_and_check("SN", "LeapFrog")
+
+
+def test_shocktube_tw_leapfrog():
+    run_and_check("TW", "LeapFrog")
