@@ -122,7 +122,7 @@ def irradiation(phys: Physics, constants, g: Geom, bodies, n_bodies: int,
 def substep3(phys: Physics, constants, g: Geom, sigma, energy, vrad, vaz,
              nu, tau_rr, tau_pp, tau_rp, div_v, scale_height,
              sigma0_ref, energy0_ref, tau_eff, current_time, dt,
-             units=None, irradiation_ctx=None):
+             units=None, irradiation_ctx=None, pvte_vals=None):
     """Energy update with Q+ / Q- (reference src/SourceEuler.cpp:956-1051).
 
     ``irradiation_ctx`` (when stellar heating is on) carries
@@ -167,9 +167,13 @@ def substep3(phys: Physics, constants, g: Geom, sigma, energy, vrad, vaz,
             cell_x, cell_y, aspect, tau_eff, current_time)
 
     # radiative correction factor alpha (reference :1018-1024)
-    gam = eos.gamma_eff(phys)
+    if pvte_vals is not None:
+        gam, mu_val, _g1 = pvte_vals
+    else:
+        gam = eos.gamma_eff(phys)
+        mu_val = phys.mu
     Rgas = constants.R
-    inv_pow4 = (phys.mu * (gam - 1.0) / (Rgas * sigma)) ** 4
+    inv_pow4 = (mu_val * (gam - 1.0) / (Rgas * sigma)) ** 4
     alpha = 1.0 + 2.0 * scale_height * 4.0 * constants.sigma_sb / constants.c \
         * inv_pow4 * energy ** 3
     qplus = qplus / alpha
@@ -181,12 +185,13 @@ def substep3(phys: Physics, constants, g: Geom, sigma, energy, vrad, vaz,
     # (reference :1030-1044)
     sigma_floor_10 = 10.0 * phys.sigma0 * phys.sigma_floor
     e4 = qplus * tau_eff / (2.0 * constants.sigma_sb)
-    const = Rgas / phys.mu * sigma / (gam - 1.0)
+    const = Rgas / mu_val * sigma / (gam - 1.0)
     eq_energy = e4 ** 0.25 * const
     near_floor = sigma < sigma_floor_10
     e_new = jnp.where(near_floor, eq_energy, e_new)
     qminus = jnp.where(near_floor, qplus, qminus)
 
     energy = set_rows(energy, e_new, 1, nr - 1)
-    energy = eos.energy_floor_ceiling(phys, constants, sigma, energy)
+    energy = eos.energy_floor_ceiling(phys, constants, sigma, energy,
+                                      pvte_vals)
     return energy, qplus, qminus

@@ -32,13 +32,16 @@ def sound_speed_iso_profile(phys: Physics, constants, rb: jax.Array) -> jax.Arra
 
 
 def sound_speed(phys: Physics, constants, g: Geom, sigma, energy,
-                cs_iso: jax.Array | None):
+                cs_iso: jax.Array | None, pvte_vals=None):
     """Adiabatic: cs = sqrt(gamma1 (gamma_eff - 1) E / Sigma)
     (reference src/SourceEuler.cpp:1063-1072); isothermal mode 0: static
     profile computed once at init (never updated, src/SourceEuler.cpp:1464)."""
     if phys.is_adiabatic:
-        gam = gamma_eff(phys, sigma, energy)
-        g1 = gam  # gamma1 == gamma_eff without PVTE
+        if pvte_vals is not None:
+            gam, _mu, g1 = pvte_vals
+        else:
+            gam = gamma_eff(phys, sigma, energy)
+            g1 = gam  # gamma1 == gamma_eff without PVTE
         return jnp.sqrt(g1 * (gam - 1.0) * energy / sigma)
     if phys.is_polytropic:
         temp = temperature(phys, constants, sigma, energy, None)
@@ -47,19 +50,25 @@ def sound_speed(phys: Physics, constants, g: Geom, sigma, energy,
     return jnp.broadcast_to(cs_iso, sigma.shape)
 
 
-def pressure(phys: Physics, constants, sigma, energy, cs):
+def pressure(phys: Physics, constants, sigma, energy, cs, pvte_vals=None):
     """reference src/SourceEuler.cpp:1442-1473."""
     if phys.is_adiabatic:
+        if pvte_vals is not None:
+            return (pvte_vals[0] - 1.0) * energy
         return (gamma_eff(phys) - 1.0) * energy
     if phys.is_polytropic:
         return sigma * cs ** 2 / phys.adiabatic_index
     return sigma * cs ** 2
 
 
-def temperature(phys: Physics, constants, sigma, energy, press):
+def temperature(phys: Physics, constants, sigma, energy, press,
+                pvte_vals=None):
     """reference src/SourceEuler.cpp:1475-1505."""
     Rgas = constants.R
     if phys.is_adiabatic:
+        if pvte_vals is not None:
+            gam, mu, _g1 = pvte_vals
+            return mu / Rgas * (gam - 1.0) * energy / sigma
         gam = gamma_eff(phys)
         return phys.mu / Rgas * (gam - 1.0) * energy / sigma
     if phys.is_polytropic:
@@ -69,19 +78,26 @@ def temperature(phys: Physics, constants, sigma, energy, press):
     return phys.mu / Rgas * press / sigma
 
 
-def scale_height(phys: Physics, constants, g: Geom, cs):
+def scale_height(phys: Physics, constants, g: Geom, cs, pvte_vals=None):
     """aspectratio_mode == 0: H = cs_iso / Omega_K
     (reference src/SourceEuler.cpp:1218-1251)."""
     omega_k = jnp.sqrt(constants.G * phys.hydro_center_mass / g.rb ** 3)
     if phys.is_adiabatic or phys.is_polytropic:
-        g1 = gamma_eff(phys)
+        g1 = pvte_vals[2] if pvte_vals is not None else gamma_eff(phys)
         return cs / jnp.sqrt(g1) / omega_k
     return cs / omega_k
 
 
-def energy_floor_ceiling(phys: Physics, constants, sigma, energy):
+def energy_floor_ceiling(phys: Physics, constants, sigma, energy,
+                         pvte_vals=None):
     """Clamp energy to [E(Tmin), E(Tmax)]
     (reference src/SourceEuler.cpp:136-202 ``assure_temperature_range``)."""
+    if pvte_vals is not None:
+        gam, mu, _g1 = pvte_vals
+        factor = sigma / mu * constants.R / (gam - 1.0)
+        e_min = phys.minimum_temperature * factor
+        e_max = phys.maximum_temperature * factor
+        return jnp.clip(energy, e_min, e_max)
     gam = gamma_eff(phys)
     factor = sigma / phys.mu * constants.R / (gam - 1.0)
     e_min = phys.minimum_temperature * factor

@@ -57,23 +57,25 @@ def momentum_update_azimuthal(phys: Physics, g: Geom, sigma, press, pot,
     return set_rows(vaz, new, 1, nr - 1)
 
 
-def compression_heating(phys: Physics, g: Geom, energy, vrad, vaz, dt):
+def compression_heating(phys: Physics, g: Geom, energy, vrad, vaz, dt,
+                        pvte_vals=None):
     """E *= exp(-(gamma-1) dt div v), rows 0..NR-2
     (reference src/SourceEuler.cpp:459-493, D'Angelo et al. 2003 eq. 24)."""
     if not phys.is_adiabatic:
         return energy
     div_v = divergence_v(g, vrad, vaz)
-    gam = eos.gamma_eff(phys)
+    gam = pvte_vals[0] if pvte_vals is not None else eos.gamma_eff(phys)
     new = energy * jnp.exp(-(gam - 1.0) * dt * div_v)
     return set_rows(energy, new, 0, g.nrad - 1)
 
 
 def update_with_sourceterms(phys: Physics, g: Geom, sigma, press, pot,
-                            vrad, vaz, energy, omega_frame, dt):
+                            vrad, vaz, energy, omega_frame, dt,
+                            pvte_vals=None):
     """reference src/SourceEuler.cpp:435-452 (self-gravity kick is applied
     by the caller before this)."""
     vrad = momentum_update_radial(phys, g, sigma, press, pot, vrad, vaz,
                                   omega_frame, dt)
     vaz = momentum_update_azimuthal(phys, g, sigma, press, pot, vaz, dt)
-    energy = compression_heating(phys, g, energy, vrad, vaz, dt)
+    energy = compression_heating(phys, g, energy, vrad, vaz, dt, pvte_vals)
     return vrad, vaz, energy

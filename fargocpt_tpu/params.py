@@ -42,6 +42,7 @@ class Physics:
     polytropic_constant: float = 0.0
     mu: float = 1.0
     variable_gamma: bool = False
+    hydrogen_mass_fraction: float = 0.75
 
     # geometry of the temperature profile
     aspectratio_ref: float = 0.05
@@ -217,7 +218,9 @@ def _parse_eos(cfg: Config) -> tuple[str, float]:
     if eos == "polytropic":
         return POLYTROPIC, gamma
     if eos == "pvte":
-        # variable-gamma: treated as adiabatic with gamma tables
+        # variable-gamma ideal EoS (reference src/Interpret.cpp:455-492)
+        if gamma == 1.0:
+            gamma = 7.0 / 5.0
         return ADIABATIC, gamma
     raise ValueError(f"unknown EquationOfState {eos!r}")
 
@@ -316,6 +319,10 @@ def physics_from_config(cfg: Config, un: u.Units, dtype: str = "float64") -> Phy
     return Physics(
         eos=eos,
         adiabatic_index=gamma,
+        variable_gamma=(cfg.get_lowercase("EquationOfState", "Isothermal")
+                        == "pvte"),
+        hydrogen_mass_fraction=cfg.get("HydrogenMassFraction", 0.75,
+                                       type=float),
         polytropic_constant=cfg.get("PolytropicConstant", 0.0, type=float),
         mu=cfg.get("mu", 1.0, type=float),
         aspectratio_ref=aspectratio_ref,

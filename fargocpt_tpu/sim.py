@@ -55,7 +55,11 @@ class Simulation:
                  dtype: str = "float64"):
         self.cfg = cfg
         shock_tube = cfg.get("ShockTube", 0, type=int)
-        if shock_tube:
+        if shock_tube == 2:
+            # PVTE shock tube: special unit table (src/init.cpp:540-615)
+            self.units = u.pvte_shock_tube_units()
+            self.constants = Constants.shock_tube()
+        elif shock_tube:
             # reference src/init.cpp:446-520: all units set to 1
             self.units = u.shock_tube_units()
             self.constants = Constants.shock_tube()

@@ -131,6 +131,13 @@ class HydroStep:
         else:
             self.selfgravity = None
 
+        # PVTE variable-gamma EoS (reference src/pvte_law.cpp)
+        if phys.variable_gamma:
+            from .ops.pvte import PVTE
+            self.pvte = PVTE(phys, self.units, dtype)
+        else:
+            self.pvte = None
+
         # FLD radiative diffusion (reference src/fld.cpp)
         if phys.radiative_diffusion and phys.is_adiabatic:
             from .ops.fld import FLDSolver, FLDConfig
@@ -149,12 +156,28 @@ class HydroStep:
         self._advance = jax.jit(self._advance_impl)
 
     # ------------------------------------------------------------------
+    def pvte_vals(self, sigma, energy):
+        """(gamma_eff, mu, gamma1) grids for PVTE runs; the midplane
+        density uses an H estimate from the constant-gamma sound speed
+        (the reference also evaluates the EoS with the stale scale
+        height, src/SourceEuler.cpp:238-246)."""
+        if self.pvte is None:
+            return None
+        phys, constants, g = self.phys, self.constants, self.g
+        gam0 = phys.adiabatic_index
+        cs0 = jnp.sqrt(gam0 * (gam0 - 1.0) * energy / sigma)
+        omega_k = jnp.sqrt(constants.G * phys.hydro_center_mass / g.rb ** 3)
+        h0 = cs0 / jnp.sqrt(gam0) / omega_k
+        return self.pvte.gamma_mu(sigma, energy, h0)
+
     def derived(self, sigma, energy):
         """Sound speed, pressure, scale height from prognostic fields."""
         phys, constants, g = self.phys, self.constants, self.g
-        cs = eos.sound_speed(phys, constants, g, sigma, energy, self.cs_iso)
-        press = eos.pressure(phys, constants, sigma, energy, cs)
-        h = eos.scale_height(phys, constants, g, cs)
+        pv = self.pvte_vals(sigma, energy)
+        cs = eos.sound_speed(phys, constants, g, sigma, energy, self.cs_iso,
+                             pv)
+        press = eos.pressure(phys, constants, sigma, energy, cs, pv)
+        h = eos.scale_height(phys, constants, g, cs, pv)
         return cs, press, h
 
     def viscosity_grid(self, cs, h):
@@ -198,6 +221,7 @@ class HydroStep:
         phys, constants, g = self.phys, self.constants, self.g
 
         cs, press, h = self.derived(sigma, energy)
+        pv = self.pvte_vals(sigma, energy)
 
         # self-gravity kick first (reference src/SourceEuler.cpp:438-441)
         if self.selfgravity is not None:
@@ -205,14 +229,16 @@ class HydroStep:
             vrad, vaz = self.selfgravity.kick(g, vrad, vaz, g_r, g_t, dt)
 
         vrad, vaz, energy = sources.update_with_sourceterms(
-            phys, g, sigma, press, pot, vrad, vaz, energy, omega_frame, dt)
+            phys, g, sigma, press, pot, vrad, vaz, energy, omega_frame, dt,
+            pv)
         vrad, vaz, energy = jax.lax.optimization_barrier((vrad, vaz, energy))
 
         vrad, vaz, energy = artvisc.update_with_artificial_viscosity(
             phys, g, sigma, vrad, vaz, energy, dt)
         vrad, vaz, energy = jax.lax.optimization_barrier((vrad, vaz, energy))
         if phys.is_adiabatic and phys.artificial_viscosity_dissipation:
-            energy = eos.energy_floor_ceiling(phys, constants, sigma, energy)
+            energy = eos.energy_floor_ceiling(phys, constants, sigma, energy,
+                                              self.pvte_vals(sigma, energy))
 
         # recalculate_viscosity (reference src/SourceEuler.cpp:205-223):
         # adiabatic cs/H respond to the energy updates above
@@ -232,7 +258,8 @@ class HydroStep:
                 tau_rr, tau_pp, tau_rp, div_v, h,
                 self.ref_values.sigma0, self.ref_values.energy0,
                 jnp.zeros_like(sigma), time, dt,
-                units=self.units, irradiation_ctx=self.irradiation_ctx(bodies))
+                units=self.units, irradiation_ctx=self.irradiation_ctx(bodies),
+                pvte_vals=self.pvte_vals(sigma, energy))
         return sigma, vrad, vaz, energy, qplus, qminus
 
     def _nbody_feedback_kicks(self, sigma, h, nb, time, dt):

@@ -309,3 +309,47 @@ DIM_KINEMATIC_VISCOSITY = _dim(l=2, t=-1)
 def shock_tube_units() -> "Units":
     """All factors = 1 (reference src/init.cpp:446-520 sets every unit to 1)."""
     return Units(L0=1.0, M0=1.0, T0=1.0, Temp0=1.0)
+
+
+class FixedUnits:
+    """Explicit conversion-factor set (used by the PVTE shock-tube test
+    mode, reference src/init.cpp:540-615: an intentionally inconsistent
+    unit table where R = G = 1 but density/velocity/temperature carry cgs
+    scales so the hydrogen micro-physics sees physical values)."""
+
+    def __init__(self, **factors):
+        defaults = dict(length=1.0, mass=1.0, time=1.0, temperature=1.0,
+                        velocity=1.0, surface_density=1.0, density=1.0,
+                        energy=1.0, energy_density=1.0, energy_flux=1.0,
+                        opacity=1.0, power=1.0, mass_accretion_rate=1.0,
+                        angular_momentum=1.0, kinematic_viscosity=1.0,
+                        pressure=1.0, potential=1.0, acceleration=1.0,
+                        torque=1.0, frequency=1.0,
+                        L0=1.0, M0=1.0, T0=1.0, Temp0=1.0)
+        defaults.update(factors)
+        for k, v in defaults.items():
+            setattr(self, k, v)
+
+    def cgs_factor(self, dim: Dim) -> float:
+        return (self.L0 ** dim[0]) * (self.M0 ** dim[1]) * \
+               (self.T0 ** dim[2]) * (self.Temp0 ** dim[3])
+
+    def convert_to_code(self, value: float, unit_expr: str,
+                        target_dim: Dim) -> float:
+        f, d = parse_unit_expr(unit_expr)
+        if d != target_dim:
+            raise UnitError(
+                f"unit {unit_expr!r} incompatible with dim {target_dim}")
+        return value * f / self.cgs_factor(target_dim)
+
+
+def pvte_shock_tube_units() -> "FixedUnits":
+    """reference src/init.cpp:540-615 (ShockTube = 2)."""
+    return FixedUnits(
+        temperature=3341.5268389972975,
+        Temp0=3341.5268389972975,
+        energy_density=4.576860232875e-8,
+        density=1.66053886e-19,
+        surface_density=1.66053886e-19,
+        velocity=5.25e5,
+    )

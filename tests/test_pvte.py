@@ -1,0 +1,113 @@
+"""PVTE variable-gamma equation of state.
+
+Validates the hydrogen micro-physics against known limits (reference
+src/pvte_law.cpp / Vaidya et al. 2015):
+  * cold molecular gas: rotation frozen out, gamma -> 5/3
+  * warm molecular gas (rotation active): gamma ~ 7/5
+  * fully ionized gas: gamma -> 5/3, mu -> ~0.6
+and runs the PVTE Sod shock tube (reference test/shockTube_PVTE) end to
+end: with the variable gamma the shock is slower and denser than the
+gamma = 1.4 ideal-gas run (the dissociation/ionization energy sinks soften
+the EoS), matching the qualitative PLUTO comparison the reference ships.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fargocpt_tpu.ops import pvte
+from fargocpt_tpu.config import Config
+from fargocpt_tpu.sim import Simulation
+
+XMF = 0.75
+TABS_NP = pvte.zeta_table()
+
+
+def tabs():
+    return (jnp.asarray(TABS_NP[0]), jnp.asarray(TABS_NP[1]))
+
+
+def gamma_at(rho, T):
+    _x, _y, mu, _eps, gam = pvte._gamma_mu_at(
+        jnp.asarray(rho), jnp.asarray(T), XMF, tabs())
+    return float(gam), float(mu)
+
+
+def test_gamma_limits():
+    # cold molecular hydrogen (rotation frozen): monatomic-like 5/3
+    gam, mu = gamma_at(1e-12, 30.0)
+    assert 1.6 < gam < 1.7
+    assert 2.2 < mu < 2.4   # H2 + He
+
+    # warm molecular hydrogen (rotation active): diatomic 7/5
+    gam, mu = gamma_at(1e-12, 1000.0)
+    assert 1.35 < gam < 1.45
+
+    # fully ionized: monatomic with mu ~ 0.6
+    gam, mu = gamma_at(1e-18, 1e6)
+    assert 1.6 < gam < 1.7
+    assert 0.5 < mu < 0.7
+
+    # dissociation region: gamma dips well below 7/5
+    gam, mu = gamma_at(1e-9, 2500.0)
+    assert gam < 1.3
+
+
+def test_temperature_energy_roundtrip():
+    rng = np.random.default_rng(3)
+    rho = jnp.asarray(10.0 ** rng.uniform(-20, -5, 64))
+    T = jnp.asarray(10.0 ** rng.uniform(0.5, 6.5, 64))
+    R = pvte.CGS_KB / pvte.CGS_MP
+    x, y, mu, eps, gam = pvte._gamma_mu_at(rho, T, XMF, tabs())
+    # specific internal energy consistent with gamma_eff definition:
+    # e = R T / (mu (gamma - 1))
+    e = R * T / (mu * (gam - 1.0))
+    T_back = pvte.temperature_from_energy(e, rho, XMF, tabs())
+    np.testing.assert_allclose(np.asarray(T_back), np.asarray(T), rtol=1e-6)
+
+
+def pvte_shock_config(eos):
+    return Config.from_dict({
+        "Integrator": "Euler", "ShockTube": "2",
+        "Sigma0": "1.0", "SigmaFloor": "1.e-100",
+        "AspectRatio": "1.0", "FlaringIndex": "0.5",
+        "ConstantViscosity": "0.0",
+        "ArtificialViscosity": "SN",
+        "ArtificialViscosityDissipation": "Yes",
+        "EquationOfState": eos, "AdiabaticIndex": "1.4",
+        "HydrogenMassFraction": "0.75",
+        "HeatingViscous": "No",
+        "MinimumTemperature": "1e-9 K", "MaximumTemperature": "1e100 K",
+        "CFL": "0.5", "ThicknessSmoothing": "0.6",
+        "Transport": "FARGO",
+        "InnerBoundary": "Reflecting", "OuterBoundary": "Reflecting",
+        "Nrad": "500", "Naz": "2",
+        "Rmin": "1000.0", "Rmax": "1001.0",
+        "RadialSpacing": "Arithmetic",
+        "Nsnapshots": "1", "Nmonitor": "1", "MonitorTimestep": "0.228",
+    })
+
+
+@pytest.mark.slow
+def test_pvte_shock_tube():
+    sim = Simulation(pvte_shock_config("PVTE"))
+    assert sim.phys.variable_gamma
+    sig0 = np.asarray(sim.fields.sigma).mean(1)
+    mass0 = float((sig0[1:-1] * sim.geometry.surf[1:-1]).sum())
+    sim.run()
+    sig = np.asarray(sim.fields.sigma).mean(1)
+    geom = sim.geometry
+    r1 = geom.rmed - geom.radii[0]
+
+    assert np.all(np.isfinite(sig)) and np.all(sig > 0)
+    # left state still intact near the wall, right state still 0.125
+    assert abs(sig[5] - 1.0) < 0.02
+    assert abs(sig[-5] - 0.125) < 0.01
+    # a shock has formed and sits inside the domain: post-shock plateau
+    # between the contact (~0.38) and the undisturbed right state
+    mid = sig[(r1 > 0.65) & (r1 < 0.8)]
+    assert mid.size and np.all(mid > 0.2) and np.all(mid < 0.6)
+    # reflecting walls: mass conserved
+    mass1 = float((sig[1:-1] * geom.surf[1:-1]).sum())
+    assert abs(mass1 / mass0 - 1.0) < 1e-10
