@@ -57,7 +57,8 @@ def _scalar_outer(name: str, x, x0, g: Geom):
 
 # ----- v_rad BCs -------------------------------------------------------------
 
-def _vrad_inner(name: str, vr, vr0, g: Geom):
+def _vrad_inner(name: str, vr, vr0, g: Geom, nu=None,
+                phys_vos: float = 1.0):
     if name == "zerogradient":
         return vr.at[0:2].set(vr[2])
     if name == "outflow":
@@ -70,13 +71,20 @@ def _vrad_inner(name: str, vr, vr0, g: Geom):
     if name == "reference":
         return vr.at[0:2].set(vr0[0:2])
     if name == "viscous":
-        raise NotImplementedError("viscous inflow BC lands with stage 9")
+        # steady viscous drift speed at the inner edge (reference
+        # src/boundary_conditions/viscous.cpp:12-29)
+        if nu is None:
+            raise ValueError("viscous BC needs the viscosity grid")
+        nu_edge = 0.5 * (nu[0] + nu[1])
+        vr = vr.at[1].set(-1.5 * phys_vos / g.ra[1, 0] * nu_edge)
+        return vr.at[0].set(-1.5 * phys_vos / g.ra[0, 0] * nu_edge)
     if name == "none":
         return vr
     raise NotImplementedError(f"vrad inner BC {name!r}")
 
 
-def _vrad_outer(name: str, vr, vr0, g: Geom):
+def _vrad_outer(name: str, vr, vr0, g: Geom, nu=None,
+                phys_vos: float = 1.0):
     nv = vr.shape[0]          # NR+1
     irad = nv - 1             # reference get_max_radial() for vectors
     if name == "zerogradient":
@@ -90,7 +98,13 @@ def _vrad_outer(name: str, vr, vr0, g: Geom):
     if name == "reference":
         return vr.at[irad - 1:].set(vr0[irad - 1:])
     if name == "viscous":
-        raise NotImplementedError("viscous outflow BC lands with stage 9")
+        # (reference src/boundary_conditions/viscous.cpp:31-48)
+        if nu is None:
+            raise ValueError("viscous BC needs the viscosity grid")
+        nu_edge = 0.5 * (nu[-1] + nu[-2])
+        vr = vr.at[irad].set(-1.5 * phys_vos / g.ra[irad, 0] * nu_edge)
+        return vr.at[irad - 1].set(
+            -1.5 * phys_vos / g.ra[irad - 1, 0] * nu_edge)
     if name == "none":
         return vr
     raise NotImplementedError(f"vrad outer BC {name!r}")
@@ -162,7 +176,8 @@ def _vaz_outer(phys: Physics, constants, name: str, vaz, vaz0, g: Geom,
 
 def apply_boundary_conditions(phys: Physics, constants, g: Geom,
                               sigma, vrad, vaz, energy,
-                              ref: RefValues, omega_frame):
+                              ref: RefValues, omega_frame, nu=None,
+                              rof_ctx=None):
     """Per-variable x per-edge dispatch (reference
     src/boundary_conditions/boundary_conditions.cpp:65-110). Damping is a
     separate call (``apply_damping``) made only on the final BC application
@@ -171,10 +186,80 @@ def apply_boundary_conditions(phys: Physics, constants, g: Geom,
     sigma = _scalar_outer(phys.bc_sigma_outer, sigma, ref.sigma0, g)
     energy = _scalar_inner(phys.bc_energy_inner, energy, ref.energy0, g)
     energy = _scalar_outer(phys.bc_energy_outer, energy, ref.energy0, g)
-    vrad = _vrad_inner(phys.bc_vrad_inner, vrad, ref.vrad0, g)
-    vrad = _vrad_outer(phys.bc_vrad_outer, vrad, ref.vrad0, g)
+    vrad = _vrad_inner(phys.bc_vrad_inner, vrad, ref.vrad0, g, nu,
+                       phys.viscous_outflow_speed)
+    vrad = _vrad_outer(phys.bc_vrad_outer, vrad, ref.vrad0, g, nu,
+                       phys.viscous_outflow_speed)
     vaz = _vaz_inner(phys, constants, phys.bc_vaz_inner, vaz, ref.vaz0, g,
                      omega_frame)
     vaz = _vaz_outer(phys, constants, phys.bc_vaz_outer, vaz, ref.vaz0, g,
                      omega_frame)
+    if phys.rochelobe_overflow and rof_ctx is not None:
+        sigma, vrad, vaz, energy = rochelobe_overflow(
+            phys, constants, g, sigma, vrad, vaz, energy, omega_frame,
+            *rof_ctx)
+    return sigma, vrad, vaz, energy
+
+
+def rochelobe_overflow(phys: Physics, constants, g: Geom, sigma, vrad, vaz,
+                       energy, omega_frame, nb, current_time,
+                       temp0_factor, time_to_hours, length_to_cm):
+    """Roche-lobe mass-overflow stream injected at the outer ghost ring
+    around the donor's azimuth (reference
+    src/boundary_conditions/mass_overflow.cpp:22-140): a Gaussian stream
+    whose width follows the donor temperature and orbital period, ramped
+    in over ``ROFrampingtime`` donor orbits."""
+    import jax
+    k = phys.rof_planet
+    x, y = nb.x[k], nb.y[k]
+    vx, vy = nb.vx[k], nb.vy[k]
+    r2 = x * x + y * y
+    omega_planet = (x * vy - y * vx) / r2 + omega_frame
+    angle = jnp.arctan2(y, x) / (2.0 * jnp.pi)
+    angle = jnp.where(angle < 0.0, angle + 1.0, angle)
+
+    nr, naz = g.nrad, g.naz
+    r_cell = g.rb[nr - 1, 0]
+    vr_fraction = 0.002
+    vr_stream = -omega_planet * r_cell * vr_fraction
+    vazi_stream = (omega_planet - omega_frame) * r_cell
+    mdot = phys.rof_mdot
+    sigma_stream = jnp.abs(mdot / (g.dphi * g.ra[nr - 1, 0] * vr_stream))
+
+    nearest = jnp.mod((naz * angle + 0.5).astype(jnp.int32), naz)
+    porb_hours = 2.0 * jnp.pi / omega_planet * time_to_hours
+    q_w = 2.4e13 * (phys.rof_temperature * temp0_factor) * porb_hours ** 2
+    w = jnp.sqrt(q_w / jnp.pi)
+    circ = 2.0 * jnp.pi * r_cell * length_to_cm
+    sig_frac = 2.0 * w / circ
+    sigmabar = naz * sig_frac
+
+    period = 2.0 * jnp.pi / omega_planet
+    t_ramp = phys.rof_rampingtime * period
+    ramp = jnp.where(current_time < t_ramp,
+                     jnp.sin(current_time * (jnp.pi / 2.0)
+                             / jnp.maximum(t_ramp, 1e-300)) ** 6, 1.0)
+
+    j = jnp.arange(naz)
+    # signed azimuthal cell offset to the stream center
+    di = jnp.mod(j - nearest + naz // 2, naz) - naz // 2
+    window = jnp.abs(di) <= jnp.maximum(3.0 * sigmabar, 0.0)
+    weight = jnp.where(
+        sigmabar > 0.0,
+        jnp.exp(-0.5 * (di / jnp.maximum(sigmabar, 1e-30)) ** 2)
+        / (jnp.maximum(sigmabar, 1e-30) * jnp.sqrt(2.0 * jnp.pi)),
+        jnp.where(di == 0, 1.0, 0.0))
+    dens = jnp.maximum(ramp * weight * sigma_stream,
+                       phys.sigma_floor * phys.sigma0)
+
+    row = nr - 1
+    sigma = sigma.at[row].set(jnp.where(window, dens, sigma[row]))
+    if phys.is_adiabatic:
+        e_stream = phys.rof_temperature * dens / phys.mu * constants.R \
+            / (phys.adiabatic_index - 1.0)
+        energy = energy.at[row].set(jnp.where(window, e_stream, energy[row]))
+    vrad = vrad.at[row].set(jnp.where(window, vr_stream, vrad[row]))
+    vrad = vrad.at[row + 1].set(jnp.where(window, vr_stream, vrad[row + 1]))
+    window_vaz = window | jnp.roll(window, 1)
+    vaz = vaz.at[row].set(jnp.where(window_vaz, vazi_stream, vaz[row]))
     return sigma, vrad, vaz, energy

@@ -180,6 +180,16 @@ class Physics:
     # accretion onto planets (reference src/accretion.cpp)
     accretion_radius_fraction: float = 1.0
 
+    # Roche-lobe overflow stream (reference
+    # src/boundary_conditions/mass_overflow.cpp)
+    rochelobe_overflow: bool = False
+    rof_planet: int = 1
+    rof_temperature: float = 0.0
+    rof_mdot: float = 0.0
+    rof_rampingtime: float = 30.0
+    rof_gamma: float = 0.5
+    rof_variable_transfer: bool = False
+
     # misc
     calculate_disk: bool = True
     viscous_accretion: bool = False
@@ -408,6 +418,14 @@ def physics_from_config(cfg: Config, un: u.Units, dtype: str = "float64") -> Phy
         profile_cutoff_width_inner=cfg.get("ProfileCutoffWidthInner", 1.0, dim=u.DIM_LENGTH, type=float),
         center_mass_density_correction_factor=cfg.get("CenterProfileDensityCorrectionFactor", 1.0, type=float),
         viscous_outflow_speed=cfg.get("ViscousOutflowSpeed", 1.0, type=float),
+        rochelobe_overflow=cfg.get_flag("RocheLobeOverflow", False),
+        rof_planet=cfg.get("ROFplanet", 1, type=int),
+        rof_temperature=cfg.get("ROFtemperature", 1000.0 / un.Temp0,
+                                dim=u.DIM_TEMPERATURE, type=float),
+        rof_mdot=cfg.get("ROFvalue", 1e-8, dim=u.DIM_MDOT, type=float),
+        rof_rampingtime=cfg.get("ROFrampingtime", 30.0, type=float),
+        rof_gamma=cfg.get("ROFgamma", 0.5, type=float),
+        rof_variable_transfer=cfg.get_flag("ROFVariableTransfer", False),
         damping=cfg.get_flag("Damping", False),
         damping_inner_limit=cfg.get("DampingInnerLimit", 1.05, type=float),
         damping_outer_limit=cfg.get("DampingOuterLimit", 0.95, type=float),

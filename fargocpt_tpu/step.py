@@ -196,16 +196,25 @@ class HydroStep:
 
     # ------------------------------------------------------------------
     def _apply_bcs(self, sigma, vrad, vaz, energy, omega_frame,
-                   final: bool = False, dt=None):
+                   final: bool = False, dt=None, nb=None, time=None):
         """reference src/boundary_conditions/boundary_conditions.cpp:65-110;
         damping runs first and only on the final application of a step
         (:45-63 ``handle_damping``)."""
-        if final and self.phys.damping and self.damping is not None:
+        phys = self.phys
+        if final and phys.damping and self.damping is not None:
             sigma, vrad, vaz, energy = self.damping.apply(
-                self.phys, sigma, vrad, vaz, energy, self.ref_values, dt)
+                phys, sigma, vrad, vaz, energy, self.ref_values, dt)
+        nu = None
+        if "viscous" in (phys.bc_vrad_inner, phys.bc_vrad_outer):
+            cs, _, h = self.derived(sigma, energy)
+            nu = self.viscosity_grid(cs, h)
+        rof_ctx = None
+        if phys.rochelobe_overflow and nb is not None:
+            un = self.units
+            rof_ctx = (nb, time, un.temperature, un.time / 3600.0, un.length)
         return boundary.apply_boundary_conditions(
-            self.phys, self.constants, self.g, sigma, vrad, vaz, energy,
-            self.ref_values, omega_frame)
+            phys, self.constants, self.g, sigma, vrad, vaz, energy,
+            self.ref_values, omega_frame, nu=nu, rof_ctx=rof_ctx)
 
     def irradiation_ctx(self, bodies):
         if not self.phys.heating_star:
@@ -548,7 +557,7 @@ class HydroStep:
 
             # boundary conditions before transport (final=false)
             sigma, vrad, vaz, energy = self._apply_bcs(
-                sigma, vrad, vaz, energy, omega_frame)
+                sigma, vrad, vaz, energy, omega_frame, nb=nb, time=time)
 
             sigma, vrad, vaz, energy, _mass_flux = transport.transport(
                 phys, g, sigma, vrad, vaz, energy, omega_frame, dt)
@@ -568,7 +577,8 @@ class HydroStep:
         if phys.calculate_disk:
             # final boundary conditions (+ damping, when enabled)
             sigma, vrad, vaz, energy = self._apply_bcs(
-                sigma, vrad, vaz, energy, omega_frame, final=True, dt=dt)
+                sigma, vrad, vaz, energy, omega_frame, final=True, dt=dt,
+                nb=nb, time=time)
 
         return state.replace(
             fields=FieldState(sigma=sigma, vrad=vrad, vaz=vaz, energy=energy),

@@ -74,3 +74,30 @@ def test_exponential_grid():
     assert np.isclose(g.radii[1], 0.4)
     assert np.isclose(g.radii[g.nrad - 1], 2.5)
     assert np.all(np.diff(np.diff(g.radii)) > -1e-12)  # growing cells
+
+
+def test_viscous_boundary_condition():
+    """InnerBoundaryVrad: viscous sets the edge v_rad to the steady drift
+    -1.5 s nu / r (reference src/boundary_conditions/viscous.cpp)."""
+    from fargocpt_tpu.config import Config
+    from fargocpt_tpu.sim import Simulation
+
+    cfg = Config.from_dict({
+        "EquationOfState": "Isothermal", "AspectRatio": "0.05",
+        "Sigma0": "200 g/cm2", "SigmaSlope": "0.5",
+        "ViscousAlpha": "0.01",
+        "Nrad": "32", "Naz": "8", "Rmin": "0.4", "Rmax": "2.5",
+        "InnerBoundary": "viscous", "OuterBoundary": "outflow",
+        "ViscousOutflowSpeed": "5.0",
+        "Nsnapshots": "1", "Nmonitor": "1", "MonitorTimestep": "0.01",
+    })
+    sim = Simulation(cfg)
+    vr = np.asarray(sim.fields.vrad)
+    # expected: -1.5 * s * nu_edge / Ra with nu = alpha cs H
+    import jax.numpy as jnp
+    cs, _, h = sim.stepper.derived(sim.fields.sigma, sim.fields.energy)
+    nu = np.asarray(sim.stepper.viscosity_grid(cs, h))
+    nu_edge = 0.5 * (nu[0] + nu[1])
+    expected1 = -1.5 * 5.0 / sim.geometry.ra[1] * nu_edge
+    np.testing.assert_allclose(vr[1], expected1, rtol=1e-12)
+    assert np.all(vr[1] < 0)

@@ -143,3 +143,34 @@ def test_corotating_frame():
         "planet drifted in the corotating frame"
     assert np.isclose(float(sim.state.omega_frame), omega_expected,
                       rtol=1e-6)
+
+
+def test_rochelobe_overflow_stream():
+    """Mass-overflow stream at the outer boundary (reference
+    src/boundary_conditions/mass_overflow.cpp): mass flows in around the
+    donor's azimuth and the disk gains mass."""
+    cfg = Config.from_dict({
+        "EquationOfState": "Isothermal", "AspectRatio": "0.05",
+        "Sigma0": "1 g/cm2", "SigmaSlope": "0.5", "SigmaFloor": "1e-8",
+        "ViscousAlpha": "0.01",
+        "Nrad": "64", "Naz": "64", "Rmin": "0.1", "Rmax": "0.5",
+        "RadialSpacing": "Log",
+        "InnerBoundary": "outflow", "OuterBoundary": "outflow",
+        "RocheLobeOverflow": "yes", "ROFplanet": "1",
+        "ROFtemperature": "4000 K", "ROFvalue": "3e-8 solMass/yr",
+        "ROFrampingtime": "0.01",
+        "Nsnapshots": "1", "Nmonitor": "1", "MonitorTimestep": "1.0",
+        "nbody": [
+            {"name": "star", "semi-major axis": "0.0", "mass": "1.0"},
+            {"name": "donor", "semi-major axis": "1.0", "mass": "0.5"},
+        ],
+    })
+    sim = Simulation(cfg)
+    sim.run()
+    sigma = np.asarray(sim.fields.sigma)
+    assert np.all(np.isfinite(sigma))
+    # the stream azimuth at the outer ghost ring carries far more mass
+    # than the opposite side, and the stream has penetrated inward
+    outer = sigma[-1]
+    assert outer.max() > 10 * np.median(outer)
+    assert sigma[-2].max() > 10 * np.median(sigma[-2])
