@@ -1,0 +1,147 @@
+"""Analysis loader for simulation output.
+
+Python data API replacing the reference python module
+(python_module/fargocpt/data.py ``Loader``): units-aware reading of
+snapshots, 1-D profiles, monitor scalars and per-body orbit files from the
+reference-layout output directory. Pure numpy (astropy-free): unit
+conversion is exposed as plain cgs factors from units.yml.
+
+Example::
+
+    from fargocpt_tpu.analysis import Loader
+    l = Loader("output/out")
+    r, phi, sigma = l.gas.get("Sigma", N=5)         # code units
+    sigma_cgs = sigma * l.units["mass surface density"]["factor"]
+    t, mass = l.quantities("time", "mass")
+    orbit = l.nbody(1)                              # dict of columns
+"""
+
+from __future__ import annotations
+
+import struct
+from pathlib import Path
+
+import numpy as np
+import yaml
+
+
+class GasVars:
+    def __init__(self, loader: "Loader"):
+        self._l = loader
+
+    def get(self, name: str, N: int | str = "last", grid: bool = True):
+        """2-D field of snapshot N. Returns (R, PHI, data) cell-center
+        meshes when ``grid`` else just the data array."""
+        l = self._l
+        sid = l.resolve_snapshot(N)
+        path = l.outdir / "snapshots" / sid / f"{name}.dat"
+        data = np.fromfile(path, np.float64)
+        nrad = data.size // l.naz
+        data = data.reshape(nrad, l.naz)
+        if not grid:
+            return data
+        if nrad == l.nrad + 1:        # radial-face field
+            r = l.radii
+        else:
+            r = l.rmed
+        phi = (np.arange(l.naz) + 0.0) * 2 * np.pi / l.naz
+        R, PHI = np.meshgrid(r[:nrad], phi, indexing="ij")
+        return R, PHI, data
+
+    def avg(self, name: str, N: int | str = "last"):
+        """(radius, azimuthal average) from the 1-D profile file, falling
+        back to averaging the 2-D field."""
+        l = self._l
+        sid = l.resolve_snapshot(N)
+        path1d = l.outdir / "snapshots" / sid / f"{name}1D.dat"
+        if path1d.exists():
+            raw = np.fromfile(path1d, np.float64).reshape(-1, 4)
+            return raw[:, 0], raw[:, 1]
+        data = self.get(name, N, grid=False)
+        r = l.radii if data.shape[0] == l.nrad + 1 else l.rmed
+        return r[:data.shape[0]], data.mean(axis=1)
+
+    def minmax(self, name: str, N: int | str = "last"):
+        l = self._l
+        raw = np.fromfile(
+            l.outdir / "snapshots" / l.resolve_snapshot(N)
+            / f"{name}1D.dat", np.float64).reshape(-1, 4)
+        return raw[:, 0], raw[:, 2], raw[:, 3]
+
+
+class Loader:
+    """Units-aware reader of a simulation output directory."""
+
+    def __init__(self, outdir: str | Path):
+        self.outdir = Path(outdir)
+        dims = np.genfromtxt(self.outdir / "dimensions.dat", dtype=None,
+                             encoding=None, names=True)
+        header = open(self.outdir / "dimensions.dat").readlines()[1].split()
+        self.rmin = float(header[0])
+        self.rmax = float(header[1])
+        self.nrad = int(header[4])
+        self.naz = int(header[5])
+        self.radii = np.genfromtxt(self.outdir / "used_rad.dat")
+        rinf, rsup = self.radii[:-1], self.radii[1:]
+        self.rmed = (2.0 / 3.0) * (rsup ** 3 - rinf ** 3) \
+            / (rsup ** 2 - rinf ** 2)
+        units_file = self.outdir / "units.yml"
+        self.units = yaml.safe_load(units_file.read_text()) \
+            if units_file.exists() else {}
+        const_file = self.outdir / "constants.yml"
+        self.constants = yaml.safe_load(const_file.read_text()) \
+            if const_file.exists() else {}
+        self.gas = GasVars(self)
+
+    # -- snapshots -----------------------------------------------------
+    @property
+    def snapshots(self) -> list[str]:
+        path = self.outdir / "snapshots" / "list.txt"
+        if not path.exists():
+            return []
+        return [x.strip() for x in path.read_text().split() if x.strip()]
+
+    def resolve_snapshot(self, N) -> str:
+        if N == "last":
+            return self.snapshots[-1]
+        return str(N)
+
+    def misc(self, N: int | str = "last") -> dict:
+        from .output import load_misc
+        return load_misc(self.outdir / "snapshots" / self.resolve_snapshot(N))
+
+    def nbody_state(self, N: int | str = "last") -> dict:
+        arr = np.fromfile(
+            self.outdir / "snapshots" / self.resolve_snapshot(N)
+            / "nbody.bin", np.float64).reshape(-1, 5)
+        return {"x": arr[:, 0], "y": arr[:, 1], "vx": arr[:, 2],
+                "vy": arr[:, 3], "mass": arr[:, 4]}
+
+    # -- monitor scalars -------------------------------------------------
+    def _read_monitor(self, filename: str):
+        path = self.outdir / "monitor" / filename
+        cols = {}
+        for line in path.read_text().splitlines():
+            if line.startswith("#variable:"):
+                _, rest = line.split(":", 1)
+                idx, name, _unit = [p.strip() for p in rest.split("|")]
+                cols[name] = int(idx)
+            elif not line.startswith("#"):
+                break
+        data = np.loadtxt(path, ndmin=2)
+        return cols, data
+
+    def quantities(self, *names: str):
+        """Columns of monitor/Quantities.dat by name."""
+        cols, data = self._read_monitor("Quantities.dat")
+        out = tuple(data[:, cols[n]] for n in names)
+        return out if len(out) > 1 else out[0]
+
+    def nbody(self, k: int) -> dict:
+        """All columns of monitor/nbody{k}.dat keyed by name."""
+        cols, data = self._read_monitor(f"nbody{k}.dat")
+        return {name: data[:, idx] for name, idx in cols.items()}
+
+    def timestep_log(self) -> dict:
+        cols, data = self._read_monitor("timestepLogging.dat")
+        return {name: data[:, idx] for name, idx in cols.items()}

@@ -176,12 +176,39 @@ class OutputWriter:
         np.asarray(sim.state.qplus, np.float64).tofile(sdir / "Qplus.dat")
         np.asarray(sim.state.qminus, np.float64).tofile(sdir / "Qminus.dat")
 
+        # 1-D radial profiles: interleaved [radius, azi-avg, min, max]
+        # per ring (reference src/polargrid.cpp:187-260 write1D)
+        self._write_1d(sdir, "Sigma", np.asarray(f.sigma),
+                       sim.geometry.rmed)
+        self._write_1d(sdir, "vrad", np.asarray(f.vrad), sim.geometry.ra)
+        self._write_1d(sdir, "vazi", np.asarray(f.vaz), sim.geometry.rmed)
+        self._write_1d(sdir, "energy", np.asarray(f.energy),
+                       sim.geometry.rmed)
+        if sim.phys.is_adiabatic:
+            gam = sim.phys.adiabatic_index
+            temp = sim.phys.mu / sim.constants.R * (gam - 1.0) \
+                * np.asarray(f.energy) / np.asarray(f.sigma)
+            self._write_1d(sdir, "Temperature", temp, sim.geometry.rmed)
+            import jax.numpy as _jnp
+            _cs, _p, h = sim.stepper.derived(f.sigma, f.energy)
+            aspect = np.asarray(h) / sim.geometry.rmed[:, None]
+            self._write_1d(sdir, "aspectratio", aspect, sim.geometry.rmed)
+
         self._write_misc(sdir)
         self._write_nbody_bin(sdir)
 
         if register:
             with open(self.outdir / "snapshots" / "list.txt", "a") as fl:
                 fl.write(sid + "\n")
+
+    def _write_1d(self, sdir: Path, name: str, field2d: np.ndarray,
+                  radius: np.ndarray):
+        out = np.empty((field2d.shape[0], 4), np.float64)
+        out[:, 0] = radius[:field2d.shape[0]]
+        out[:, 1] = field2d.mean(axis=1)
+        out[:, 2] = field2d.min(axis=1)
+        out[:, 3] = field2d.max(axis=1)
+        out.tofile(sdir / f"{name}1D.dat")
 
     def _write_misc(self, sdir: Path):
         sim = self.sim

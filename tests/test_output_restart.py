@@ -124,3 +124,45 @@ def test_cli_start_and_auto(tmp_path):
         timeout=600)
     assert r2.returncode == 0, r2.stderr
     assert "resuming from snapshot 1" in r2.stdout
+
+
+def test_analysis_loader(tmp_path):
+    """The analysis Loader reads back everything the writer produces
+    (replaces the reference python_module fargocpt.data.Loader)."""
+    from fargocpt_tpu.analysis import Loader
+
+    outdir = tmp_path / "out"
+    sim = Simulation(Config.from_dict(cfg_dict(outdir)))
+    out.OutputWriter(sim)
+    sim.run()
+
+    l = Loader(outdir)
+    assert l.nrad == 32 and l.naz == 16
+    assert l.snapshots == ["0", "1", "2"]
+
+    R, PHI, sigma = l.gas.get("Sigma", "last")
+    assert sigma.shape == (32, 16)
+    assert R.shape == sigma.shape
+    r1, sig_avg = l.gas.avg("Sigma", "last")
+    np.testing.assert_allclose(sig_avg, sigma.mean(axis=1), rtol=1e-14)
+    r1, smin, smax = l.gas.minmax("Sigma", "last")
+    assert np.all(smin <= sig_avg) and np.all(smax >= sig_avg)
+
+    # vrad is face-centered: one extra ring
+    _, _, vr = l.gas.get("vrad", "last")
+    assert vr.shape == (33, 16)
+
+    t, mass = l.quantities("time", "mass")
+    assert t[-1] == 0.6 and np.all(mass > 0)
+
+    orbit = l.nbody(1)
+    assert np.allclose(orbit["semi-major axis"], 1.0, rtol=1e-3)
+
+    misc = l.misc("last")
+    assert misc["time"] == sim.time
+
+    log = l.timestep_log()
+    assert np.all(log["mean dt"] > 0)
+
+    # cgs conversion factors round-trip through units.yml
+    assert np.isclose(l.units["length"]["factor"], sim.units.length)
