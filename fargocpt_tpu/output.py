@@ -62,6 +62,9 @@ class OutputWriter:
         self.outdir = Path(outdir or sim.settings.outdir)
         self.snapshot_dir = None
         self._quantities_initialized = False
+        # native async writer for the large field dumps (fargocpt_tpu.native)
+        from .native import AsyncFileWriter
+        self._awriter = AsyncFileWriter()
         self._setup()
         # hook into the simulation
         sim.monitor_hooks.append(self._on_monitor)
@@ -162,19 +165,19 @@ class OutputWriter:
         self.snapshot_dir = sdir
 
         f = sim.fields
-        np.asarray(f.sigma, np.float64).tofile(sdir / "Sigma.dat")
-        np.asarray(f.vrad, np.float64).tofile(sdir / "vrad.dat")
-        np.asarray(f.vaz, np.float64).tofile(sdir / "vazi.dat")
-        np.asarray(f.energy, np.float64).tofile(sdir / "energy.dat")
+        w = self._awriter.write
+        w(sdir / "Sigma.dat", np.asarray(f.sigma))
+        w(sdir / "vrad.dat", np.asarray(f.vrad))
+        w(sdir / "vazi.dat", np.asarray(f.vaz))
+        w(sdir / "energy.dat", np.asarray(f.energy))
         if sim.phys.is_adiabatic:
-            from .ops import eos
             gam = sim.phys.adiabatic_index
             temp = sim.phys.mu / sim.constants.R * (gam - 1.0) \
                 * np.asarray(f.energy) / np.asarray(f.sigma)
-            temp.astype(np.float64).tofile(sdir / "Temperature.dat")
+            w(sdir / "Temperature.dat", temp)
         # Q grids for bitwise-exact restart (reference src/restart.cpp:73-90)
-        np.asarray(sim.state.qplus, np.float64).tofile(sdir / "Qplus.dat")
-        np.asarray(sim.state.qminus, np.float64).tofile(sdir / "Qminus.dat")
+        w(sdir / "Qplus.dat", np.asarray(sim.state.qplus))
+        w(sdir / "Qminus.dat", np.asarray(sim.state.qminus))
 
         # 1-D radial profiles: interleaved [radius, azi-avg, min, max]
         # per ring (reference src/polargrid.cpp:187-260 write1D)
@@ -197,6 +200,9 @@ class OutputWriter:
         self._write_misc(sdir)
         self._write_nbody_bin(sdir)
 
+        # drain the async queue so the snapshot is durable before the
+        # registry names it
+        self._awriter.flush()
         if register:
             with open(self.outdir / "snapshots" / "list.txt", "a") as fl:
                 fl.write(sid + "\n")
