@@ -14,6 +14,14 @@ Physics fidelity is gated by ports of the reference's analytic test suite
 
 __version__ = "0.1.0"
 
+import sys as _sys
+
+# Lowering the Pallas kernels nested inside jit(while_loop(step)) recurses
+# deeper than CPython's default 1000-frame limit (JAX traces/lowers jaxprs
+# recursively); raise it once here.
+if _sys.getrecursionlimit() < 100000:
+    _sys.setrecursionlimit(100000)
+
 from . import config, constants, grid, params, state, units  # noqa: F401
 
 

@@ -119,6 +119,486 @@ def theta_sweep_pallas(qs, v, rb_col, coef_col, inv_surf_col, dt,
     )(dt_arr, qs, v, rb_col, coef_col, inv_surf_col)
 
 
+def _radial_momenta_kernel(scal_ref, sig_ref, vr_ref, vaz_ref, vnext_ref,
+                           e_ref, base_ref, rb_ref, invdrm_ref, cm_ref,
+                           cp_ref, inv_surf_ref, out_ref, *, k_quant: int,
+                           limiter: int):
+    """Radial van Leer sweep with IN-KERNEL momenta construction
+    (reference src/TransportEuler.cpp:471-493 ``compute_momenta_from_velocities``
+    fused with :545-620 ``VanLeerRadial``).
+
+    The momenta never exist in HBM: each grid step k builds the specific
+    form of one advected quantity directly from the primitive blocks
+    (rp/sigma = vrad+, am/sigma = (vaz + Omega r) r, E/sigma, 1) and
+    transports q = work * sigma. Saves a full write+read of the (K, NR,
+    NAZ) batch per hydro step versus materializing the stack.
+
+    scal_ref: SMEM (2,) = [dt, omega_frame].
+    """
+    dt = scal_ref[0]
+    omega = scal_ref[1]
+    nr = sig_ref.shape[0]
+    lim = _mc if limiter == 1 else _van_leer
+    sig = sig_ref[:]
+    rb = rb_ref[:]
+
+    works = [
+        vr_ref[1:, :],                                # rp / sigma
+        vr_ref[:-1, :],                               # rm / sigma
+        (vnext_ref[:] + rb * omega) * rb,             # ap / sigma
+        (vaz_ref[:] + rb * omega) * rb,               # am / sigma
+    ]
+    if k_quant == 6:
+        works.append(e_ref[:] * (1.0 / sig))          # energy / sigma
+    works.append(jnp.ones_like(sig))                  # sigma / sigma
+
+    k = pl.program_id(1)
+    work = works[0]
+    for idx in range(1, k_quant):
+        work = jnp.where(k == idx, works[idx], work)
+    q = work * sig
+
+    s = (work[1:, :] - work[:-1, :]) * invdrm_ref[1:nr]
+    zrow = jnp.zeros_like(work[:1, :])
+    dq = jnp.concatenate([zrow, lim(s[1:, :], s[:-1, :]), zrow], axis=0)
+
+    vf = vr_ref[1:nr, :]
+    up = work[:-1, :] + (cm_ref[1:nr] - vf * dt) * 0.5 * dq[:-1, :]
+    dn = work[1:, :] - (cp_ref[1:nr] + vf * dt) * 0.5 * dq[1:, :]
+    qstar_mid = jnp.where(vf > 0.0, up, dn)
+    flux_mid = qstar_mid * base_ref[1:nr, :]
+    zface = jnp.zeros_like(flux_mid[:1, :])
+    fl = jnp.concatenate([zface, flux_mid, zface], axis=0)
+    out_ref[0] = q + (fl[:-1, :] - fl[1:, :]) * inv_surf_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("k_quant", "limiter",
+                                              "col_tile"))
+def radial_momenta_sweep_pallas(sigma, vrad, vaz, energy, base, dt,
+                                omega_frame, rb, invdrm, cm, cp, inv_surf,
+                                k_quant: int, limiter: int,
+                                col_tile: int = 128):
+    """Momenta construction + radial van Leer sweep, one fused kernel.
+
+    Returns the radially-transported quantity batch (K, NR, NAZ) ordered
+    [rp, rm, ap, am, (energy), sigma]."""
+    nr, naz = sigma.shape
+    vnext = jnp.roll(vaz, -1, axis=-1)
+    kernel = functools.partial(_radial_momenta_kernel, k_quant=k_quant,
+                               limiter=limiter)
+    scal = jnp.stack([jnp.asarray(dt, sigma.dtype),
+                      jnp.asarray(omega_frame, sigma.dtype)])
+    col = lambda j, k: (0, j)
+    return pl.pallas_call(
+        kernel,
+        grid=(naz // col_tile, k_quant),
+        in_specs=[
+            pl.BlockSpec((2,), lambda j, k: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nr, col_tile), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr + 1, col_tile), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, col_tile), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, col_tile), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, col_tile), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr + 1, col_tile), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, 1), lambda j, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr + 1, 1), lambda j, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr + 1, 1), lambda j, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr + 1, 1), lambda j, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, 1), lambda j, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, nr, col_tile), lambda j, k: (k, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k_quant, nr, naz), sigma.dtype),
+    )(scal, sigma, vrad, vaz, vnext, energy, base, rb, invdrm, cm, cp,
+      inv_surf)
+
+
+# column indices of the packed geometry-column input of the sources kernel
+_SRC_COLS = dict(rb=0, ra_lo=1, ra_hi=2, inv_ra_lo=3, invdrm=4,
+                 invdxtheta=5, inv_diff_rsup_rb=6, inv_rb=7, hfac=8,
+                 cs_iso=9, drift=10)
+_N_SRC_COLS = 16
+
+
+def make_sources_prep(phys, constants, geometry, g, cs_iso, n_bodies, dtype):
+    """Static inputs of the fused sources kernel: packed geometry columns,
+    cos/sin azimuth rows, and the per-body smoothing-mode tuple."""
+    nr = geometry.nrad
+    omega_k = jnp.sqrt(constants.G * phys.hydro_center_mass / g.rb ** 3)
+    hfac = 1.0 / (jnp.sqrt(phys.adiabatic_index) * omega_k) \
+        if phys.is_adiabatic else 1.0 / omega_k
+    drift = jnp.zeros_like(g.rb)
+    if phys.imposed_disk_drift != 0.0:
+        drift = phys.imposed_disk_drift * 0.5 * \
+            g.rb ** (-2.5 + phys.sigma_slope)
+    named = {
+        "rb": g.rb, "ra_lo": g.ra[:nr], "ra_hi": g.ra[1:],
+        "inv_ra_lo": g.inv_ra[:nr], "invdrm": g.inv_diff_rmed[:nr],
+        "invdxtheta": 2.0 / (g.dphi * (g.rsup + g.rinf)),
+        "inv_diff_rsup_rb": g.inv_diff_rsup_rb,
+        "inv_rb": g.inv_rb, "hfac": hfac,
+        "cs_iso": jnp.broadcast_to(cs_iso, (nr, 1)),
+        "drift": drift,
+    }
+    cols = jnp.zeros((nr, _N_SRC_COLS), dtype)
+    for name, idx in _SRC_COLS.items():
+        cols = cols.at[:, idx].set(named[name][:, 0].astype(dtype))
+    cos_row = jnp.asarray(geometry.cos_phi, dtype)[None, :]
+    sin_row = jnp.asarray(geometry.sin_phi, dtype)[None, :]
+    smooth_modes = tuple(
+        "zero" if (phys.compatibility_no_star_smoothing and k == 0)
+        else "scalar" if phys.compatibility_smoothing_planetloc
+        else "cell" for k in range(n_bodies))
+    return cols, cos_row, sin_row, smooth_modes
+
+
+def _sources_kernel(scal_ref, sig_ref, sigp_ref, e_ref, ep_ref,
+                    vaz_ref, vazn_ref, vr_ref, cols_ref, cos_ref,
+                    sin_ref, cosp_ref, sinp_ref,
+                    vr_out, vaz_out, *, n_bodies: int, adiabatic: bool,
+                    gamma: float, eps: float, smooth_modes: tuple):
+    """Fused source-term substep (reference src/SourceEuler.cpp:325-428 +
+    src/Pframeforce.cpp:21-95): N-body potential evaluation and the radial
+    and azimuthal momentum updates in one kernel (adiabatic compression
+    heating stays in XLA — it only needs the outputs).
+
+    Column tiling (full radial extent, a 128-lane azimuth tile per grid
+    step) makes every radial stencil a free sublane slice; the azimuthal
+    (lane) neighbors come from pre-rolled copies of sigma/energy/vaz. The
+    POTENTIAL grid is never materialized in HBM: body positions/masses are
+    scalars in SMEM and the potential of the tile (and of its lane-shifted
+    neighbor) is recomputed on the VPU, which costs ~20 flops/cell against
+    the two full HBM round-trips the staged version pays.
+
+    scal_ref layout: [dt, omega_frame, indirect_x, indirect_y] +
+    per-body [G*m, x, y, r_cubic, smooth2_scalar].
+    """
+    dt = scal_ref[0]
+    omega = scal_ref[1]
+    ix = scal_ref[2]
+    iy = scal_ref[3]
+    nr = sig_ref.shape[0]
+
+    sig, sigp = sig_ref[:], sigp_ref[:]
+    e, ep = e_ref[:], ep_ref[:]
+    vaz, vazn = vaz_ref[:], vazn_ref[:]
+    vrad = vr_ref[:]
+    col = lambda name: cols_ref[:, _SRC_COLS[name]:_SRC_COLS[name] + 1]
+    rb = col("rb")
+    hfac = col("hfac")
+
+    if adiabatic:
+        def press_of(s, ee):
+            return (gamma - 1.0) * ee
+
+        def h_of(s, ee):
+            return jnp.sqrt(gamma * (gamma - 1.0) * ee / s) * hfac
+    else:
+        cs_iso = col("cs_iso")
+
+        def press_of(s, ee):
+            return s * cs_iso * cs_iso
+
+        def h_of(s, ee):
+            return jnp.broadcast_to(cs_iso * hfac, s.shape)
+
+    def pot_eval(cosphi, sinphi, h):
+        """reference src/Pframeforce.cpp:21-95 CalculateNbodyPotential."""
+        x = rb * cosphi
+        y = rb * sinphi
+        pot = -(ix * x + iy * y)
+        sm2_cell = (eps * h) * (eps * h)
+        for k in range(n_bodies):
+            gm = scal_ref[4 + 5 * k]
+            bx = scal_ref[5 + 5 * k]
+            by = scal_ref[6 + 5 * k]
+            rsm = scal_ref[7 + 5 * k]
+            if smooth_modes[k] == "cell":
+                sm2 = sm2_cell
+            elif smooth_modes[k] == "scalar":
+                sm2 = scal_ref[8 + 5 * k]
+            else:                                    # "zero"
+                sm2 = 0.0
+            dx = x - bx
+            dy = y - by
+            d = jnp.sqrt(dx * dx + dy * dy + sm2)
+            q = d / jnp.where(rsm > 0.0, rsm, 1.0)
+            klahr = jnp.where((rsm > 0.0) & (d < rsm),
+                              q ** 4 - 2.0 * q ** 3 + 2.0 * q, 1.0)
+            pot = pot - gm / d * klahr
+        return pot
+
+    press = press_of(sig, e)
+    pressp = press_of(sigp, ep)
+    pot = pot_eval(cos_ref[:], sin_ref[:], h_of(sig, e))
+    potp = pot_eval(cosp_ref[:], sinp_ref[:], h_of(sigp, ep))
+
+    # --- radial momentum, faces 2..NR-2 (src/SourceEuler.cpp:325-372) ---
+    def face_update(s_hi, s_lo, p_hi, p_lo, pot_hi, pot_lo, va_hi, va_lo,
+                    van_hi, van_lo, invdrm_f, ra_f, inv_ra_f):
+        gradp = 2.0 / (s_hi + s_lo) * (p_hi - p_lo) * invdrm_f
+        gradphi = (pot_hi - pot_lo) * invdrm_f
+        vt = 0.25 * (va_hi + van_hi + va_lo + van_lo) + ra_f * omega
+        return dt * (-gradp - gradphi + vt * vt * inv_ra_f)
+
+    invdrm = col("invdrm")                       # row r = face r
+    ra_lo = col("ra_lo")                         # row r = ra[r]
+    ra_hi = col("ra_hi")                         # row r = ra[r+1]
+    inv_ra_lo = col("inv_ra_lo")
+    # faces f = 1..NR-1 live at slice index f-1
+    dv = face_update(sig[1:], sig[:-1], press[1:], press[:-1],
+                     pot[1:], pot[:-1], vaz[1:], vaz[:-1],
+                     vazn[1:], vazn[:-1], invdrm[1:], ra_lo[1:],
+                     inv_ra_lo[1:])
+    z1 = jnp.zeros_like(dv[:1])
+    add = jnp.concatenate([z1, z1, dv[1:nr - 2], z1, z1], axis=0)  # (NR+1,C)
+    vr_new = vrad + add
+
+    # --- azimuthal momentum, rings 1..NR-2 (src/SourceEuler.cpp:375-428) ---
+    invdxth = col("invdxtheta")
+    drift = col("drift")
+
+    def az_update(va, s_hi, s_lo, p_hi, p_lo, pot_hi, pot_lo):
+        gradp = 2.0 / (s_hi + s_lo) * (p_hi - p_lo) * invdxth
+        gradphi = (pot_hi - pot_lo) * invdxth
+        return va + dt * (-gradp - gradphi) + dt * drift
+
+    va_full = az_update(vaz, sig, sigp, press, pressp, pot, potp)
+    va_new = jnp.concatenate([vaz[:1], va_full[1:nr - 1], vaz[nr - 1:]],
+                             axis=0)
+
+    vr_out[...] = vr_new
+    vaz_out[...] = va_new
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_bodies", "adiabatic", "gamma", "eps", "smooth_modes", "col_tile"))
+def sources_fused_pallas(sigma, energy, vaz, vrad, cols, cosphi, sinphi,
+                         scal, n_bodies: int, adiabatic: bool, gamma: float,
+                         eps: float, smooth_modes: tuple,
+                         col_tile: int = 128):
+    """Fused potential + momentum source terms. Returns (vrad, vaz); the
+    caller applies compression heating to the energy afterwards."""
+    nr, naz = sigma.shape
+    roll_p = lambda a: jnp.roll(a, 1, axis=-1)
+    roll_n = lambda a: jnp.roll(a, -1, axis=-1)
+    kernel = functools.partial(
+        _sources_kernel, n_bodies=n_bodies, adiabatic=adiabatic,
+        gamma=gamma, eps=eps, smooth_modes=smooth_modes)
+    cell = lambda j: (0, j)
+    row = lambda j: (0, j)
+    specs = [
+        pl.BlockSpec((4 + 5 * n_bodies,), lambda j: (0,),
+                     memory_space=pltpu.SMEM),
+        *[pl.BlockSpec((nr, col_tile), cell, memory_space=pltpu.VMEM)] * 6,
+        pl.BlockSpec((nr + 1, col_tile), cell, memory_space=pltpu.VMEM),
+        pl.BlockSpec((nr, _N_SRC_COLS), lambda j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        *[pl.BlockSpec((1, col_tile), row, memory_space=pltpu.VMEM)] * 4,
+    ]
+    out_specs = (
+        pl.BlockSpec((nr + 1, col_tile), cell, memory_space=pltpu.VMEM),
+        pl.BlockSpec((nr, col_tile), cell, memory_space=pltpu.VMEM),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct(vrad.shape, vrad.dtype),
+        jax.ShapeDtypeStruct(vaz.shape, vaz.dtype),
+    )
+    vr_new, va_new = pl.pallas_call(
+        kernel, grid=(naz // col_tile,), in_specs=specs,
+        out_specs=out_specs, out_shape=out_shape,
+    )(scal, sigma, roll_p(sigma), energy, roll_p(energy),
+      vaz, roll_n(vaz), vrad, cols, cosphi, sinphi,
+      roll_p(cosphi), roll_p(sinphi))
+    return vr_new, va_new
+
+
+def _fargo_theta_kernel(shift_ref, dt_ref, qs_ref, vres_ref, vconst_ref,
+                        rb_ref, coef_ref, inv_surf_ref, out_ref, *,
+                        k_quant: int, dphi: float, limiter: int,
+                        two_pass: bool, tile: int):
+    """One radial tile of the COMPLETE FARGO azimuthal update: residual
+    van Leer sweep, (optional) uniform-residual sweep, and the per-ring
+    integer-cell roll — fused so the (K, NR, NAZ) batch crosses HBM once
+    instead of three times (reference src/TransportEuler.cpp:171-268
+    OneWindTheta + UniformTransport + AdvectSHIFT)."""
+    dt = dt_ref[0, 0]
+    rb = rb_ref[:]
+    dxtheta = dphi * rb
+    inv_dxtheta = 1.0 / dxtheta
+    coef = coef_ref[:] * dt
+    inv_surf = inv_surf_ref[:]
+    lim = _mc if limiter == 1 else _van_leer
+
+    def star(q, ksi):
+        qm = _roll(q, 1)
+        dq = 0.5 * lim(_roll(q, -1) - q, q - qm) * inv_dxtheta
+        up = qm + (dxtheta - ksi) * _roll(dq, 1)
+        dn = q - (dxtheta + ksi) * dq
+        return jnp.where(ksi > 0.0, up, dn)
+
+    def sweep(fields, v):
+        ksi = v * dt
+        sig = fields[k_quant - 1]
+        dens_star = star(sig, ksi)
+        inv_sig = 1.0 / sig
+        base = dens_star * v * coef
+        outs = []
+        for k in range(k_quant):
+            if k == k_quant - 1:
+                f = base
+            else:
+                f = star(fields[k] * inv_sig, ksi) * base
+            outs.append(fields[k] + (f - _roll(f, -1)) * inv_surf)
+        return outs
+
+    fields = [qs_ref[k] for k in range(k_quant)]
+    fields = sweep(fields, vres_ref[:])
+    if two_pass:
+        fields = sweep(fields, jnp.broadcast_to(vconst_ref[:],
+                                                fields[0].shape))
+    for k in range(k_quant):
+        out_ref[k] = fields[k]
+
+    # per-ring integer roll, in place on the output block
+    i = pl.program_id(0)
+
+    def body(r, carry):
+        s = shift_ref[i * tile + r]
+        out_ref[:, r, :] = pltpu.roll(out_ref[:, r, :], s, axis=1)
+        return carry
+
+    jax.lax.fori_loop(0, tile, body, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("dphi", "limiter", "tile", "two_pass"))
+def fargo_theta_pallas(qs, vres, vconst_col, nshift, rb_col, coef_col,
+                       inv_surf_col, dt, dphi: float, limiter: int,
+                       tile: int = 16, two_pass: bool = True):
+    """Fused FARGO azimuthal step (residual sweep + uniform sweep +
+    integer shift) over the (K, NR, NAZ) quantity batch."""
+    k_quant, nr, naz = qs.shape
+    kernel = functools.partial(_fargo_theta_kernel, k_quant=k_quant,
+                               dphi=dphi, limiter=limiter, two_pass=two_pass,
+                               tile=tile)
+    dt_arr = jnp.reshape(jnp.asarray(dt, qs.dtype), (1, 1))
+    shifts = jnp.mod(nshift, naz).astype(jnp.int32)
+    return pl.pallas_call(
+        kernel,
+        grid=(nr // tile,),
+        in_specs=[
+            pl.BlockSpec((nr,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((k_quant, tile, naz), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, naz), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k_quant, tile, naz), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(qs.shape, qs.dtype),
+    )(shifts, dt_arr, qs, vres, vconst_col, rb_col, coef_col, inv_surf_col)
+
+
+def _radial_sweep_kernel(dt_ref, qs_ref, sig_ref, vr_ref, base_ref,
+                         invdrm_ref, cm_ref, cp_ref, inv_surf_ref, out_ref,
+                         *, limiter: int):
+    """One (quantity k, azimuth tile j) block of the radial van Leer sweep
+    (reference src/TransportEuler.cpp:545-620 ``VanLeerRadial`` +
+    :349-406 ``compute_star_radial``).
+
+    The radial stencil needs no azimuthal halo, so the grid tiles the lane
+    (azimuth) axis with the full radial extent resident in VMEM; the
+    slope / upwind / flux / update chain for one quantity is fused into a
+    single HBM read + write of its (NR, Tc) block.
+
+    qs_ref:   (1, NR, Tc) the quantity being advected
+    sig_ref:  (NR, Tc) pre-sweep surface density (specific-form divisor)
+    vr_ref:   (NR+1, Tc) radial face velocity
+    base_ref: (NR+1, Tc) dt*dphi*Ra*density_star*vrad (the sigma flux),
+              precomputed once outside the kernel
+    invdrm_ref: (NR+1, 1) 1/(Rmed[f]-Rmed[f-1]), row 0 = 0
+    cm_ref/cp_ref: (NR+1, 1) Rmed[f]-Rmed[f-1] / Rmed[f+1]-Rmed[f]
+    """
+    dt = dt_ref[0, 0]
+    nr = sig_ref.shape[0]
+    lim = _mc if limiter == 1 else _van_leer
+    q = qs_ref[0] * (1.0 / sig_ref[:])                        # (NR, Tc)
+
+    # slope between cells i and i+1; S[i] = dqm of cell i+1 = dqp of cell i
+    s = (q[1:, :] - q[:-1, :]) * invdrm_ref[1:nr]             # (NR-1, Tc)
+    zrow = jnp.zeros_like(q[:1, :])
+    dq = jnp.concatenate([zrow, lim(s[1:, :], s[:-1, :]), zrow], axis=0)
+
+    vf = vr_ref[1:nr, :]                                      # faces 1..NR-1
+    up = q[:-1, :] + (cm_ref[1:nr] - vf * dt) * 0.5 * dq[:-1, :]
+    dn = q[1:, :] - (cp_ref[1:nr] + vf * dt) * 0.5 * dq[1:, :]
+    qstar_mid = jnp.where(vf > 0.0, up, dn)
+    flux_mid = qstar_mid * base_ref[1:nr, :]
+    zface = jnp.zeros_like(flux_mid[:1, :])
+    fl = jnp.concatenate([zface, flux_mid, zface], axis=0)    # (NR+1, Tc)
+    out_ref[0] = qs_ref[0] + (fl[:-1, :] - fl[1:, :]) * inv_surf_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("limiter", "col_tile"))
+def radial_sweep_pallas(qs, sigma, vrad, base, dt, invdrm, cm, cp, inv_surf,
+                        limiter: int, col_tile: int = 128):
+    """Fused radial van Leer sweep over the (K, NR, NAZ) quantity batch.
+
+    ``base`` is the mass flux dt*dphi*Ra*density_star*vrad; it is also the
+    flux of the density entry itself (work = sigma/sigma = 1 so the upwind
+    star is 1 on interior faces), so callers reuse it for monitoring.
+    """
+    k_quant, nr, naz = qs.shape
+    grid = (naz // col_tile, k_quant)                # k innermost: the
+    # sigma/vrad/base blocks keep their index across the K inner steps and
+    # stay resident in VMEM
+    kernel = functools.partial(_radial_sweep_kernel, limiter=limiter)
+    dt_arr = jnp.reshape(jnp.asarray(dt, qs.dtype), (1, 1))
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda j, k: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nr, col_tile), lambda j, k: (k, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, col_tile), lambda j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr + 1, col_tile), lambda j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr + 1, col_tile), lambda j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr + 1, 1), lambda j, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr + 1, 1), lambda j, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr + 1, 1), lambda j, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, 1), lambda j, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, nr, col_tile), lambda j, k: (k, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(qs.shape, qs.dtype),
+    )(dt_arr, qs, sigma, vrad, base, invdrm, cm, cp, inv_surf)
+
+
 def _shift_kernel(shift_ref, x_ref, o_ref):
     """Per-ring dynamic circular roll (the FARGO integer shift)."""
     tile = x_ref.shape[1]
@@ -156,5 +636,12 @@ def advect_shift_pallas(qs, nshift, tile: int = 16):
         out_shape=jax.ShapeDtypeStruct(qs.shape, qs.dtype))(shifts, qs)
 
 
-def use_pallas() -> bool:
-    return jax.default_backend() == "tpu"
+def use_pallas(dtype=None) -> bool:
+    """Fused kernels are the float32/bfloat16 production path; float64 runs
+    (emulated on TPU) fall back to the pure-jnp implementation — Mosaic's
+    f64 emulation recurses infinitely when lowering the dynamic lane rolls."""
+    if jax.default_backend() != "tpu":
+        return False
+    if dtype is None:
+        return True
+    return jnp.dtype(dtype) in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))

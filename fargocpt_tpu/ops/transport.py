@@ -157,20 +157,39 @@ def transport(phys: Physics, g: Geom, sigma, vrad, vaz, energy,
     Returns (sigma, vrad, vaz, energy, mass_flux) where mass_flux is the
     radial mass flux through faces (monitoring)."""
     adiabatic = phys.is_adiabatic
+    k_quant = 6 if adiabatic else 5
+    k_sigma = k_quant - 1
 
-    rp, rm, ap, am = compute_momenta(g, sigma, vrad, vaz, omega_frame)
-    names = [rp, rm, ap, am] + ([energy] if adiabatic else []) + [sigma]
-    qs = jnp.stack(names, axis=0)                            # (K, NR, NAZ)
-    # compile-time guard (see step.py): keep the simplifier from relating
-    # the momenta construction to the post-sweep velocity reconstruction
-    qs = jax.lax.optimization_barrier(qs)
-    k_sigma = qs.shape[0] - 1
+    from . import pallas_kernels as pk
+    fuse = pk.use_pallas(sigma.dtype) and sigma.ndim == 2
+    fuse_radial = fuse and sigma.shape[-1] % 128 == 0
 
     # ---- radial sweep (OneWindRad, reference :138-167) ----
     density_star = star_radial(phys, g, sigma, vrad, dt)
-    qs, flux = van_leer_radial_batch(phys, g, qs, sigma, density_star,
-                                     vrad, dt)
-    mass_flux = flux[k_sigma]
+    if fuse_radial:
+        # fused momenta construction + sweep: the momentum batch is born
+        # inside the kernel, never staged through HBM
+        base = dt * g.dphi * g.ra * density_star * vrad       # sigma flux
+        rme = g.rmed_ext
+        zc = jnp.zeros((1, 1), rme.dtype)
+        cm = jnp.concatenate([zc, rme[1:] - rme[:-1]], axis=0)
+        cp = jnp.concatenate([rme[1:] - rme[:-1], zc], axis=0)
+        qs = pk.radial_momenta_sweep_pallas(
+            sigma, vrad, vaz, energy if adiabatic else sigma, base, dt,
+            omega_frame, g.rb, g.inv_diff_rmed, cm, cp, g.inv_surf,
+            k_quant=k_quant, limiter=phys.flux_limiter_type)
+        mass_flux = base
+    else:
+        rp, rm, ap, am = compute_momenta(g, sigma, vrad, vaz, omega_frame)
+        names = [rp, rm, ap, am] + ([energy] if adiabatic else []) + [sigma]
+        qs = jnp.stack(names, axis=0)                        # (K, NR, NAZ)
+        # compile-time guard (see step.py): keep the simplifier from
+        # relating the momenta construction to the post-sweep velocity
+        # reconstruction
+        qs = jax.lax.optimization_barrier(qs)
+        qs, flux = van_leer_radial_batch(phys, g, qs, sigma, density_star,
+                                         vrad, dt)
+        mass_flux = flux[k_sigma]
 
     # ---- azimuthal sweep (OneWindTheta, reference :270-288) ----
     vaz_for_mean = vaz
@@ -189,24 +208,20 @@ def transport(phys: Physics, g: Geom, sigma, vrad, vaz, energy,
     else:
         passes = [vres, jnp.broadcast_to(vconst_row, vres.shape)]
 
-    from . import pallas_kernels as pk
     tile = next((t for t in (16, 8, 32, 4, 2, 1) if g.nrad % t == 0), 1)
-    fuse = pk.use_pallas() and sigma.ndim == 2
-    for v in passes:
-        if fuse:
-            qs = pk.theta_sweep_pallas(
-                qs, v, g.rb, g.rsup - g.rinf, g.inv_surf, dt,
-                dphi=g.dphi, limiter=phys.flux_limiter_type, tile=tile)
-        else:
+    if fuse:
+        # one kernel: both sweeps + the integer roll, single HBM round-trip
+        qs = pk.fargo_theta_pallas(
+            qs, vres, vconst_row, nshift, g.rb, g.rsup - g.rinf, g.inv_surf,
+            dt, dphi=g.dphi, limiter=phys.flux_limiter_type, tile=tile,
+            two_pass=phys.fast_transport)
+    else:
+        for v in passes:
             sig_now = qs[k_sigma]
             density_star = star_theta(phys, g, sig_now, v, dt)
             qs = van_leer_theta_batch(phys, g, qs, sig_now, density_star, v,
                                       dt)
-
-    # integer shift (the FARGO roll), all quantities at once
-    if fuse:
-        qs = pk.advect_shift_pallas(qs, nshift, tile=tile)
-    else:
+        # integer shift (the FARGO roll), all quantities at once
         qs = advect_shift(qs, nshift)
 
     rp, rm, ap, am = qs[0], qs[1], qs[2], qs[3]

@@ -151,6 +151,18 @@ class HydroStep:
         else:
             self.fld = None
 
+        # fused Pallas sources kernel (potential + momentum/energy sources
+        # in one pass) — static gate + precomputed geometry columns
+        from .ops import pallas_kernels as pk
+        self._fuse_sources = (
+            pk.use_pallas(dtype) and geometry.naz % 128 == 0
+            and not phys.variable_gamma and not phys.is_polytropic)
+        if self._fuse_sources:
+            (self._src_cols, self._cos_row, self._sin_row,
+             self._smooth_modes) = pk.make_sources_prep(
+                phys, constants, geometry, self.g, self.cs_iso,
+                self.n_bodies, dtype)
+
         self._step = jax.jit(self._step_impl)
         self._cfl = jax.jit(self._cfl_impl)
         self._advance = jax.jit(self._advance_impl)
@@ -224,9 +236,41 @@ class HydroStep:
                 [b.irradiate for b in self.bodies_cfg],
                 self.body_irradiation_rampup, self.cell_x, self.cell_y)
 
-    def _substeps(self, sigma, vrad, vaz, energy, pot, time, dt, omega_frame,
-                  bodies):
-        """Source + viscosity + energy substeps (the 'kick' part)."""
+    def _sources_fused(self, sigma, vrad, vaz, energy, bodies, indirect,
+                       omega_frame, dt):
+        """Dispatch to the fused Pallas sources kernel (potential evaluation
+        + momentum/energy source terms in one pass over the fields)."""
+        from .ops import pallas_kernels as pk
+        phys, constants = self.phys, self.constants
+        body_r = jnp.sqrt(bodies.x ** 2 + bodies.y ** 2)
+        if phys.compatibility_smoothing_planetloc:
+            h_loc = phys.aspectratio_ref * body_r ** (1.0
+                                                      + phys.flaring_index)
+            sm2 = (phys.thickness_smoothing * h_loc) ** 2
+        else:
+            sm2 = jnp.zeros_like(body_r)
+        per_body = jnp.stack(
+            [constants.G * bodies.mass, bodies.x, bodies.y,
+             bodies.cubic_smoothing_radius, sm2], axis=1).reshape(-1)
+        head = jnp.stack([jnp.asarray(dt, self.dtype),
+                          jnp.asarray(omega_frame, self.dtype),
+                          jnp.asarray(indirect[0], self.dtype),
+                          jnp.asarray(indirect[1], self.dtype)])
+        scal = jnp.concatenate([head, per_body.astype(self.dtype)])
+        vrad, vaz = pk.sources_fused_pallas(
+            sigma, energy, vaz, vrad, self._src_cols, self._cos_row,
+            self._sin_row, scal, n_bodies=self.n_bodies,
+            adiabatic=phys.is_adiabatic, gamma=phys.adiabatic_index,
+            eps=phys.thickness_smoothing, smooth_modes=self._smooth_modes)
+        energy = sources.compression_heating(phys, self.g, energy, vrad,
+                                             vaz, dt)
+        return vrad, vaz, energy
+
+    def _substeps(self, sigma, vrad, vaz, energy, indirect, time, dt,
+                  omega_frame, bodies):
+        """Source + viscosity + energy substeps (the 'kick' part).
+        ``indirect`` is the (x, y) indirect-term pair entering the gas
+        potential (reference src/simulation.cpp:168-176)."""
         phys, constants, g = self.phys, self.constants, self.g
 
         cs, press, h = self.derived(sigma, energy)
@@ -237,9 +281,16 @@ class HydroStep:
             g_r, g_t = self.selfgravity.accelerations(sigma)
             vrad, vaz = self.selfgravity.kick(g, vrad, vaz, g_r, g_t, dt)
 
-        vrad, vaz, energy = sources.update_with_sourceterms(
-            phys, g, sigma, press, pot, vrad, vaz, energy, omega_frame, dt,
-            pv)
+        if self._fuse_sources and pv is None:
+            vrad, vaz, energy = self._sources_fused(
+                sigma, vrad, vaz, energy, bodies, indirect, omega_frame, dt)
+        else:
+            pot = gravity.nbody_potential(
+                phys, constants, g, bodies, self.n_bodies,
+                self.cell_x, self.cell_y, h, indirect[0], indirect[1])
+            vrad, vaz, energy = sources.update_with_sourceterms(
+                phys, g, sigma, press, pot, vrad, vaz, energy, omega_frame,
+                dt, pv)
         vrad, vaz, energy = jax.lax.optimization_barrier((vrad, vaz, energy))
 
         vrad, vaz, energy = artvisc.update_with_artificial_viscosity(
@@ -295,12 +346,9 @@ class HydroStep:
         """Potential + source/viscosity/energy kicks over ``dt``."""
         phys, constants, g = self.phys, self.constants, self.g
         bodies = self.bodies_on_grid(nb, time)
-        _, _, h = self.derived(sigma, energy)
-        pot = gravity.nbody_potential(
-            phys, constants, g, bodies, self.n_bodies,
-            self.cell_x, self.cell_y, h, indirect[0], indirect[1])
         sigma, vrad, vaz, energy, qplus, qminus = self._substeps(
-            sigma, vrad, vaz, energy, pot, time, dt, omega_frame, bodies)
+            sigma, vrad, vaz, energy, indirect, time, dt, omega_frame,
+            bodies)
         sigma, vrad, vaz, energy = jax.lax.optimization_barrier(
             (sigma, vrad, vaz, energy))
         if self.fld is not None:
@@ -495,14 +543,12 @@ class HydroStep:
         it_y = it_disk_y + it_nb_y
         nb = nbody_sys.kick(nb, it_x, it_y, dt)
 
-        # --- gravitational potential on the gas (reference :168-176) ---
+        # --- indirect term entering the gas potential (reference :168-176;
+        # the potential itself is evaluated inside _substeps) ---
         if phys.indirect_term_disk_on_disk:
             pot_it = (it_x, it_y)
         else:
             pot_it = (it_nb_x, it_nb_y)
-        pot = gravity.nbody_potential(
-            phys, constants, g, bodies, self.n_bodies,
-            self.cell_x, self.cell_y, h0, pot_it[0], pot_it[1])
 
         # --- dust particles (reference :178-182 particles::integrate) ---
         particles = state.particles
@@ -539,7 +585,8 @@ class HydroStep:
         # --- gas substeps ---
         if phys.calculate_disk:
             sigma, vrad, vaz, energy, qplus, qminus = self._substeps(
-                sigma, vrad, vaz, energy, pot, time, dt, omega_frame, bodies)
+                sigma, vrad, vaz, energy, pot_it, time, dt, omega_frame,
+                bodies)
             # compile-time guard: stop XLA's algebraic simplifier from
             # chasing simplifications across substep boundaries — the long
             # chains of azimuthal rolls (concat-of-slices) otherwise blow

@@ -64,6 +64,67 @@ def test_theta_sweep_parity_mc_limiter(setup):
                                rtol=1e-12, atol=1e-14)
 
 
+@pytest.mark.parametrize("limiter", [0, 1])
+def test_radial_sweep_parity(setup, limiter):
+    g, _, qs, _ = setup
+    phys = Physics(flux_limiter_type=limiter)
+    dt = jnp.float64(0.01)
+    rng = np.random.default_rng(3)
+    vrad = jnp.asarray((rng.random((65, 256)) - 0.5) * 0.05)
+    sig = qs[-1]
+    ds = transport.star_radial(phys, g, sig, vrad, dt)
+    ref, ref_flux = transport.van_leer_radial_batch(phys, g, qs, sig, ds,
+                                                    vrad, dt)
+    base = dt * g.dphi * g.ra * ds * vrad
+    rme = g.rmed_ext
+    zc = jnp.zeros((1, 1), rme.dtype)
+    cm = jnp.concatenate([zc, rme[1:] - rme[:-1]], axis=0)
+    cp = jnp.concatenate([rme[1:] - rme[:-1], zc], axis=0)
+    with _interpret():
+        out = pk.radial_sweep_pallas(qs, sig, vrad, base, dt,
+                                     g.inv_diff_rmed, cm, cp, g.inv_surf,
+                                     limiter=limiter)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-12, atol=1e-14)
+    # base doubles as the sigma flux used for mass-flow monitoring
+    np.testing.assert_allclose(np.asarray(base), np.asarray(ref_flux[-1]),
+                               rtol=1e-12, atol=1e-16)
+
+
+@pytest.mark.parametrize("k_quant", [5, 6])
+def test_radial_momenta_sweep_parity(setup, k_quant):
+    """Fused momenta construction + radial sweep matches compute_momenta
+    followed by the batched jnp sweep."""
+    g, phys, qs, v = setup
+    dt = jnp.float64(0.01)
+    rng = np.random.default_rng(11)
+    sigma = jnp.asarray(rng.random((64, 256)) + 0.5)
+    energy = jnp.asarray(rng.random((64, 256)) + 0.2)
+    vaz = jnp.asarray((rng.random((64, 256)) - 0.5) * 0.1 + 1.0)
+    vrad = jnp.asarray((rng.random((65, 256)) - 0.5) * 0.05)
+    omega = jnp.float64(0.3)
+
+    rp, rm, ap, am = transport.compute_momenta(g, sigma, vrad, vaz, omega)
+    names = [rp, rm, ap, am] + ([energy] if k_quant == 6 else []) + [sigma]
+    stack = jnp.stack(names, axis=0)
+    ds = transport.star_radial(phys, g, sigma, vrad, dt)
+    ref, _ = transport.van_leer_radial_batch(phys, g, stack, sigma, ds,
+                                             vrad, dt)
+
+    base = dt * g.dphi * g.ra * ds * vrad
+    rme = g.rmed_ext
+    zc = jnp.zeros((1, 1), rme.dtype)
+    cm = jnp.concatenate([zc, rme[1:] - rme[:-1]], axis=0)
+    cp = jnp.concatenate([rme[1:] - rme[:-1], zc], axis=0)
+    with _interpret():
+        out = pk.radial_momenta_sweep_pallas(
+            sigma, vrad, vaz, energy if k_quant == 6 else sigma, base, dt,
+            omega, g.rb, g.inv_diff_rmed, cm, cp, g.inv_surf,
+            k_quant=k_quant, limiter=0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-12, atol=1e-14)
+
+
 def test_advect_shift_parity(setup):
     g, phys, qs, v = setup
     rng = np.random.default_rng(7)
@@ -72,3 +133,90 @@ def test_advect_shift_parity(setup):
     with _interpret():
         out = pk.advect_shift_pallas(qs, nshift, tile=16)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+@pytest.mark.parametrize("adiabatic", [True, False])
+def test_sources_fused_parity(adiabatic):
+    """Fused potential+sources kernel matches nbody_potential followed by
+    update_with_sourceterms."""
+    from fargocpt_tpu.constants import Constants
+    from fargocpt_tpu.ops import gravity, sources, eos
+
+    geom = Geometry.build(64, 256, 0.4, 2.5, "Log")
+    g = prepare_geom(geom, jnp.float64)
+    phys = Physics(eos="adiabatic" if adiabatic else "isothermal",
+                   adiabatic_index=1.4, thickness_smoothing=0.6,
+                   aspectratio_ref=0.05, imposed_disk_drift=1e-4)
+    constants = Constants()
+    rng = np.random.default_rng(5)
+    sigma = jnp.asarray(rng.random((64, 256)) + 0.5)
+    energy = jnp.asarray(rng.random((64, 256)) * 1e-3 + 1e-3)
+    vaz = jnp.asarray((rng.random((64, 256)) - 0.5) * 0.1 + 1.0)
+    vrad = jnp.asarray((rng.random((65, 256)) - 0.5) * 0.05)
+    dt = jnp.float64(0.003)
+    omega = jnp.float64(0.4)
+    it = (jnp.float64(1e-5), jnp.float64(-2e-5))
+
+    bodies = gravity.BodiesOnGrid(
+        x=jnp.asarray([0.0, 1.0]), y=jnp.asarray([0.0, 0.3]),
+        mass=jnp.asarray([1.0, 1e-3]),
+        cubic_smoothing_radius=jnp.asarray([0.0, 0.05]))
+    x, y = geom.cell_centers_xy()
+    cx, cy = jnp.asarray(x), jnp.asarray(y)
+
+    cs_iso = eos.sound_speed_iso_profile(phys, constants, g.rb)
+    cs = eos.sound_speed(phys, constants, g, sigma, energy, cs_iso)
+    press = eos.pressure(phys, constants, sigma, energy, cs)
+    h = eos.scale_height(phys, constants, g, cs)
+    pot = gravity.nbody_potential(phys, constants, g, bodies, 2, cx, cy, h,
+                                  it[0], it[1])
+    vr_ref, va_ref, e_ref = sources.update_with_sourceterms(
+        phys, g, sigma, press, pot, vrad, vaz, energy, omega, dt)
+
+    cols, cos_row, sin_row, modes = pk.make_sources_prep(
+        phys, constants, geom, g, cs_iso, 2, jnp.float64)
+    per_body = jnp.stack(
+        [constants.G * bodies.mass, bodies.x, bodies.y,
+         bodies.cubic_smoothing_radius, jnp.zeros(2)], axis=1).reshape(-1)
+    scal = jnp.concatenate([jnp.stack([dt, omega, it[0], it[1]]), per_body])
+    with _interpret():
+        vr, va = pk.sources_fused_pallas(
+            sigma, energy, vaz, vrad, cols, cos_row, sin_row, scal,
+            n_bodies=2, adiabatic=adiabatic, gamma=phys.adiabatic_index,
+            eps=phys.thickness_smoothing, smooth_modes=modes)
+    e = sources.compression_heating(phys, g, energy, vr, va, dt)
+    np.testing.assert_allclose(np.asarray(vr), np.asarray(vr_ref),
+                               rtol=1e-11, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(va), np.asarray(va_ref),
+                               rtol=1e-11, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(e), np.asarray(e_ref),
+                               rtol=1e-11, atol=1e-16)
+
+
+@pytest.mark.parametrize("two_pass", [True, False])
+def test_fargo_theta_fused_parity(setup, two_pass):
+    """The fully-fused azimuthal kernel (sweeps + integer roll) matches the
+    composed jnp path."""
+    g, phys, qs, v = setup
+    dt = jnp.float64(0.01)
+    rng = np.random.default_rng(7)
+    vconst = jnp.asarray((rng.random((64, 1)) - 0.5) * 0.02)
+    nshift = jnp.asarray(rng.integers(-40, 40, 64), jnp.int32)
+
+    ref = qs
+    passes = [v, jnp.broadcast_to(vconst, v.shape)] if two_pass \
+        else [v + vconst]
+    for vv in passes:
+        sig = ref[-1]
+        ds = transport.star_theta(phys, g, sig, vv, dt)
+        ref = transport.van_leer_theta_batch(phys, g, ref, sig, ds, vv, dt)
+    ref = transport.advect_shift(ref, nshift)
+
+    vres = v if two_pass else v + vconst
+    with _interpret():
+        out = pk.fargo_theta_pallas(qs, vres, vconst, nshift, g.rb,
+                                    g.rsup - g.rinf, g.inv_surf, dt,
+                                    dphi=g.dphi, limiter=0, tile=16,
+                                    two_pass=two_pass)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-12, atol=1e-14)
