@@ -36,8 +36,9 @@ def orbital_period(constants, phys: Physics, x, y, vx, vy):
 def accrete_onto_planets(phys: Physics, constants, g: Geom, nb, bodies,
                          accretion_efficiency, accretion_types: list,
                          cell_x, cell_y, sigma, energy, vrad, vaz,
-                         omega_frame, dt):
-    """Kley accretion for every accreting body.
+                         omega_frame, dt, nu_grid=None):
+    """Accretion for every accreting body: two-zone Kley (reference :84),
+    single-zone sinkhole (:223), or viscous-rate (:336 — needs ``nu_grid``).
 
     Returns (sigma, energy, nb) with the bodies' mass/velocity updated when
     disk feedback is enabled (reference :200-219).
@@ -63,40 +64,71 @@ def accrete_onto_planets(phys: Physics, constants, g: Geom, nb, bodies,
     new_vx, new_vy = nb.vx, nb.vy
 
     for k, acc_type in enumerate(accretion_types):
-        if acc_type != "kley":
+        if acc_type not in ("kley", "sinkhole", "viscous"):
             continue
         r_hill = roche[k] * dist_prim[k]
-        period = orbital_period(constants, phys, nb.x[k], nb.y[k],
-                                nb.vx[k], nb.vy[k])
-        facc = dt * accretion_efficiency[k] / period * jnp.log(2.0)
-        facc1 = facc / 3.0
-        facc2 = 2.0 * facc / 3.0
-        frac1 = phys.accretion_radius_fraction
-        frac2 = 0.5 * phys.accretion_radius_fraction
-
         dx = nb.x[k] - cell_x
         dy = nb.y[k] - cell_y
         dist = jnp.sqrt(dx * dx + dy * dy)
         facc_max = 1.0 - floor / sigma
-        zone1 = dist < frac1 * r_hill
-        zone2 = dist < frac2 * r_hill
 
-        # zone 1 (outer)
-        f1 = jnp.where(zone1, jnp.minimum(facc1, facc_max), 0.0)
-        dm1 = f1 * sigma * g.surf
-        sigma = sigma * (1.0 - f1)
-        if phys.is_adiabatic:
-            energy = energy * (1.0 - f1)
-        # zone 2 (inner) acts on the already reduced density; the reference
-        # caps with the pre-zone-1 facc_max and scales energy by the
-        # uncapped facc2 (reference :183-198)
-        f2 = jnp.where(zone2, jnp.minimum(facc2, facc_max), 0.0)
-        dm2 = f2 * sigma * g.surf
-        sigma = sigma * (1.0 - f2)
-        if phys.is_adiabatic:
-            energy = energy * jnp.where(zone2, 1.0 - facc2, 1.0)
+        if acc_type == "kley":
+            period = orbital_period(constants, phys, nb.x[k], nb.y[k],
+                                    nb.vx[k], nb.vy[k])
+            facc = dt * accretion_efficiency[k] / period * jnp.log(2.0)
+            facc1 = facc / 3.0
+            facc2 = 2.0 * facc / 3.0
+            frac1 = phys.accretion_radius_fraction
+            frac2 = 0.5 * phys.accretion_radius_fraction
+            zone1 = dist < frac1 * r_hill
+            zone2 = dist < frac2 * r_hill
 
-        dm = jnp.where(active, dm1 + dm2, 0.0)
+            # zone 1 (outer)
+            f1 = jnp.where(zone1, jnp.minimum(facc1, facc_max), 0.0)
+            dm1 = f1 * sigma * g.surf
+            sigma = sigma * (1.0 - f1)
+            if phys.is_adiabatic:
+                energy = energy * (1.0 - f1)
+            # zone 2 (inner) acts on the already reduced density; the
+            # reference caps with the pre-zone-1 facc_max and scales energy
+            # by the uncapped facc2 (reference :183-198)
+            f2 = jnp.where(zone2, jnp.minimum(facc2, facc_max), 0.0)
+            dm2 = f2 * sigma * g.surf
+            sigma = sigma * (1.0 - f2)
+            if phys.is_adiabatic:
+                energy = energy * jnp.where(zone2, 1.0 - facc2, 1.0)
+            dm = dm1 + dm2
+        elif acc_type == "sinkhole":
+            # single-zone variant (reference :223-335 SinkHoleSinglePlanet)
+            period = orbital_period(constants, phys, nb.x[k], nb.y[k],
+                                    nb.vx[k], nb.vy[k])
+            facc = dt * accretion_efficiency[k] / period * jnp.log(2.0)
+            zone = dist < phys.accretion_radius_fraction * r_hill
+            f1 = jnp.where(zone, jnp.minimum(facc, facc_max), 0.0)
+            dm = f1 * sigma * g.surf
+            sigma = sigma * (1.0 - f1)
+            if phys.is_adiabatic:
+                energy = energy * (1.0 - f1)
+        else:
+            # viscous-rate variant (reference :336-481
+            # AccreteOntoSinglePlanetViscous): Mdot = 3 pi nu Sigma spread
+            # over the accretion zone with weight f = 1 - d/d_max
+            if nu_grid is None:
+                continue
+            facc = dt * 3.0 * jnp.pi * accretion_efficiency[k]
+            dist_max = phys.accretion_radius_fraction * r_hill
+            f_const = 3.0 / jnp.pi / dist_max ** 2
+            spread = f_const * (1.0 - dist / dist_max)
+            zone = dist < dist_max
+            f1 = jnp.where(zone,
+                           jnp.minimum(facc * nu_grid * spread, facc_max),
+                           0.0)
+            dm = f1 * sigma * g.surf
+            sigma = sigma * (1.0 - f1)
+            if phys.is_adiabatic:
+                energy = energy * (1.0 - f1)
+
+        dm = jnp.where(active, dm, 0.0)
         d_m = jnp.sum(dm)
         d_px = jnp.sum(dm * vx_cell)
         d_py = jnp.sum(dm * vy_cell)

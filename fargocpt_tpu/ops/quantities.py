@@ -123,6 +123,93 @@ def disk_ecc_peri(phys: Physics, constants, g: Geom, sigma, vrad, vaz,
     return jnp.sqrt(ax * ax + ay * ay), jnp.arctan2(ay, ax)
 
 
+def toomre_q(phys: Physics, constants, g: Geom, sigma, cs):
+    """Toomre Q = cs * Omega_K / (pi G Sigma) per cell
+    (reference src/compute.cpp:93-113 ``toomreQ``)."""
+    omega_k = jnp.sqrt(constants.G * phys.hydro_center_mass / g.rb ** 3)
+    return cs * omega_k / (jnp.pi * constants.G * sigma)
+
+
+def reynolds_stress(g: Geom, sigma, vrad, vaz):
+    """T_Reynolds = Sigma (v_r,c - <v_r,c>_phi)(v_phi,c - <v_phi,c>_phi)
+    (reference src/stress.cpp:34-71 ``calculate_Reynolds_stress``; cell
+    centering by plain face averaging as there)."""
+    vr_c = 0.5 * (vrad[:-1] + vrad[1:])
+    va_c = 0.5 * (vaz + azim_next(vaz))
+    dvr = vr_c - jnp.mean(vr_c, axis=-1, keepdims=True)
+    dva = va_c - jnp.mean(va_c, axis=-1, keepdims=True)
+    return sigma * dvr * dva
+
+
+def gravitational_stress(phys: Physics, constants, g: Geom, g_r, g_t):
+    """T_grav = g_r g_phi (2 h_ref R) / (4 pi G) from the self-gravity
+    acceleration fields (reference src/stress.cpp:11-32)."""
+    return (1.0 / (4.0 * jnp.pi * constants.G) * g_r * g_t
+            * 2.0 * phys.aspectratio_ref * g.rb)
+
+
+def alpha_from_stress(stress, sigma, cs):
+    """alpha(R) = (2/3) T / (Sigma cs^2)
+    (reference src/quantities.cpp:601-706 calculate_alpha_{grav,reynolds})."""
+    return (2.0 / 3.0) * stress / (sigma * cs * cs)
+
+
+def circumplanetary_mass(constants, g: Geom, sigma, cell_x, cell_y,
+                         body_x, body_y, roche_radius):
+    """Gas mass inside one body's Roche lobe over the active rings
+    (reference src/circumplanetary_mass.cpp:11-50)."""
+    nr = g.nrad
+    dist = jnp.sqrt((cell_x - body_x) ** 2 + (cell_y - body_y) ** 2)
+    w = jnp.where(dist < roche_radius, g.surf * sigma, 0.0)
+    return jnp.sum(w[1:nr - 1])
+
+
+def advection_torque_increment(g: Geom, sigma, vrad, vaz, dt):
+    """-r^2 Sigma v_r,c v_phi,c dt per cell (reference
+    src/gas_torques.cpp:11-44 ``calculate_advection_torque``)."""
+    vr_c = ((g.rb - g.rinf) * vrad[1:] + (g.rsup - g.rb) * vrad[:-1]) \
+        * g.inv_diff_rsup
+    va_c = 0.5 * (vaz + azim_next(vaz))
+    return -g.rb ** 2 * sigma * vr_c * va_c * dt
+
+
+def viscous_torque_increment(g: Geom, sigma, nu, vrad, vaz, dt):
+    """-r^3 nu Sigma (d(phi_dot)/dr + dvr/dphi / r^2) dt, rows 1..NR-2
+    (reference src/gas_torques.cpp:46-117 ``calculate_viscous_torque``)."""
+    nr = g.nrad
+    dvr_dphi_face = (azim_next(vrad) - azim_prev(vrad)) * 0.5 * g.invdphi
+    dvr_dphi = ((g.rb - g.rinf) * dvr_dphi_face[1:]
+                + (g.rsup - g.rb) * dvr_dphi_face[:-1]) * g.inv_diff_rsup
+    phi_dot = 0.5 * (vaz + azim_next(vaz)) * g.inv_rb       # (NR, NAZ)
+    dpd_top = (phi_dot[2:] - phi_dot[1:-1]) * g.inv_diff_rmed[2:nr]
+    dpd_bot = (phi_dot[1:-1] - phi_dot[:-2]) * g.inv_diff_rmed[1:nr - 1]
+    mid = slice(1, nr - 1)
+    dphi_dot_dr = ((g.rb - g.rinf)[mid] * dpd_top
+                   + (g.rsup - g.rb)[mid] * dpd_bot) * g.inv_diff_rsup[mid]
+    t_mid = -g.rb[mid] ** 3 * (nu * sigma)[mid] * \
+        (dphi_dot_dr + dvr_dphi[mid] * g.inv_rb[mid] ** 2) * dt
+    z = jnp.zeros_like(sigma[:1])
+    return jnp.concatenate([z, t_mid, z], axis=0)
+
+
+def gravitational_torque_increment(g: Geom, sigma, pot, dt):
+    """-Sigma dPhi/dphi Surf dt (Miranda 2017 eq. 32; reference
+    src/gas_torques.cpp:119-155, potential-based branch)."""
+    gradphi = (azim_next(pot) - azim_prev(pot)) * g.invdphi * 0.5
+    return -sigma * gradphi * g.surf * dt
+
+
+def radial_luminosity(g: Geom, qminus):
+    """L(r) = sum_phi Qminus R dr dphi per ring
+    (reference src/quantities.cpp:712-743 ``calculate_radial_luminosity``)."""
+    return jnp.sum(qminus * g.rb * (g.rsup - g.rinf) * g.dphi, axis=-1)
+
+
+def radial_dissipation(g: Geom, qplus):
+    """reference src/quantities.cpp:744-769."""
+    return jnp.sum(qplus * g.rb * (g.rsup - g.rinf) * g.dphi, axis=-1)
+
+
 def monitor_quantities(phys: Physics, constants, g: Geom, sigma, vrad, vaz,
                        energy, pot, qplus, qminus, omega_frame, frame_angle,
                        cos_phi, sin_phi, radius_limit):

@@ -197,6 +197,40 @@ class OutputWriter:
             aspect = np.asarray(h) / sim.geometry.rmed[:, None]
             self._write_1d(sdir, "aspectratio", aspect, sim.geometry.rmed)
 
+        # optional Write*-flag 2-D fields (reference
+        # src/parameters.cpp:243-312 set_write table)
+        for name in sim.phys.snapshot_fields:
+            if name == "Temperature" and sim.phys.is_adiabatic:
+                continue                      # already written above
+            arr = np.asarray(self._compute_field(name))
+            w(sdir / f"{name}.dat", arr)
+            self._write_1d(sdir, name, arr, sim.geometry.rmed)
+
+        # accumulated monitor grids: time-averaged over the snapshot
+        # interval, cleared after write (reference src/data.cpp:277
+        # set_clear_after_write + src/quantities.cpp:743-781, 963-973)
+        acc = sim.state.monitor_acc
+        if acc is not None:
+            denom = sim.settings.n_monitor * sim.settings.monitor_timestep
+            names = {"massflow": "MassFlow", "t_adv": "AdvectionTorque",
+                     "t_visc": "ViscousTorque",
+                     "t_grav": "GravitationalTorqueNotIntegrated"}
+            kw = {}
+            for attr, fname in names.items():
+                grid = getattr(acc, attr)
+                if grid is None:
+                    continue
+                arr = np.asarray(grid) / denom
+                w(sdir / f"{fname}.dat", arr)
+                self._write_1d(sdir, fname, arr, sim.geometry.rmed)
+                kw[attr] = jax.numpy.zeros_like(grid)
+            sim.state = sim.state.replace(monitor_acc=acc.replace(**kw))
+
+        # per-planet torque radial profiles (reference
+        # src/output.cpp:653-716 ``write_torques``)
+        if sim.phys.write_torques and sim.phys.calculate_disk:
+            self._write_planet_torque_profiles(sdir)
+
         self._write_misc(sdir)
         self._write_nbody_bin(sdir)
 
@@ -232,6 +266,138 @@ class OutputWriter:
         arr.tofile(sdir / "nbody.bin")
 
     # ------------------------------------------------------------------
+    def _compute_field(self, name: str) -> np.ndarray:
+        """Optional 2-D diagnostic fields, computed at write time from the
+        current state (reference caches these in t_data polar grids)."""
+        sim = self.sim
+        st = sim.stepper
+        f = sim.fields
+        phys, constants, g = sim.phys, sim.constants, st.g
+        import jax.numpy as jnp
+        from .ops import eos, gravity, sources
+        from .ops import viscosity as visc_ops
+
+        cs, press, h = st.derived(f.sigma, f.energy)
+        pv = st.pvte_vals(f.sigma, f.energy)
+        if name == "Temperature":
+            return eos.temperature(phys, constants, f.sigma, f.energy,
+                                   press, pv)
+        if name == "SoundSpeed":
+            return cs
+        if name == "Pressure":
+            return press
+        if name == "ScaleHeight":
+            return h
+        if name == "Toomre":
+            return quant.toomre_q(phys, constants, g, f.sigma, cs)
+        if name in ("EccentricityX", "EccentricityY"):
+            cos_phi = jnp.asarray(sim.geometry.cos_phi, st.dtype)[None, :]
+            sin_phi = jnp.asarray(sim.geometry.sin_phi, st.dtype)[None, :]
+            ex, ey = quant.eccentricity_vector(
+                phys, constants, g, f.sigma, f.vrad, f.vaz,
+                sim.state.omega_frame, sim.state.frame_angle, cos_phi,
+                sin_phi)
+            return ex if name == "EccentricityX" else ey
+        if name == "Potential":
+            bodies = st.bodies_on_grid(sim.state.nbody, sim.time)
+            zero = jnp.zeros((), st.dtype)
+            return gravity.nbody_potential(
+                phys, constants, g, bodies, st.n_bodies, st.cell_x,
+                st.cell_y, h, zero, zero)
+        if name == "Kappa":
+            from .ops import opacity as opac
+            temp = eos.temperature(phys, constants, f.sigma, f.energy,
+                                   press, pv)
+            rho_mid = f.sigma / (phys.density_factor * h)
+            return opac.opacity(phys, sim.units, rho_mid, temp)
+        if name == "TauCool":
+            return f.energy / jnp.maximum(sim.state.qminus, 1e-300)
+        if name == "Viscosity":
+            return st.viscosity_grid(cs, h)
+        if name == "DivV":
+            return sources.divergence_v(g, f.vrad, f.vaz)
+        if name == "TReynolds":
+            return quant.reynolds_stress(g, f.sigma, f.vrad, f.vaz)
+        if name == "AlphaReynolds":
+            t = quant.reynolds_stress(g, f.sigma, f.vrad, f.vaz)
+            return quant.alpha_from_stress(t, f.sigma, cs)
+        if name in ("TGravitational", "AlphaGrav"):
+            if st.selfgravity is None:
+                return jnp.zeros_like(f.sigma)
+            g_r, g_t = st.selfgravity.accelerations(f.sigma)
+            t = quant.gravitational_stress(phys, constants, g, g_r, g_t)
+            if name == "TGravitational":
+                return t
+            return quant.alpha_from_stress(t, f.sigma, cs)
+        if name == "GammaEff":
+            gam = pv[0] if pv is not None else phys.adiabatic_index
+            return jnp.broadcast_to(jnp.asarray(gam), f.sigma.shape)
+        if name == "Gamma1":
+            g1 = pv[2] if pv is not None else phys.adiabatic_index
+            return jnp.broadcast_to(jnp.asarray(g1), f.sigma.shape)
+        if name == "Mu":
+            mu = pv[1] if pv is not None else phys.mu
+            return jnp.broadcast_to(jnp.asarray(mu), f.sigma.shape)
+        if name == "Alpha":
+            return jnp.full_like(f.sigma, phys.viscous_alpha)
+        raise KeyError(f"unknown snapshot field {name!r}")
+
+    def _write_planet_torque_profiles(self, sdir: Path):
+        """torque_planet_1D_<k>: radial profile of the gas torque on each
+        body (reference src/output.cpp:653-716)."""
+        sim = self.sim
+        st = sim.stepper
+        f = sim.fields
+        import jax.numpy as jnp
+        from .ops import gravity
+        _, _, h = st.derived(f.sigma, f.energy)
+        bodies = st.bodies_on_grid(sim.state.nbody, sim.time)
+        cellmass = st.g.surf * f.sigma
+        for k in range(st.n_bodies):
+            body_r = jnp.sqrt(bodies.x[k] ** 2 + bodies.y[k] ** 2)
+            smooth = gravity.smoothing_length(sim.phys, h, k, body_r)
+            dx = st.cell_x - bodies.x[k]
+            dy = st.cell_y - bodies.y[k]
+            inv_d3 = (dx * dx + dy * dy + smooth * smooth) ** -1.5
+            w = sim.constants.G * cellmass * inv_d3 * bodies.mass[k]
+            torque = bodies.x[k] * (w * dy) - bodies.y[k] * (w * dx)
+            prof = np.asarray(jnp.sum(torque, axis=-1))
+            out = np.stack([sim.geometry.rmed, prof], axis=1)
+            out.astype(np.float64).tofile(
+                sdir / f"torque_planet_1D_{k}.dat")
+
+    def write_lightcurves(self):
+        """monitor/luminosity.dat + dissipation.dat: radial luminosity /
+        dissipation binned into the configured radii
+        (reference src/output.cpp:852-1000 ``write_lightcurves``)."""
+        sim = self.sim
+        radii = sim.phys.lightcurves_radii
+        if not radii:
+            return
+        st = sim.stepper
+        lum1d = np.asarray(quant.radial_luminosity(st.g, sim.state.qminus))
+        dis1d = np.asarray(quant.radial_dissipation(st.g, sim.state.qplus))
+        rmed = sim.geometry.rmed
+        nr = sim.geometry.nrad
+        nbins = len(radii)
+        lum = np.zeros(nbins)
+        dis = np.zeros(nbins)
+        b = 0
+        for n in range(1, nr - 1):            # active rings
+            while b < nbins - 1 and radii[b] < rmed[n]:
+                b += 1
+            lum[b] += lum1d[n]
+            dis[b] += dis1d[n]
+        for fname, vals in (("luminosity.dat", lum),
+                            ("dissipation.dat", dis)):
+            path = self.outdir / "monitor" / fname
+            if not path.exists():
+                with open(path, "w") as fd:
+                    fd.write("# time\t" + fname.split(".")[0] + "\n")
+            with open(path, "a") as fd:
+                fd.write("\t".join([f"{sim.time:.18g}"]
+                                   + [f"{v:.18g}" for v in vals]) + "\n")
+
     def write_quantities(self):
         sim = self.sim
         path = self.outdir / "monitor" / "Quantities.dat"
@@ -272,10 +438,30 @@ class OutputWriter:
         cos_phi = jnp.asarray(sim.geometry.cos_phi, st.dtype)[None, :]
         sin_phi = jnp.asarray(sim.geometry.sin_phi, st.dtype)[None, :]
         radius_limit = 2.0 * sim.geometry.rmax
-        return quant.monitor_quantities(
+        vals = quant.monitor_quantities(
             sim.phys, sim.constants, st.g, f.sigma, f.vrad, f.vaz, f.energy,
             pot, sim.state.qplus, sim.state.qminus, sim.state.omega_frame,
             sim.state.frame_angle, cos_phi, sin_phi, radius_limit)
+        # instantaneous disk torques (reference src/quantities.cpp:1000-1017
+        # CalculateMonitorQuantitiesForOutput, dt = 1)
+        one = jnp.ones((), st.dtype)
+        nr = st.g.nrad
+        mask = (st.g.rb[1:nr - 1] <= radius_limit)
+
+        def reduce_active(grid):
+            return jnp.sum(jnp.where(mask, grid[1:nr - 1], 0.0))
+
+        cs2, _, h2 = st.derived(f.sigma, f.energy)
+        nu = st.viscosity_grid(cs2, h2)
+        vals["advection torque"] = reduce_active(
+            quant.advection_torque_increment(st.g, f.sigma, f.vrad, f.vaz,
+                                             one))
+        vals["viscous torque"] = reduce_active(
+            quant.viscous_torque_increment(st.g, f.sigma, nu, f.vrad, f.vaz,
+                                           one))
+        vals["gravitational torque"] = reduce_active(
+            quant.gravitational_torque_increment(st.g, f.sigma, pot, one))
+        return vals
 
     def write_timestep_log(self):
         sim = self.sim
@@ -307,6 +493,20 @@ class OutputWriter:
     def write_nbody_monitor(self):
         sim = self.sim
         nb = sim.state.nbody
+        # circumplanetary (Roche-lobe) gas mass per companion (reference
+        # src/circumplanetary_mass.cpp:11-50, called each monitor from
+        # src/simulation.cpp:83)
+        mdcp = {}
+        if sim.phys.calculate_disk:
+            import jax.numpy as jnp
+            from .nbody import system as nbody_sys
+            st = sim.stepper
+            dist = nbody_sys.dist_to_primary(nb)
+            roche = nbody_sys.dimensionless_roche_radius(nb) * dist
+            for k in range(1, st.n_bodies):
+                mdcp[k] = float(quant.circumplanetary_mass(
+                    sim.constants, st.g, sim.fields.sigma, st.cell_x,
+                    st.cell_y, nb.x[k], nb.y[k], roche[k]))
         for k in range(len(np.asarray(nb.mass))):
             path = self.outdir / "monitor" / f"nbody{k}.dat"
             new = not path.exists()
@@ -334,7 +534,8 @@ class OutputWriter:
                     / max(el["a"], 1e-300) ** 3) if el["a"] > 0 else 0.0
                 f.write("\t".join(f"{v:.18g}" for v in [
                     sim.n_snapshot, sim.n_monitor, x, y, vx, vy, m, sim.time,
-                    float(sim.state.omega_frame), 0.0, el["e"], L, el["a"],
+                    float(sim.state.omega_frame), mdcp.get(k, 0.0),
+                    el["e"], L, el["a"],
                     omega_k, el["mean_anomaly"], el["eccentric_anomaly"],
                     el["true_anomaly"], el["pericenter_angle"], torque,
                     0.0, 0.0]) + "\n")
@@ -344,6 +545,8 @@ class OutputWriter:
         self.write_quantities()
         self.write_timestep_log()
         self.write_nbody_monitor()
+        if sim.phys.write_lightcurves:
+            self.write_lightcurves()
 
     def _on_snapshot(self, sim):
         self.write_snapshot()

@@ -195,6 +195,14 @@ class Physics:
     viscous_accretion: bool = False
     integrate_particles: bool = False
     keep_mass_constant: bool = False
+
+    # monitoring / diagnostics (reference src/parameters.cpp:243-380)
+    write_massflow: bool = False          # accumulate MassFlow grid
+    write_gas_torques: bool = False       # adv/visc/grav torque grids
+    write_torques: bool = False           # per-planet torque 1D profiles
+    write_lightcurves: bool = False
+    lightcurves_radii: tuple = ()
+    snapshot_fields: tuple = ()           # extra Write* 2-D output fields
     hydro_center_mass: float = 1.0
 
     # numerical precision of the state arrays ("float64" or "float32")
@@ -442,6 +450,65 @@ def physics_from_config(cfg: Config, un: u.Units, dtype: str = "float64") -> Phy
         calculate_disk=cfg.get_flag("Disk", True),
         integrate_particles=cfg.get_flag("IntegrateParticles", False),
         keep_mass_constant=cfg.get_flag("KeepDiskMassConstant", False),
+        write_massflow=cfg.get_flag("WriteMassFlow", False),
+        write_gas_torques=cfg.get_flag("WriteGasTorques", False),
+        write_torques=cfg.get_flag("WriteTorques", False),
+        write_lightcurves=cfg.get_flag("WriteLightCurves", False),
+        lightcurves_radii=_parse_lightcurve_radii(cfg),
+        snapshot_fields=_parse_snapshot_fields(cfg),
         dtype=dtype,
         **bcs,
     )
+
+
+def _parse_lightcurve_radii(cfg: Config) -> tuple:
+    """reference src/parameters.cpp:352-380: user radii inside (Rmin, Rmax),
+    plus the domain edges, sorted."""
+    if "WriteLightCurvesRadii" not in cfg:
+        return ()
+    raw = str(cfg.get_raw("WriteLightCurvesRadii"))
+    rmin = cfg.get("Rmin", 1.0, type=float)
+    rmax = cfg.get("Rmax", 10.0, type=float)
+    vals = []
+    for tok in raw.replace(",", " ").split():
+        try:
+            v = float(tok)
+        except ValueError:
+            continue
+        if rmin < v < rmax:
+            vals.append(v)
+    vals += [rmin, rmax]
+    return tuple(sorted(vals))
+
+
+# Write* flag -> extra 2-D snapshot fields (reference
+# src/parameters.cpp:243-312 t_data set_write calls)
+_SNAPSHOT_FIELD_FLAGS = (
+    ("WriteTemperature", ("Temperature",)),
+    ("WriteSoundSpeed", ("SoundSpeed",)),
+    ("WritePressure", ("Pressure",)),
+    ("WriteToomre", ("Toomre",)),
+    ("WriteEccentricity", ("EccentricityX", "EccentricityY")),
+    ("WritePotential", ("Potential",)),
+    ("WriteKappa", ("Kappa",)),
+    ("WriteTauCool", ("TauCool",)),
+    ("WriteAlphaGrav", ("AlphaGrav",)),
+    ("WriteAlphaReynolds", ("AlphaReynolds",)),
+    ("WriteViscosity", ("Viscosity",)),
+    ("WriteDivV", ("DivV",)),
+    ("WriteTReynolds", ("TReynolds",)),
+    ("WriteTGravitational", ("TGravitational",)),
+    ("WriteEffectiveGamma", ("GammaEff",)),
+    ("WriteFirstAdiabaticIndex", ("Gamma1",)),
+    ("WriteMeanMolecularWeight", ("Mu",)),
+    ("WriteAlpha", ("Alpha",)),
+    ("WriteScaleHeight", ("ScaleHeight",)),
+)
+
+
+def _parse_snapshot_fields(cfg: Config) -> tuple:
+    out = []
+    for flag, names in _SNAPSHOT_FIELD_FLAGS:
+        if cfg.get_flag(flag, False):
+            out.extend(names)
+    return tuple(out)

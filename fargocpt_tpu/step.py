@@ -36,6 +36,23 @@ from .ops.common import Geom, prepare_geom
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
+class MonitorAccum:
+    """Per-step accumulated monitor grids (reference
+    src/quantities.cpp:976-998 ``CalculateMonitorQuantitiesAfterHydroStep``
+    and src/TransportEuler.cpp:610-616 MASSFLOW). Fields are None when the
+    corresponding Write* flag is off."""
+    massflow: jax.Array = None       # sum of face mass flux (mass units)
+    t_adv: jax.Array = None          # sum of advection torque * dt
+    t_visc: jax.Array = None         # sum of viscous torque * dt
+    t_grav: jax.Array = None         # sum of gravitational torque * dt
+
+    def replace(self, **kw) -> "MonitorAccum":
+        from dataclasses import replace as _replace
+        return _replace(self, **kw)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
 class SystemState:
     """Complete per-run dynamic state carried through the jitted loop."""
     fields: FieldState
@@ -51,6 +68,7 @@ class SystemState:
     corot_ref_x: jax.Array = None
     corot_ref_y: jax.Array = None
     particles: object = None  # ParticleState when dust is enabled
+    monitor_acc: MonitorAccum = None  # when any monitor grid is enabled
 
     def replace(self, **kw) -> "SystemState":
         from dataclasses import replace as _replace
@@ -207,6 +225,14 @@ class HydroStep:
                                     cubic_smoothing_radius=cubic)
 
     # ------------------------------------------------------------------
+    def _accretion_nu(self, sigma, energy):
+        """Viscosity grid for the viscous-rate accretion variant
+        (reference src/accretion.cpp:336-481); None when no body uses it."""
+        if "viscous" not in self.body_accretion_types:
+            return None
+        cs, _, h = self.derived(sigma, energy)
+        return self.viscosity_grid(cs, h)
+
     def _apply_bcs(self, sigma, vrad, vaz, energy, omega_frame,
                    final: bool = False, dt=None, nb=None, time=None):
         """reference src/boundary_conditions/boundary_conditions.cpp:65-110;
@@ -382,7 +408,7 @@ class HydroStep:
                 phys, constants, g, nb, bodies,
                 self.body_accretion_efficiency, self.body_accretion_types,
                 self.cell_x, self.cell_y, sigma, energy, vrad, vaz,
-                omega_frame, hdt)
+                omega_frame, hdt, nu_grid=self._accretion_nu(sigma, energy))
             sigma = eos.apply_sigma_floor(phys, sigma)
         nb, it_disk, it_nb = self._nbody_feedback_kicks(sigma, h0, nb,
                                                         time, hdt)
@@ -409,7 +435,7 @@ class HydroStep:
                 omega_frame)
             sigma, vrad, vaz, energy = self._apply_bcs(
                 sigma, vrad, vaz, energy, omega_frame)
-            sigma, vrad, vaz, energy, _flux = transport.transport(
+            sigma, vrad, vaz, energy, _mass_flux = transport.transport(
                 phys, g, sigma, vrad, vaz, energy, omega_frame, dt)
             sigma, vrad, vaz, energy = jax.lax.optimization_barrier(
                 (sigma, vrad, vaz, energy))
@@ -443,7 +469,7 @@ class HydroStep:
                 phys, constants, g, nb, bodies,
                 self.body_accretion_efficiency, self.body_accretion_types,
                 self.cell_x, self.cell_y, sigma, energy, vrad, vaz,
-                omega_frame, hdt)
+                omega_frame, hdt, nu_grid=self._accretion_nu(sigma, energy))
             sigma = eos.apply_sigma_floor(phys, sigma)
         nb = nbody_sys.integrate(nb, constants.G, hdt)
         nb = nbody_sys.move_to_hydro_frame_center(nb, self.n_hydroframe)
@@ -456,14 +482,59 @@ class HydroStep:
             particles = particles.replace(
                 phi=jnp.mod(particles.phi - omega_frame * dt, 2.0 * jnp.pi))
 
+        monitor_acc = state.monitor_acc
         if phys.calculate_disk:
             sigma, vrad, vaz, energy = self._apply_bcs(
                 sigma, vrad, vaz, energy, omega_frame, final=True, dt=dt)
+            monitor_acc = self._update_monitor_acc(
+                monitor_acc, _mass_flux, sigma, vrad, vaz, energy,
+                self.bodies_on_grid(nb, mid_time), indirect, dt)
 
         return state.replace(
             fields=FieldState(sigma=sigma, vrad=vrad, vaz=vaz, energy=energy),
             qplus=qplus, qminus=qminus, nbody=nb,
-            frame_angle=frame_angle, particles=particles)
+            frame_angle=frame_angle, particles=particles,
+            monitor_acc=monitor_acc)
+
+    def _update_monitor_acc(self, acc, mass_flux, sigma, vrad, vaz, energy,
+                            bodies, indirect, dt):
+        """Accumulate the enabled monitor grids after a hydro step
+        (reference src/quantities.cpp:976-998 + TransportEuler.cpp:610-616).
+        Accumulates raw increments (mass; torque*dt); the writer divides by
+        Nmonitor*monitor_timestep at output time."""
+        phys, g = self.phys, self.g
+        if acc is None or not (phys.write_massflow or phys.write_gas_torques):
+            return acc
+        from .ops import quantities as quant
+        kw = {}
+        if phys.write_massflow and acc.massflow is not None:
+            nr = g.nrad
+            mf = acc.massflow + mass_flux[:nr]
+            kw["massflow"] = mf.at[nr - 1].add(mass_flux[nr])
+        if phys.write_gas_torques and acc.t_adv is not None:
+            cs, _, h = self.derived(sigma, energy)
+            nu = self.viscosity_grid(cs, h)
+            kw["t_adv"] = acc.t_adv + quant.advection_torque_increment(
+                g, sigma, vrad, vaz, dt)
+            kw["t_visc"] = acc.t_visc + quant.viscous_torque_increment(
+                g, sigma, nu, vrad, vaz, dt)
+            pot = gravity.nbody_potential(
+                phys, self.constants, g, bodies, self.n_bodies,
+                self.cell_x, self.cell_y, h, indirect[0], indirect[1])
+            kw["t_grav"] = acc.t_grav + quant.gravitational_torque_increment(
+                g, sigma, pot, dt)
+        return acc.replace(**kw)
+
+    def initial_monitor_acc(self) -> MonitorAccum | None:
+        phys = self.phys
+        if not (phys.write_massflow or phys.write_gas_torques):
+            return None
+        z = jnp.zeros((self.geometry.nrad, self.geometry.naz), self.dtype)
+        return MonitorAccum(
+            massflow=z if phys.write_massflow else None,
+            t_adv=z if phys.write_gas_torques else None,
+            t_visc=z if phys.write_gas_torques else None,
+            t_grav=z if phys.write_gas_torques else None)
 
     def _corotation_update(self, state, nb, vaz, omega_frame, dt):
         """Corotating frame: measure the reference body's swept angle since
@@ -522,7 +593,7 @@ class HydroStep:
                 phys, constants, g, nb, bodies,
                 self.body_accretion_efficiency, self.body_accretion_types,
                 self.cell_x, self.cell_y, sigma, energy, vrad, vaz,
-                omega_frame, dt)
+                omega_frame, dt, nu_grid=self._accretion_nu(sigma, energy))
             sigma = eos.apply_sigma_floor(phys, sigma)
             bodies = self.bodies_on_grid(nb, time)
 
@@ -621,16 +692,21 @@ class HydroStep:
         nb = nbody_sys.integrate(nb, constants.G, dt)
         nb = nbody_sys.move_to_hydro_frame_center(nb, self.n_hydroframe)
 
+        monitor_acc = state.monitor_acc
         if phys.calculate_disk:
             # final boundary conditions (+ damping, when enabled)
             sigma, vrad, vaz, energy = self._apply_bcs(
                 sigma, vrad, vaz, energy, omega_frame, final=True, dt=dt,
                 nb=nb, time=time)
+            monitor_acc = self._update_monitor_acc(
+                monitor_acc, _mass_flux, sigma, vrad, vaz, energy,
+                self.bodies_on_grid(nb, time), pot_it, dt)
 
         return state.replace(
             fields=FieldState(sigma=sigma, vrad=vrad, vaz=vaz, energy=energy),
             qplus=qplus, qminus=qminus, nbody=nb, omega_frame=omega_frame,
-            frame_angle=frame_angle, particles=particles)
+            frame_angle=frame_angle, particles=particles,
+            monitor_acc=monitor_acc)
 
     def _cfl_impl(self, state: SystemState):
         phys = self.phys
@@ -722,7 +798,8 @@ class HydroStep:
             fields=fields, qplus=qplus, qminus=qminus, nbody=nbody,
             omega_frame=jnp.asarray(omega0, self.dtype),
             frame_angle=jnp.zeros((), self.dtype),
-            corot_ref_x=nbody.x[k], corot_ref_y=nbody.y[k])
+            corot_ref_x=nbody.x[k], corot_ref_y=nbody.y[k],
+            monitor_acc=self.initial_monitor_acc())
 
     def disk_torques(self, state: SystemState, time=0.0):
         """Specific torque of the gas disk on each body,

@@ -121,6 +121,37 @@ def test_kley_accretion():
     assert 0.9 < el["a"] < 1.1
 
 
+@pytest.mark.parametrize("method", ["sinkhole", "viscous"])
+def test_accretion_variants(method):
+    """Single-zone sinkhole (reference src/accretion.cpp:223-335) and
+    viscous-rate (:336-481) accretion variants remove gas and grow the
+    planet."""
+    cfg = Config.from_dict({
+        "EquationOfState": "Isothermal", "AspectRatio": "0.05",
+        "Sigma0": "500 g/cm2", "SigmaSlope": "0.5",
+        "ViscousAlpha": "0.003",
+        "Nrad": "128", "Naz": "256", "Rmin": "0.4", "Rmax": "2.5",
+        "RadialSpacing": "Log",
+        "InnerBoundary": "outflow", "OuterBoundary": "outflow",
+        "DiskFeedback": "yes",
+        "Nsnapshots": "1", "Nmonitor": "1", "MonitorTimestep": "3.0",
+        "nbody": [
+            {"name": "star", "semi-major axis": "0.0", "mass": "1.0"},
+            {"name": "planet", "semi-major axis": "1.0", "mass": "1e-3",
+             "accretion efficiency": "10.0" if method == "viscous"
+             else "1.0",
+             "accretion method": method},
+        ],
+    })
+    sim = Simulation(cfg)
+    m0 = float(sim.state.nbody.mass[1])
+    sim.run()
+    m1 = float(sim.state.nbody.mass[1])
+    assert m1 > m0, f"{method}: planet did not accrete"
+    sig = np.asarray(sim.fields.sigma)
+    assert np.all(sig > 0) and np.all(np.isfinite(sig))
+
+
 def test_corotating_frame():
     """Corotating frame: the reference body stays at a fixed azimuth and
     OmegaFrame tracks its orbital frequency (reference

@@ -100,6 +100,63 @@ def test_restart_is_bitwise_identical(tmp_path):
                                   np.asarray(sim_c.state.nbody.x))
 
 
+def test_diagnostic_outputs(tmp_path):
+    """Monitor-grid accumulators, optional Write* snapshot fields, CPD mass
+    and lightcurves (reference src/quantities.cpp, src/gas_torques.cpp,
+    src/stress.cpp, src/circumplanetary_mass.cpp, src/output.cpp:852)."""
+    outdir = tmp_path / "out"
+    cfg = cfg_dict(outdir)
+    cfg.update({
+        "WriteMassFlow": "Yes", "WriteGasTorques": "Yes",
+        "WriteTorques": "Yes", "WriteLightCurves": "Yes",
+        "WriteLightCurvesRadii": "0.8, 1.5",
+        "WriteToomre": "Yes", "WritePressure": "Yes",
+        "WriteViscosity": "Yes", "WriteDivV": "Yes",
+        "WriteTReynolds": "Yes", "WriteAlphaReynolds": "Yes",
+        "WriteEccentricity": "Yes", "WriteSoundSpeed": "Yes",
+    })
+    sim = Simulation(Config.from_dict(cfg))
+    out.OutputWriter(sim)
+    sim.run()
+
+    sdir = outdir / "snapshots" / "2"
+    for name in ("MassFlow", "AdvectionTorque", "ViscousTorque",
+                 "GravitationalTorqueNotIntegrated", "Toomre", "Pressure",
+                 "Viscosity", "DivV", "TReynolds", "AlphaReynolds",
+                 "EccentricityX", "EccentricityY", "SoundSpeed"):
+        arr = np.fromfile(sdir / f"{name}.dat", np.float64).reshape(32, 16)
+        assert np.all(np.isfinite(arr)), name
+        prof = np.fromfile(sdir / f"{name}1D.dat", np.float64).reshape(-1, 4)
+        assert prof.shape[0] == 32, name
+    assert np.all(np.fromfile(sdir / "Toomre.dat", np.float64) > 0)
+    # the torque grids accumulated something nonzero
+    assert np.abs(np.fromfile(sdir / "AdvectionTorque.dat",
+                              np.float64)).max() > 0
+
+    # per-planet torque radial profiles
+    tq = np.fromfile(sdir / "torque_planet_1D_1.dat",
+                     np.float64).reshape(-1, 2)
+    assert tq.shape[0] == 32 and np.all(np.isfinite(tq))
+
+    # lightcurves: 2 user radii inside (Rmin, Rmax) + the 2 edges
+    lum = np.loadtxt(outdir / "monitor" / "luminosity.dat")
+    assert lum.shape == (3, 5)
+    assert np.all(lum[:, 1:] >= 0)
+    dis = np.loadtxt(outdir / "monitor" / "dissipation.dat")
+    assert dis.shape == (3, 5)
+
+    # circumplanetary mass column is filled for the companion (at this
+    # coarse resolution only the initial phase has cells inside the tiny
+    # Hill sphere)
+    nb = np.loadtxt(outdir / "monitor" / "nbody1.dat")
+    assert nb[0, 9] > 0 and np.all(nb[:, 9] >= 0)
+
+    # instantaneous torque columns in Quantities.dat
+    q = np.loadtxt(outdir / "monitor" / "Quantities.dat")
+    col = out.QUANTITIES_COLUMNS.index("advection torque")
+    assert np.any(q[:, col] != 0.0)
+
+
 def test_cli_start_and_auto(tmp_path):
     setup = tmp_path / "setup.yml"
     import yaml
