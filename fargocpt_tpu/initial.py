@@ -85,9 +85,11 @@ def _spreading_ring_sigma0(phys: Physics, geom: Geometry) -> float:
 
 
 def gas_velocities(phys: Physics, constants: Constants,
-                   geom: Geometry) -> tuple[np.ndarray, np.ndarray]:
+                   geom: Geometry,
+                   quad_moment: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
     """Axisymmetric velocity ICs (reference src/init.cpp:1467-1780,
-    single-star primary-frame branch)."""
+    single-star primary-frame branch). ``quad_moment`` adds the binary
+    quadrupole support term to v_az (reference src/Theo.cpp:183-205)."""
     G = constants.G
     M = phys.hydro_center_mass
     rb = geom.rmed
@@ -105,6 +107,12 @@ def gas_velocities(phys: Physics, constants: Constants,
         return vr_full, vaz
 
     vaz_row = theo.initial_locally_isothermal_smoothed_v_az(phys, G, rb, M)
+    if quad_moment > 0.0:
+        # re-derive with the quadrupole support included
+        from .ops import diskmodel as dm
+        import jax.numpy as jnp
+        vaz_row = np.asarray(dm.v_az_smoothed(
+            phys, constants, jnp.asarray(rb), M, quad_moment))
     vaz_row = vaz_row - phys.omega_frame * rb
     vaz = np.broadcast_to(vaz_row[:, None], (geom.nrad, geom.naz)).copy()
 
@@ -155,7 +163,8 @@ def renormalize_sigma(phys: Physics, geom: Geometry, sigma: np.ndarray,
 
 
 def build_initial_state(phys: Physics, constants: Constants,
-                        geom: Geometry) -> tuple[FieldState, Physics]:
+                        geom: Geometry,
+                        quad_moment: float = 0.0) -> tuple[FieldState, Physics]:
     """Full IC path (reference src/init.cpp:255-341 ``init_physics``).
     Returns the state and possibly-updated Physics (sigma0 renormalization).
     """
@@ -176,5 +185,5 @@ def build_initial_state(phys: Physics, constants: Constants,
         sigma, energy, new_sigma0 = renormalize_sigma(phys, geom, sigma, energy)
         phys = phys.with_(sigma0=new_sigma0)
 
-    vrad, vaz = gas_velocities(phys, constants, geom)
+    vrad, vaz = gas_velocities(phys, constants, geom, quad_moment)
     return _to_state(phys, sigma, vrad, vaz, energy), phys

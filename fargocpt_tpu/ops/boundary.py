@@ -34,22 +34,39 @@ class RefValues:
 
 # ----- scalar BCs ------------------------------------------------------------
 
-def _scalar_inner(name: str, x, x0, g: Geom):
+def _diskmodel_value(phys: Physics, var: str, r: float):
+    """Analytic-profile ghost values (reference
+    src/boundary_conditions/diskmodel.cpp:18-31 calc_sig/calc_eng; note the
+    reference omits the G*M factor of Theo.cpp initial_energy here)."""
+    if var == "sigma":
+        return phys.sigma0 * r ** (-phys.sigma_slope)
+    return (1.0 / (phys.adiabatic_index - 1.0) * phys.sigma0
+            * phys.aspectratio_ref ** 2
+            * r ** (-phys.sigma_slope - 1.0 + 2.0 * phys.flaring_index))
+
+
+def _scalar_inner(name: str, x, x0, g: Geom, phys: Physics = None,
+                  var: str = "sigma"):
     if name in ("zerogradient", "outflow", "reflecting"):
         return x.at[0].set(x[1])
     if name == "reference":
         return x.at[0].set(x0[0])
+    if name == "diskmodel":
+        return x.at[0].set(_diskmodel_value(phys, var, g.rb[0, 0]))
     if name == "none":
         return x
     raise NotImplementedError(f"scalar inner BC {name!r}")
 
 
-def _scalar_outer(name: str, x, x0, g: Geom):
+def _scalar_outer(name: str, x, x0, g: Geom, phys: Physics = None,
+                  var: str = "sigma"):
     nr = x.shape[0]
     if name in ("zerogradient", "outflow", "reflecting"):
         return x.at[nr - 1].set(x[nr - 2])
     if name == "reference":
         return x.at[nr - 1].set(x0[nr - 1])
+    if name == "diskmodel":
+        return x.at[nr - 1].set(_diskmodel_value(phys, var, g.rb[nr - 1, 0]))
     if name == "none":
         return x
     raise NotImplementedError(f"scalar outer BC {name!r}")
@@ -177,15 +194,19 @@ def _vaz_outer(phys: Physics, constants, name: str, vaz, vaz0, g: Geom,
 def apply_boundary_conditions(phys: Physics, constants, g: Geom,
                               sigma, vrad, vaz, energy,
                               ref: RefValues, omega_frame, nu=None,
-                              rof_ctx=None):
+                              rof_ctx=None, com_ctx=None):
     """Per-variable x per-edge dispatch (reference
     src/boundary_conditions/boundary_conditions.cpp:65-110). Damping is a
     separate call (``apply_damping``) made only on the final BC application
     of a step."""
-    sigma = _scalar_inner(phys.bc_sigma_inner, sigma, ref.sigma0, g)
-    sigma = _scalar_outer(phys.bc_sigma_outer, sigma, ref.sigma0, g)
-    energy = _scalar_inner(phys.bc_energy_inner, energy, ref.energy0, g)
-    energy = _scalar_outer(phys.bc_energy_outer, energy, ref.energy0, g)
+    sigma = _scalar_inner(phys.bc_sigma_inner, sigma, ref.sigma0, g, phys,
+                          "sigma")
+    sigma = _scalar_outer(phys.bc_sigma_outer, sigma, ref.sigma0, g, phys,
+                          "sigma")
+    energy = _scalar_inner(phys.bc_energy_inner, energy, ref.energy0, g,
+                           phys, "energy")
+    energy = _scalar_outer(phys.bc_energy_outer, energy, ref.energy0, g,
+                           phys, "energy")
     vrad = _vrad_inner(phys.bc_vrad_inner, vrad, ref.vrad0, g, nu,
                        phys.viscous_outflow_speed)
     vrad = _vrad_outer(phys.bc_vrad_outer, vrad, ref.vrad0, g, nu,
@@ -198,6 +219,84 @@ def apply_boundary_conditions(phys: Physics, constants, g: Geom,
         sigma, vrad, vaz, energy = rochelobe_overflow(
             phys, constants, g, sigma, vrad, vaz, energy, omega_frame,
             *rof_ctx)
+    if com_ctx is not None and "centerofmass" in (phys.composite_inner,
+                                                  phys.composite_outer):
+        nb, n_hydroframe, quad = com_ctx
+        if phys.composite_inner == "centerofmass":
+            sigma, vrad, vaz, energy = center_of_mass_boundary(
+                phys, constants, g, sigma, vrad, vaz, energy, nb,
+                n_hydroframe, quad, omega_frame, outer=False)
+        if phys.composite_outer == "centerofmass":
+            sigma, vrad, vaz, energy = center_of_mass_boundary(
+                phys, constants, g, sigma, vrad, vaz, energy, nb,
+                n_hydroframe, quad, omega_frame, outer=True)
+    return sigma, vrad, vaz, energy
+
+
+def center_of_mass_boundary(phys: Physics, constants, g: Geom, sigma, vrad,
+                            vaz, energy, nb, n_hydroframe: int,
+                            quad_moment: float, omega_frame,
+                            outer: bool = True):
+    """Circumbinary ghost-ring BC: the analytic disk-model profile evaluated
+    in the center-of-mass frame of the first ``n_hydroframe`` bodies, then
+    shifted back to the primary-centered frame (reference
+    src/boundary_conditions/center_of_mass.cpp:37-425
+    ``diskmodel_center_of_mass_boundary_{outer,inner}``)."""
+    from . import diskmodel as dm
+
+    m = nb.mass[:n_hydroframe]
+    com_m = jnp.sum(m)
+    com_x = jnp.sum(m * nb.x[:n_hydroframe]) / com_m
+    com_y = jnp.sum(m * nb.y[:n_hydroframe]) / com_m
+    com_vx = jnp.sum(m * nb.vx[:n_hydroframe]) / com_m
+    com_vy = jnp.sum(m * nb.vy[:n_hydroframe]) / com_m
+
+    nr = g.nrad
+    row = nr - 1 if outer else 0
+    phi_c = jnp.arange(g.naz) * g.dphi          # cell-center azimuths
+
+    def profile_velocities(r_pos, phi):
+        """(vx, vy) of the model flow at radius r_pos, azimuth phi (lab
+        frame), from the COM-frame profile."""
+        x = r_pos * jnp.cos(phi)
+        y = r_pos * jnp.sin(phi)
+        x_com = x - com_x
+        y_com = y - com_y
+        r_com = jnp.sqrt(x_com ** 2 + y_com ** 2)
+        if phys.initialize_pure_keplerian:
+            vazi0 = dm.v_kepler(constants, r_com, com_m)
+            vr0 = dm.viscous_radial_speed_analytic(phys, constants, r_com,
+                                                   com_m)
+        else:
+            vazi0 = dm.v_az_smoothed(phys, constants, r_com, com_m,
+                                     quad_moment)
+            vr0 = dm.vr_numerical_viscous(phys, constants, r_com, com_m,
+                                          quad_moment)
+        vx = (vr0 * x_com - vazi0 * y_com) / r_com + com_vx
+        vy = (vr0 * y_com + vazi0 * x_com) / r_com + com_vy
+        return x, y, vx, vy
+
+    # v_az at the azimuthal interfaces (phi - dphi/2)
+    x, y, vx, vy = profile_velocities(g.rb[row, 0], phi_c - 0.5 * g.dphi)
+    vaz = vaz.at[row].set((x * vy - vx * y) / g.rb[row, 0]
+                          - omega_frame * g.rb[row, 0])
+    # v_rad at the two radial faces bounding the ghost ring
+    faces = (row, row + 1) if outer else (1, 0)
+    for f in faces:
+        x, y, vx, vy = profile_velocities(g.ra[f, 0], phi_c)
+        vrad = vrad.at[f].set((x * vx + y * vy) / g.ra[f, 0])
+    # Sigma and energy from the COM-frame profile (with the temperature
+    # floor, reference :196-225)
+    x = g.rb[row, 0] * jnp.cos(phi_c)
+    y = g.rb[row, 0] * jnp.sin(phi_c)
+    r_com = jnp.sqrt((x - com_x) ** 2 + (y - com_y) ** 2)
+    sig_row = phys.sigma0 * r_com ** (-phys.sigma_slope)
+    sigma = sigma.at[row].set(sig_row)
+    if phys.is_adiabatic:
+        e_row = dm.initial_energy(phys, constants, r_com, com_m)
+        e_floor = phys.minimum_temperature * sig_row / phys.mu \
+            * constants.R / (phys.adiabatic_index - 1.0)
+        energy = energy.at[row].set(jnp.maximum(e_row, e_floor))
     return sigma, vrad, vaz, energy
 
 

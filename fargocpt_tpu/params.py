@@ -196,6 +196,10 @@ class Physics:
     integrate_particles: bool = False
     keep_mass_constant: bool = False
 
+    # binary quadrupole correction of the initial/boundary v_az
+    # (reference src/parameters.cpp:667)
+    vaz_quadrupole_support: bool = False
+
     # monitoring / diagnostics (reference src/parameters.cpp:243-380)
     write_massflow: bool = False          # accumulate MassFlow grid
     write_gas_torques: bool = False       # adv/visc/grav torque grids
@@ -279,6 +283,11 @@ def _parse_bcs(cfg: Config) -> dict:
         elif comp == "reference":
             names.update(sigma="reference", energy="reference",
                          vrad="reference")
+        elif comp == "diskmodel":
+            # per-variable diskmodel values for the scalars (reference
+            # src/boundary_conditions/config.cpp:102-176)
+            names.update(sigma="diskmodel", energy="diskmodel",
+                         vrad="zerogradient")
         elif comp in ("centerofmass", "custom"):
             names.update(sigma="none", energy="none", vrad="none", vaz="none")
         else:
@@ -450,6 +459,8 @@ def physics_from_config(cfg: Config, un: u.Units, dtype: str = "float64") -> Phy
         calculate_disk=cfg.get_flag("Disk", True),
         integrate_particles=cfg.get_flag("IntegrateParticles", False),
         keep_mass_constant=cfg.get_flag("KeepDiskMassConstant", False),
+        vaz_quadrupole_support=cfg.get_flag(
+            "VazimuthalConsidersQuadropoleMoment", False),
         write_massflow=cfg.get_flag("WriteMassFlow", False),
         write_gas_torques=cfg.get_flag("WriteGasTorques", False),
         write_torques=cfg.get_flag("WriteTorques", False),

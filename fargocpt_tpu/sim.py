@@ -90,8 +90,13 @@ class Simulation:
         self.geometry = Geometry.from_config(cfg)
         self.settings = RunSettings.from_config(cfg, outdir)
 
+        quad_moment = 0.0
+        if self.phys.vaz_quadrupole_support:
+            from .ops import diskmodel as _dm
+            quad_moment = _dm.binary_quadrupole_moment(
+                self.bodies, self.n_hydroframe)
         fields, self.phys = initial.build_initial_state(
-            self.phys, self.constants, self.geometry)
+            self.phys, self.constants, self.geometry, quad_moment)
 
         # self-gravity: equilibrium v_az correction from the axisymmetric
         # SG pull (reference src/init.cpp:1722-1724 + selfgravity.cpp:749)

@@ -135,6 +135,17 @@ class HydroStep:
         # aspectratio_mode == 0)
         self.cs_iso = eos.sound_speed_iso_profile(phys, constants, self.g.rb)
 
+        # user boundary hook (reference src/boundary_conditions/custom.cpp)
+        self.custom_bc = None
+
+        # binary quadrupole moment for the v_az support correction
+        # (reference src/Theo.cpp:58-78)
+        self.quad_moment = 0.0
+        if phys.vaz_quadrupole_support:
+            from .ops import diskmodel as _dm
+            self.quad_moment = _dm.binary_quadrupole_moment(
+                self.bodies_cfg, n_hydroframe)
+
         # wave-damping zones (reference src/boundary_conditions/damping.cpp)
         if phys.damping:
             from .ops.damping import DampingZones
@@ -250,9 +261,22 @@ class HydroStep:
         if phys.rochelobe_overflow and nb is not None:
             un = self.units
             rof_ctx = (nb, time, un.temperature, un.time / 3600.0, un.length)
-        return boundary.apply_boundary_conditions(
+        com_ctx = None
+        if nb is not None and "centerofmass" in (phys.composite_inner,
+                                                 phys.composite_outer):
+            com_ctx = (nb, self.n_hydroframe, self.quad_moment)
+        sigma, vrad, vaz, energy = boundary.apply_boundary_conditions(
             phys, self.constants, self.g, sigma, vrad, vaz, energy,
-            self.ref_values, omega_frame, nu=nu, rof_ctx=rof_ctx)
+            self.ref_values, omega_frame, nu=nu, rof_ctx=rof_ctx,
+            com_ctx=com_ctx)
+        # user-supplied boundary hook (reference
+        # src/boundary_conditions/custom.cpp): a traceable callable set on
+        # the stepper before the first step
+        if self.custom_bc is not None and "custom" in (
+                phys.composite_inner, phys.composite_outer):
+            sigma, vrad, vaz, energy = self.custom_bc(
+                self.g, sigma, vrad, vaz, energy, omega_frame)
+        return sigma, vrad, vaz, energy
 
     def irradiation_ctx(self, bodies):
         if not self.phys.heating_star:
