@@ -162,28 +162,335 @@ def renormalize_sigma(phys: Physics, geom: Geometry, sigma: np.ndarray,
     return sigma, energy, phys.sigma0 * factor
 
 
+# ---------------------------------------------------------------------------
+# IC extensions: noise, file conditions, rings, secondary disk, balance
+# ---------------------------------------------------------------------------
+
+_GRAD2 = np.array([[1, 1], [-1, 1], [1, -1], [-1, -1],
+                   [1, 0], [-1, 0], [0, 1], [0, -1]], np.float64)
+
+
+def simplex_noise_2d(x: np.ndarray, y: np.ndarray, seed: int) -> np.ndarray:
+    """Vectorized 2-D simplex (Perlin 2001) gradient noise in [-1, 1].
+
+    Fresh numpy implementation of the standard algorithm; it replaces the
+    vendored open-simplex C port the reference uses for the RandomSigma
+    density perturbations (src/open-simplex-noise.cpp via
+    src/init.cpp:1015-1060). The statistical character (band-limited,
+    smooth, zero-mean) matches; exact values differ by construction.
+    """
+    f2 = 0.5 * (np.sqrt(3.0) - 1.0)
+    g2 = (3.0 - np.sqrt(3.0)) / 6.0
+    rng = np.random.default_rng(seed)
+    perm = np.tile(rng.permutation(256), 2)
+
+    s = (x + y) * f2
+    i = np.floor(x + s).astype(np.int64)
+    j = np.floor(y + s).astype(np.int64)
+    t = (i + j) * g2
+    x0 = x - (i - t)
+    y0 = y - (j - t)
+    i1 = (x0 > y0).astype(np.int64)
+    j1 = 1 - i1
+    x1 = x0 - i1 + g2
+    y1 = y0 - j1 + g2
+    x2 = x0 - 1.0 + 2.0 * g2
+    y2 = y0 - 1.0 + 2.0 * g2
+    ii = i & 255
+    jj = j & 255
+
+    def corner(xs, ys, gi):
+        tt = 0.5 - xs * xs - ys * ys
+        tt = np.maximum(tt, 0.0)
+        g = _GRAD2[gi % 8]
+        return tt ** 4 * (g[..., 0] * xs + g[..., 1] * ys)
+
+    n0 = corner(x0, y0, perm[ii + perm[jj]])
+    n1 = corner(x1, y1, perm[ii + i1 + perm[jj + j1]])
+    n2 = corner(x2, y2, perm[ii + 1 + perm[jj + 1]])
+    return 70.0 * (n0 + n1 + n2)
+
+
+def randomize_sigma(phys: Physics, geom: Geometry,
+                    sigma: np.ndarray) -> np.ndarray:
+    """Multiply Sigma by (1 + factor * noise) with an 11-octave simplex
+    noise field over cartesian cell positions
+    (reference src/init.cpp:1015-1060)."""
+    x, y = geom.cell_centers_xy()
+    f = phys.sigma_feature_size
+    order = 11
+    noise = np.zeros_like(x)
+    for i in range(order):
+        feature = float(1 << i)
+        weight = float(1 << (order - i - 1))
+        noise += weight * simplex_noise_2d(feature * x / f, feature * y / f,
+                                           phys.random_seed + i)
+    noise /= float((1 << order) - 1)
+    return sigma * (1.0 + phys.sigma_random_factor * noise)
+
+
+def read_1d_profile(path: str, radii: np.ndarray) -> np.ndarray:
+    """Read a binary 1-D profile ([radius, value] or the written
+    [radius, avg, min, max] layout) and cubic-spline it onto ``radii``
+    (reference src/polargrid.cpp:360-470 ``read1D``)."""
+    from scipy.interpolate import CubicSpline
+    raw = np.fromfile(path, np.float64)
+    ncol = 4 if raw.size % 4 == 0 else 2
+    raw = raw.reshape(-1, ncol)
+    spline = CubicSpline(raw[:, 0], raw[:, 1])
+    return spline(radii)
+
+
+def nbody_centered_profiles(phys: Physics, constants: Constants,
+                            geom: Geometry, com_x: float, com_y: float,
+                            com_mass: float):
+    """Sigma / energy power-law profiles evaluated at the distance from the
+    N-body center of mass (reference src/init.cpp ``Nbody_centered``
+    branches of init_gas_density/init_gas_energy)."""
+    x, y = geom.cell_centers_xy()
+    r = np.hypot(x - com_x, y - com_y)
+    sigma = np.maximum(phys.sigma0 * r ** (-phys.sigma_slope),
+                       phys.sigma_floor * phys.sigma0)
+    energy = np.zeros_like(sigma)
+    if phys.is_adiabatic:
+        energy = np.asarray(theo.initial_energy(phys, constants.G, r,
+                                                com_mass))
+        e_floor = phys.minimum_temperature * sigma / phys.mu * constants.R \
+            / (phys.adiabatic_index - 1.0)
+        energy = np.maximum(energy, e_floor)
+    return sigma, energy
+
+
+def add_gaussian_rings(phys: Physics, constants: Constants, geom: Geometry,
+                       sigma: np.ndarray, energy: np.ndarray,
+                       com=None, com_mass=None):
+    """Circumbinary Gaussian density/energy ring enhancement
+    (reference src/init.cpp:889-958 + :1208-1256): asymmetric Gaussian with
+    independent inner width and outer decay width/exponent."""
+    if com is not None:
+        x, y = geom.cell_centers_xy()
+        r = np.hypot(x - com[0], y - com[1])
+        mass = com_mass
+    else:
+        r = np.broadcast_to(geom.rmed[:, None], sigma.shape)
+        mass = phys.hydro_center_mass
+    r_ring = phys.cbd_ring_position
+    fac = phys.cbd_ring_enhancement_factor
+    w_in = phys.cbd_ring_width
+    w_out = phys.cbd_decay_width
+    p_out = phys.cbd_decay_exponent
+    bump = np.where(
+        r < r_ring,
+        np.exp(-((r_ring - r) ** 2) / (2.0 * w_in ** 2)),
+        np.exp(-(np.maximum(r - r_ring, 0.0) ** p_out)
+               / (2.0 * w_out ** 2)))
+    sigma_ring = phys.sigma0 * r ** (-phys.sigma_slope)
+    sigma = sigma + sigma_ring * (fac - 1.0) * bump
+    if phys.is_adiabatic:
+        e_ring = np.asarray(theo.initial_energy(phys, constants.G, r, mass))
+        energy = energy + e_ring * (fac - 1.0) * bump
+    return sigma, energy
+
+
+def apply_secondary_disk(phys: Physics, constants: Constants,
+                         geom: Geometry, sigma, energy, vrad, vaz,
+                         nbody: dict):
+    """Add a disk around the secondary body inside its Roche lobe
+    (reference src/init.cpp:624-888 init_secondary_disk_*)."""
+    from .ops import diskmodel as dm
+    import jax.numpy as _jnp
+    px, py = float(nbody["x"][1]), float(nbody["y"][1])
+    pvx, pvy = float(nbody["vx"][1]), float(nbody["vy"][1])
+    pm = float(nbody["mass"][1])
+    m0 = float(nbody["mass"][0])
+    q = pm / m0
+    dist = np.hypot(px, py)
+    # Eggleton 1983 Roche-lobe radius (reference src/Theo.cpp:306-312)
+    rl = 0.49 * q ** (2.0 / 3.0) / (0.6 * q ** (2.0 / 3.0)
+                                    + np.log(1.0 + q ** (1.0 / 3.0)))
+    compute_radius = rl * dist
+    roche_dimless = rl
+    disk_size = phys.profile_cutoff_point_outer * roche_dimless \
+        / (1.0 - roche_dimless)
+    cutoff_width = phys.profile_cutoff_width_outer * roche_dimless \
+        / (1.0 - roche_dimless)
+    scaling = np.sqrt(pm)
+    min_dist = geom.rmin / 3.0
+
+    x, y = geom.cell_centers_xy()
+    r_sec = np.maximum(np.hypot(x - px, y - py), min_dist)
+    inside = r_sec < compute_radius
+
+    dens = phys.sigma0 * scaling * r_sec ** (-phys.sigma_slope) \
+        * np.asarray(theo.cutoff_outer(disk_size, cutoff_width, r_sec))
+    old = np.maximum(sigma, phys.sigma_floor * phys.sigma0)
+    sigma = np.where(inside, np.maximum(dens, old), sigma)
+    if phys.is_adiabatic:
+        e_sec = np.asarray(theo.initial_energy(phys, constants.G, r_sec,
+                                               pm)) * scaling \
+            * np.asarray(theo.cutoff_outer(disk_size, cutoff_width, r_sec))
+        e_floor = phys.minimum_temperature * sigma / phys.mu * constants.R \
+            / (phys.adiabatic_index - 1.0)
+        energy = np.where(inside, np.maximum(e_sec, e_floor), energy)
+
+    def model_v(r_pos, phi):
+        xx = r_pos * np.cos(phi)
+        yy = r_pos * np.sin(phi)
+        xs = xx - px
+        ys = yy - py
+        rs = np.maximum(np.hypot(xs, ys), min_dist)
+        if phys.initialize_pure_keplerian:
+            vazi0 = np.sqrt(constants.G * pm / rs)
+            vr0 = np.asarray(theo.initial_viscous_radial_speed(
+                phys, constants.G, rs, pm))
+        else:
+            vazi0 = np.asarray(dm.v_az_smoothed(phys, constants,
+                                                _jnp.asarray(rs), pm))
+            vr0 = np.asarray(dm.vr_numerical_viscous(phys, constants,
+                                                     _jnp.asarray(rs), pm))
+        if phys.initialize_vradial_zero:
+            vr0 = np.zeros_like(rs)
+        vx = (vr0 * xs - vazi0 * ys) / rs
+        vy = (vr0 * ys + vazi0 * xs) / rs
+        # NOTE: sign follows the reference exactly (src/init.cpp:819-821)
+        return rs, vx - pvx, vy - pvy
+
+    phi_c = geom.phi
+    # v_rad at radial faces (phi = cell-center azimuth)
+    ra = np.concatenate([geom.rinf, [geom.rinf[-1]]])
+    rs, vx, vy = model_v(ra[:, None], phi_c[None, :])
+    vr_model = (ra[:, None] * np.cos(phi_c)[None, :] * vx
+                + ra[:, None] * np.sin(phi_c)[None, :] * vy) / ra[:, None]
+    vrad = np.where(rs < compute_radius, vr_model, vrad)
+    # v_az at azimuthal interfaces (phi - dphi/2)
+    phi_i = phi_c - 0.5 * geom.dphi
+    rs, vx, vy = model_v(geom.rmed[:, None], phi_i[None, :])
+    va_model = (np.cos(phi_i)[None, :] * vy - np.sin(phi_i)[None, :] * vx)
+    vaz = np.where(rs < compute_radius, va_model, vaz)
+    return sigma, energy, vrad, vaz
+
+
+def _construct_sequence(u0: float, v: np.ndarray) -> tuple[np.ndarray, float]:
+    """reference src/Pframeforce.cpp:295-306 ``ConstructSequence``."""
+    n = v.size
+    u = np.empty(n)
+    u[0] = u0
+    for i in range(1, n):
+        u[i] = 2.0 * v[i] - u[i - 1]
+    lapl = np.abs(u[2:] + u[:-2] - 2.0 * u[1:-1]).sum()
+    return u, lapl
+
+
+def centrifugal_balance_vaz(phys: Physics, constants: Constants,
+                            geom: Geometry, sigma: np.ndarray,
+                            energy: np.ndarray) -> np.ndarray:
+    """Exact centrifugal-balance v_az(r) from the numerically integrated
+    axisymmetric pressure gradient (reference src/init.cpp:1638-1717 +
+    the ConstructSequence shooting for the staggered average)."""
+    from .ops import eos
+    nr = geom.nrad
+    sig1d = sigma.mean(axis=1)
+    if phys.is_adiabatic:
+        press1d = (phys.adiabatic_index - 1.0) * energy.mean(axis=1)
+    else:
+        cs = phys.aspectratio_ref * geom.rmed ** phys.flaring_index \
+            * np.sqrt(constants.G * phys.hydro_center_mass / geom.rmed)
+        press1d = sig1d * cs ** 2
+    GM = constants.G * phys.hydro_center_mass
+    rmed = geom.rmed
+    radii = geom.rinf                                  # interface radii
+    vt_int = np.zeros(nr)
+    vt_int[1:] = (press1d[1:] - press1d[:-1]) \
+        / (0.5 * (sig1d[1:] + sig1d[:-1])) / (rmed[1:] - rmed[:-1]) \
+        + GM * (1.0 / rmed[:-1] - 1.0 / rmed[1:]) / (rmed[1:] - rmed[:-1])
+    vt_int[1:] = np.sqrt(vt_int[1:] * radii[1:]) \
+        - radii[1:] * phys.omega_frame
+    # shooting for the cell-centered sequence (reference :1709-1717)
+    t1 = vt_int[1] + 0.75 * (vt_int[1] - vt_int[2])
+    _, r1 = _construct_sequence(t1, vt_int)
+    t2 = t1 + 0.25 * (vt_int[1] - vt_int[2])
+    _, r2 = _construct_sequence(t2, vt_int)
+    t1 = t1 - r1 / (r2 - r1) * (t2 - t1)
+    vt_cent, _ = _construct_sequence(t1, vt_int)
+    # row 0: Keplerian extrapolation (reference :1748-1755)
+    vk0 = rmed[0] * np.sqrt(GM / rmed[0] ** 3)
+    vk1 = rmed[1] * np.sqrt(GM / rmed[1] ** 3)
+    out = vt_cent.copy()
+    out[0] = vt_cent[1] * vk0 / vk1
+    return np.broadcast_to(out[:, None], (nr, geom.naz)).copy()
+
+
 def build_initial_state(phys: Physics, constants: Constants,
-                        geom: Geometry,
-                        quad_moment: float = 0.0) -> tuple[FieldState, Physics]:
+                        geom: Geometry, quad_moment: float = 0.0,
+                        nbody: dict | None = None) -> tuple[FieldState, Physics]:
     """Full IC path (reference src/init.cpp:255-341 ``init_physics``).
     Returns the state and possibly-updated Physics (sigma0 renormalization).
+    ``nbody`` (dict of x/y/vx/vy/mass arrays) enables the N-body-centered,
+    secondary-disk and ring options.
     """
     if phys.shock_tube == 1:
         return shock_tube_state(phys, geom, pvte=False), phys
     if phys.shock_tube == 2:
         return shock_tube_state(phys, geom, pvte=True), phys
 
+    com = None
+    com_mass = phys.hydro_center_mass
+    if nbody is not None:
+        m = np.asarray(nbody["mass"])
+        com_mass = float(m.sum())
+        com = (float((m * np.asarray(nbody["x"])).sum() / m.sum()),
+               float((m * np.asarray(nbody["y"])).sum() / m.sum()))
+
     if phys.spreading_ring:
         sigma = spreading_ring_sigma(phys, geom)
         energy = np.zeros_like(sigma)
     else:
-        sigma = powerlaw_sigma(phys, geom)
-        energy = powerlaw_energy(phys, constants, geom, sigma) \
-            if phys.is_adiabatic else np.zeros_like(sigma)
+        # Sigma (reference src/init.cpp:937-1010 init_gas_density)
+        if phys.sigma_condition == "1d" and phys.sigma_filename:
+            sigma1d = read_1d_profile(phys.sigma_filename, geom.rmed)
+            sigma = np.broadcast_to(sigma1d[:, None],
+                                    (geom.nrad, geom.naz)).copy()
+        elif phys.sigma_condition == "2d" and phys.sigma_filename:
+            sigma = np.fromfile(phys.sigma_filename,
+                                np.float64).reshape(geom.nrad, geom.naz)
+        elif phys.sigma_condition == "nbody" and com is not None:
+            sigma, _ = nbody_centered_profiles(phys, constants, geom,
+                                               com[0], com[1], com_mass)
+        else:
+            sigma = powerlaw_sigma(phys, geom)
+
+        # energy (reference src/init.cpp:1257-1302 init_gas_energy)
+        if not phys.is_adiabatic:
+            energy = np.zeros_like(sigma)
+        elif phys.energy_condition == "1d" and phys.energy_filename:
+            e1d = read_1d_profile(phys.energy_filename, geom.rmed)
+            energy = np.broadcast_to(e1d[:, None],
+                                     (geom.nrad, geom.naz)).copy()
+        elif phys.energy_condition == "2d" and phys.energy_filename:
+            energy = np.fromfile(phys.energy_filename,
+                                 np.float64).reshape(geom.nrad, geom.naz)
+        elif phys.energy_condition == "nbody" and com is not None:
+            _, energy = nbody_centered_profiles(phys, constants, geom,
+                                                com[0], com[1], com_mass)
+        else:
+            energy = powerlaw_energy(phys, constants, geom, sigma)
+
+    if phys.sigma_randomize:
+        sigma = randomize_sigma(phys, geom, sigma)
 
     if phys.sigma_adjust:
         sigma, energy, new_sigma0 = renormalize_sigma(phys, geom, sigma, energy)
         phys = phys.with_(sigma0=new_sigma0)
 
+    if phys.cbd_ring:
+        ring_com = com if phys.sigma_condition == "nbody" else None
+        sigma, energy = add_gaussian_rings(phys, constants, geom, sigma,
+                                           energy, ring_com, com_mass)
+
     vrad, vaz = gas_velocities(phys, constants, geom, quad_moment)
+    if phys.centrifugal_balance:
+        vaz = centrifugal_balance_vaz(phys, constants, geom, sigma, energy)
+    if phys.secondary_disk and nbody is not None:
+        sigma, energy, vrad, vaz = apply_secondary_disk(
+            phys, constants, geom, sigma, energy, vrad, vaz, nbody)
     return _to_state(phys, sigma, vrad, vaz, energy), phys

@@ -200,6 +200,25 @@ class Physics:
     # (reference src/parameters.cpp:667)
     vaz_quadrupole_support: bool = False
 
+    # initial-condition extensions (reference src/parameters.cpp:600-760,
+    # src/init.cpp:255-341)
+    sigma_condition: str = "profile"      # profile | nbody | 1d | 2d
+    sigma_filename: str = ""
+    energy_condition: str = "profile"
+    energy_filename: str = ""
+    sigma_randomize: bool = False
+    sigma_random_factor: float = 0.1
+    sigma_feature_size: float = 0.0
+    random_seed: int = 0
+    cbd_ring: bool = False                # circumbinary Gaussian ring
+    cbd_ring_position: float = 4.5
+    cbd_ring_width: float = 0.6
+    cbd_decay_width: float = 0.84
+    cbd_decay_exponent: float = 0.75
+    cbd_ring_enhancement_factor: float = 2.5
+    secondary_disk: bool = False
+    centrifugal_balance: bool = False
+
     # monitoring / diagnostics (reference src/parameters.cpp:243-380)
     write_massflow: bool = False          # accumulate MassFlow grid
     write_gas_torques: bool = False       # adv/visc/grav torque grids
@@ -461,6 +480,34 @@ def physics_from_config(cfg: Config, un: u.Units, dtype: str = "float64") -> Phy
         keep_mass_constant=cfg.get_flag("KeepDiskMassConstant", False),
         vaz_quadrupole_support=cfg.get_flag(
             "VazimuthalConsidersQuadropoleMoment", False),
+        sigma_condition=_parse_condition(cfg, "SigmaCondition"),
+        sigma_filename=cfg.get("SigmaFilename", "", type=str),
+        energy_condition=_parse_condition(cfg, "EnergyCondition"),
+        energy_filename=cfg.get("EnergyFilename", "", type=str),
+        sigma_randomize=cfg.get_flag("RandomSigma", False),
+        sigma_random_factor=cfg.get("RandomFactor", 0.1, type=float),
+        sigma_feature_size=cfg.get(
+            "FeatureSize",
+            (cfg.get("Rmax", 10.0, type=float)
+             - cfg.get("Rmin", 1.0, type=float)) / 150.0,
+            dim=u.DIM_LENGTH, type=float),
+        random_seed=cfg.get("RandomSeed", 0, type=int),
+        cbd_ring=cfg.get_flag("CircumBinaryRing", False),
+        cbd_ring_position=cfg.get("CircumBinaryRingPosition", 4.5,
+                                  dim=u.DIM_LENGTH, type=float),
+        cbd_ring_width=cfg.get("CircumBinaryRingWidth", 0.6,
+                               dim=u.DIM_LENGTH, type=float),
+        cbd_decay_width=cfg.get(
+            "CircumBinaryDecayWidth",
+            1.4 * cfg.get("CircumBinaryRingWidth", 0.6, dim=u.DIM_LENGTH,
+                          type=float),
+            dim=u.DIM_LENGTH, type=float),
+        cbd_decay_exponent=cfg.get("CircumBinaryDecayExponent", 0.75,
+                                   type=float),
+        cbd_ring_enhancement_factor=cfg.get(
+            "CircumBinaryRingEnhancementFactor", 2.5, type=float),
+        secondary_disk=cfg.get_flag("SecondaryDisk", False),
+        centrifugal_balance=cfg.get_flag("CentrifugalBalance", False),
         write_massflow=cfg.get_flag("WriteMassFlow", False),
         write_gas_torques=cfg.get_flag("WriteGasTorques", False),
         write_torques=cfg.get_flag("WriteTorques", False),
@@ -470,6 +517,15 @@ def physics_from_config(cfg: Config, un: u.Units, dtype: str = "float64") -> Phy
         dtype=dtype,
         **bcs,
     )
+
+
+def _parse_condition(cfg: Config, key: str) -> str:
+    """First-letter dispatch of Sigma/EnergyCondition
+    (reference src/parameters.cpp:606-650)."""
+    s = cfg.get_lowercase(key, "profile")
+    first = s[0] if s else "p"
+    return {"p": "profile", "n": "nbody", "1": "1d", "2": "2d"}.get(
+        first, "profile")
 
 
 def _parse_lightcurve_radii(cfg: Config) -> tuple:

@@ -96,7 +96,8 @@ class Simulation:
             quad_moment = _dm.binary_quadrupole_moment(
                 self.bodies, self.n_hydroframe)
         fields, self.phys = initial.build_initial_state(
-            self.phys, self.constants, self.geometry, quad_moment)
+            self.phys, self.constants, self.geometry, quad_moment,
+            nbody=nb_init)
 
         # self-gravity: equilibrium v_az correction from the axisymmetric
         # SG pull (reference src/init.cpp:1722-1724 + selfgravity.cpp:749)
