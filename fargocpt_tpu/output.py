@@ -233,6 +233,16 @@ class OutputWriter:
 
         self._write_misc(sdir)
         self._write_nbody_bin(sdir)
+        # dust particles (reference src/particles/particles.cpp:2176
+        # ``write``: one binary record per particle per snapshot)
+        if sim.state.particles is not None:
+            p = sim.state.particles
+            arr = np.stack(
+                [np.asarray(p.r), np.asarray(p.phi), np.asarray(p.r_dot),
+                 np.asarray(p.phi_dot), np.asarray(p.size),
+                 np.asarray(p.stokes),
+                 np.asarray(p.alive, np.float64)], axis=1)
+            w(sdir / "particles.bin", arr)
 
         # drain the async queue so the snapshot is durable before the
         # registry names it
@@ -595,6 +605,18 @@ def restore_simulation(sim, outdir: str | Path, snapshot_id: str | int):
         else sim.state.qplus
     qminus = rd("Qminus.dat", g.nrad) if (sdir / "Qminus.dat").exists() \
         else sim.state.qminus
+    # dust particles (reference src/particles/particles.cpp:797 restart)
+    if (sdir / "particles.bin").exists() and sim.state.particles is not None:
+        arr = np.fromfile(sdir / "particles.bin",
+                          np.float64).reshape(-1, 7)
+        p = sim.state.particles
+        sim.state = sim.state.replace(particles=p.replace(
+            r=jnp.asarray(arr[:, 0], dt), phi=jnp.asarray(arr[:, 1], dt),
+            r_dot=jnp.asarray(arr[:, 2], dt),
+            phi_dot=jnp.asarray(arr[:, 3], dt),
+            size=jnp.asarray(arr[:, 4], dt),
+            stokes=jnp.asarray(arr[:, 5], dt),
+            alive=jnp.asarray(arr[:, 6] > 0.5)))
     sim.state = sim.state.replace(
         fields=fields, nbody=nbody, qplus=qplus, qminus=qminus,
         omega_frame=jnp.asarray(misc["omega_frame"], dt),

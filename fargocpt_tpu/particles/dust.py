@@ -258,6 +258,138 @@ def integrate_expmid(phys: Physics, pp: ParticleParams, constants, units,
 
 
 # ---------------------------------------------------------------------------
+# explicit adaptive Cash-Karp RK45 integrator
+# ---------------------------------------------------------------------------
+
+def integrate_rk45(phys: Physics, pp: ParticleParams, constants, units,
+                   geom_np, g: Geom, state: ParticleState,
+                   rho, temperature, vrad, vaz, bodies, n_bodies,
+                   omega_frame, dt):
+    """Explicit drag kick + adaptive Cash-Karp RK45 gravity integration
+    (reference src/particles/particles.cpp:1428-1524
+    ``update_velocities_from_gas_drag`` + :1677-2015
+    ``integrate_explicit_adaptive``).
+
+    TPU-native batched form: ONE ``lax.while_loop`` advances all particles
+    together, each carrying its own adaptive sub-step, error estimate and
+    Lund-stabilized step-size controller; particles that finish their dt
+    freeze until the last one converges. The controller restarts from
+    h = dt each hydro step instead of persisting per-particle (the first
+    trial self-adapts within one rejection)."""
+    r0 = state.r
+    # --- explicit drag kick over the full dt (reference :1428-1505) ---
+    gas = sample_gas(geom_np, g, rho, temperature, vrad, vaz,
+                     omega_frame, r0, state.phi)
+    vrel_r = state.r_dot - gas.vg_r
+    vrel_phi = r0 * state.phi_dot - gas.vg_phi
+    vrel = jnp.sqrt(vrel_r ** 2 + vrel_phi ** 2)
+    ts_physical = calc_tstop(phys, constants, units, state.size, gas.rho,
+                             vrel, gas.temperature, pp.density)
+    r_dot = state.r_dot
+    phi_dot = state.phi_dot
+    if pp.gas_drag:
+        r_dot = r_dot - dt * vrel_r / ts_physical
+        phi_dot = phi_dot - dt * vrel_phi / (r0 * ts_physical)
+
+    # --- adaptive RK45 on the gravity-only equations of motion ---
+    def f(r, phi, rd, pd):
+        r_safe = jnp.maximum(r, 1e-300)
+        ag_r, l_dot = gravity_derivatives(constants, bodies, n_bodies,
+                                          r_safe, phi)
+        return (rd, pd, r_safe * pd * pd + ag_r,
+                (-2.0 * rd * pd + l_dot / r_safe) / r_safe)
+
+    # Cash-Karp tableau (reference :1838-1910)
+    B = ((0.2,),
+         (0.075, 0.225),
+         (0.3, -0.9, 1.2),
+         (-11.0 / 54.0, 2.5, -70.0 / 27.0, 35.0 / 27.0),
+         (1631.0 / 55296.0, 175.0 / 512.0, 575.0 / 13824.0,
+          44275.0 / 110592.0, 253.0 / 4096.0))
+    C5 = (37.0 / 378.0, 0.0, 250.0 / 621.0, 125.0 / 594.0, 0.0,
+          512.0 / 1771.0)
+    E = (37.0 / 378.0 - 2825.0 / 27648.0, 0.0,
+         250.0 / 621.0 - 18575.0 / 48384.0, 125.0 / 594.0 - 13525.0 / 55296.0,
+         -277.0 / 14336.0, 512.0 / 1771.0 - 0.25)
+    beta, fac1, fac2, safe = 0.04, 0.2, 10.0, 0.9
+    expo1 = 0.2 - beta * 0.75
+    facc1, facc2 = 1.0 / fac1, 1.0 / fac2
+    atol, rtol = 1e-14, 1e-12
+
+    def cond(c):
+        return jnp.any(~c[-1])
+
+    def body(c):
+        (r, phi, rd, pd, t_acc, h, facold, reject, done) = c
+        clamp = t_acc + h * 1.01 > dt
+        ts = jnp.where(clamp, dt - t_acc, h)
+
+        ks = [f(r, phi, rd, pd)]
+        for row in B:
+            rr = r + ts * sum(b * k[0] for b, k in zip(row, ks))
+            pp_ = phi + ts * sum(b * k[1] for b, k in zip(row, ks))
+            rdd = rd + ts * sum(b * k[2] for b, k in zip(row, ks))
+            pdd = pd + ts * sum(b * k[3] for b, k in zip(row, ks))
+            ks.append(f(rr, pp_, rdd, pdd))
+
+        def comb(idx, coeffs):
+            return sum(cc * k[idx] for cc, k in zip(coeffs, ks) if cc != 0.0)
+
+        r_new = r + ts * comb(0, C5)
+        phi_new = jnp.mod(phi + ts * comb(1, C5), 2.0 * jnp.pi)
+        rd_new = rd + ts * comb(2, C5)
+        pd_new = pd + ts * comb(3, C5)
+
+        err = jnp.zeros_like(r)
+        for idx, (old, new) in enumerate(((r, r_new), (phi, phi_new),
+                                          (rd, rd_new), (pd, pd_new))):
+            sk = atol + rtol * jnp.maximum(jnp.abs(old), jnp.abs(new))
+            err = err + (ts * comb(idx, E) / sk) ** 2
+        err = jnp.sqrt(err / 4.0)
+
+        fac11 = err ** expo1
+        fac = fac11 / facold ** beta
+        fac = jnp.maximum(facc2, jnp.minimum(facc1, fac / safe))
+        fac = jnp.where(clamp, jnp.maximum(fac, 1.0), fac)
+        h_acc = h / fac
+        accept = err <= 1.0
+        # on a previous rejection don't let the accepted step grow
+        h_acc = jnp.where(reject, jnp.minimum(jnp.abs(h_acc), jnp.abs(h)),
+                          h_acc)
+        h_rej = h / jnp.minimum(facc1, fac11 / safe)
+
+        upd = accept & ~done
+        r = jnp.where(upd, r_new, r)
+        phi = jnp.where(upd, phi_new, phi)
+        rd = jnp.where(upd, rd_new, rd)
+        pd = jnp.where(upd, pd_new, pd)
+        t_acc = jnp.where(upd, t_acc + ts, t_acc)
+        facold = jnp.where(upd, jnp.maximum(err, 1e-4), facold)
+        h = jnp.where(done, h, jnp.where(accept, h_acc, h_rej))
+        done = done | (accept & clamp)
+        reject = jnp.where(done, False, ~accept)
+        return (r, phi, rd, pd, t_acc, h, facold, reject, done)
+
+    zero = jnp.zeros_like(r0)
+    init = (r0, state.phi, r_dot, phi_dot, zero,
+            jnp.full_like(r0, dt), jnp.full_like(r0, 1e-4),
+            jnp.zeros_like(state.alive), ~state.alive)
+    r3, phi3, rd3, pd3, *_ = jax.lax.while_loop(cond, body, init)
+
+    omega_k = jnp.sqrt(constants.G * phys.hydro_center_mass / r3 ** 3)
+    alive = state.alive & (r3 > pp.min_escape_radius) \
+        & (r3 < pp.max_escape_radius)
+
+    def keep(new, old):
+        return jnp.where(alive, new, old)
+
+    return state.replace(
+        r=keep(r3, state.r), phi=keep(phi3, state.phi),
+        r_dot=keep(rd3, state.r_dot), phi_dot=keep(pd3, state.phi_dot),
+        stokes=keep(ts_physical * omega_k, state.stokes), alive=alive)
+
+
+# ---------------------------------------------------------------------------
 # stochastic dust diffusion
 # ---------------------------------------------------------------------------
 

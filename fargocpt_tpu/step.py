@@ -587,7 +587,9 @@ class HydroStep:
             * energy / sigma
         rho_mid = sigma / (phys.density_factor * h0)
         bodies = self.bodies_on_grid(nb, time)
-        particles = dust.integrate_expmid(
+        integ = dust.integrate_rk45 if pp.integrator.startswith(
+            ("e", "a", "r")) else dust.integrate_expmid
+        particles = integ(
             phys, pp, constants, self.units, self.geometry, g, particles,
             rho_mid, temp, vrad, vaz, bodies, self.n_bodies, omega_frame, dt)
         if pp.diffusion:
@@ -657,7 +659,9 @@ class HydroStep:
                 temp = phys.mu / constants.R * \
                     eos.pressure(phys, constants, sigma, energy, cs0) / sigma
             rho_mid = sigma / (phys.density_factor * h0)
-            particles = dust.integrate_expmid(
+            integ = dust.integrate_rk45 if pp.integrator.startswith(
+                ("e", "a", "r")) else dust.integrate_expmid
+            particles = integ(
                 phys, pp, constants, self.units, self.geometry, g, particles,
                 rho_mid, temp, vrad, vaz, bodies, self.n_bodies,
                 omega_frame, dt)

@@ -149,3 +149,83 @@ def test_particle_state_smoke():
     p = sim.state.particles
     assert np.all(np.isfinite(np.asarray(p.r)))
     assert np.all(np.asarray(p.stokes) > 0)
+
+
+def test_rk45_kepler_orbit_conservation():
+    """Drag-free adaptive Cash-Karp RK45 (reference
+    src/particles/particles.cpp:1677-2015) conserves orbital energy and
+    angular momentum of an eccentric orbit to the controller tolerance."""
+    from fargocpt_tpu.particles import dust
+    from fargocpt_tpu.params import Physics
+    from fargocpt_tpu.constants import Constants
+    from fargocpt_tpu.units import Units
+    from fargocpt_tpu.grid import Geometry
+    from fargocpt_tpu.ops.common import prepare_geom
+    from fargocpt_tpu.ops.gravity import BodiesOnGrid
+    import jax
+
+    phys = Physics(hydro_center_mass=1.0)
+    constants = Constants()
+    geom = Geometry.build(32, 16, 0.2, 5.0, "Log")
+    g = prepare_geom(geom, jnp.float64)
+    bodies = BodiesOnGrid(x=jnp.zeros(1), y=jnp.zeros(1),
+                          mass=jnp.ones(1),
+                          cubic_smoothing_radius=jnp.zeros(1))
+    pp = dust.ParticleParams(gas_drag=False, integrator="explicit",
+                             min_escape_radius=0.01,
+                             max_escape_radius=100.0)
+    # eccentric orbits: start at apocenter r = a(1+e)
+    a = jnp.asarray([1.0, 1.5])
+    e = jnp.asarray([0.5, 0.3])
+    r0 = a * (1 + e)
+    vphi = jnp.sqrt(constants.G * 1.0 / a) * jnp.sqrt((1 - e) / (1 + e))
+    state = dust.ParticleState(
+        r=r0, phi=jnp.zeros(2), r_dot=jnp.zeros(2), phi_dot=vphi / r0,
+        size=jnp.full(2, 1e-5), stokes=jnp.zeros(2),
+        alive=jnp.ones(2, bool), rng_key=jax.random.PRNGKey(0))
+
+    def invariants(s):
+        l = s.r ** 2 * s.phi_dot
+        en = 0.5 * (s.r_dot ** 2 + (s.r * s.phi_dot) ** 2) \
+            - constants.G / s.r
+        return np.asarray(en), np.asarray(l)
+
+    e0, l0 = invariants(state)
+    rho = jnp.ones((32, 16))
+    temp = jnp.ones((32, 16))
+    vrad = jnp.zeros((33, 16))
+    vaz = jnp.ones((32, 16))
+    period = 2 * np.pi
+    n_steps = 20
+    for _ in range(n_steps):
+        state = dust.integrate_rk45(
+            phys, pp, constants, Units(), geom, g, state, rho, temp, vrad,
+            vaz, bodies, 1, jnp.float64(0.0), jnp.float64(period / n_steps))
+    e1, l1 = invariants(state)
+    np.testing.assert_allclose(e1, e0, rtol=1e-9)
+    np.testing.assert_allclose(l1, l0, rtol=1e-9)
+    # one full period for particle 0: back at apocenter (phi = 0, r = 1.5)
+    dphi = float(jnp.mod(state.phi[0] + np.pi, 2 * np.pi) - np.pi)
+    assert abs(dphi) < 1e-4
+    assert np.isclose(float(state.r[0]), 1.5, rtol=1e-5)
+
+
+def test_particle_snapshot_restart(tmp_path):
+    """Particles are written per snapshot and restored exactly
+    (reference src/particles/particles.cpp:2176 write / :797 restart)."""
+    from fargocpt_tpu import output as out
+    sim = Simulation(drift_config(orbits=1), outdir=str(tmp_path / "o"))
+    out.OutputWriter(sim)
+    sim.run(max_steps=30)
+    sdir = tmp_path / "o" / "snapshots"
+    snaps = [x for x in (sdir / "list.txt").read_text().split() if x]
+    arr = np.fromfile(sdir / snaps[-1] / "particles.bin",
+                      np.float64).reshape(-1, 7)
+    assert arr.shape[0] == 5 and np.all(np.isfinite(arr))
+
+    sim2 = Simulation(drift_config(orbits=1), outdir=str(tmp_path / "o2"))
+    out.restore_simulation(sim2, tmp_path / "o", snaps[-1])
+    p2 = sim2.state.particles
+    np.testing.assert_array_equal(arr[:, 0], np.asarray(p2.r))
+    np.testing.assert_array_equal(arr[:, 3], np.asarray(p2.phi_dot))
+    np.testing.assert_array_equal(arr[:, 6] > 0.5, np.asarray(p2.alive))
