@@ -85,6 +85,65 @@ def thermal_cooling(phys: Physics, constants, temperature, tau_eff):
         * (t4 - tmin4) / tau_eff
 
 
+def scurve_cooling(phys: Physics, constants, units, g: Geom, sigma,
+                   temperature, mu_grid):
+    """Dwarf-nova S-curve surface cooling (reference
+    src/SourceEuler.cpp:823-928 ``scurve_cooling``): Ichikawa & Osaki 1992
+    hot/cold/intermediate branch fluxes, or the Kimura et al. 2020
+    calibration; limited to blackbody flux and power-law-scaled below the
+    Sigma/T validity thresholds. Returns (qminus, tau_eff)."""
+    sigma_cgs_thresh = 2.0
+    temp_cgs_thresh = 1200.0
+    if phys.scurve_kimura:
+        f_hot_const = 23.405
+        mu_exp = 0.31
+    else:
+        f_hot_const = 25.49
+        mu_exp = -0.31
+
+    sigma_cgs = sigma * units.surface_density
+    sigma_t = jnp.maximum(sigma_cgs, sigma_cgs_thresh)
+    temp_cgs = temperature * units.temperature
+    temp_t = jnp.maximum(temp_cgs, temp_cgs_thresh)
+    r_cgs = g.rb * units.length
+    m_cgs = phys.hydro_center_mass * units.mass
+    omega_cgs = jnp.sqrt(constants.cgs_G * m_cgs / r_cgs ** 3)
+    sb_cgs = constants.cgs_sigma_sb
+
+    log10 = jnp.log10
+    log_ta = -1.0 / 5.49 * (0.62 * log10(omega_cgs) + 1.62 * log10(sigma_t)
+                            + mu_exp * log10(mu_grid) - 25.48
+                            - log10(sb_cgs))
+    ta = 10.0 ** log_ta
+    log_fa = log10(sb_cgs) + 4.0 * log_ta
+    k_cgs = 11.0 + 0.4 * log10(2.0e10 / r_cgs)
+    log_fb = jnp.maximum(k_cgs, log_fa)
+    log_tb = (log_fb + log10(omega_cgs) + 2.0 * log10(sigma_t)
+              + 0.5 * log10(mu_grid) + f_hot_const) / 8.0
+    tb = 10.0 ** log_tb
+
+    log_f_cold = 9.49 * log10(temp_t) + 0.62 * log10(omega_cgs) \
+        + 1.62 * log10(sigma_t) + mu_exp * log10(mu_grid) - 25.48
+    log_f_hot = 8.0 * log10(temp_t) - log10(omega_cgs) \
+        - 2.0 * log10(sigma_t) - 0.5 * log10(mu_grid) - f_hot_const
+    log_f_mid = (log_fa - log_fb) * log10(temp_t / tb) / log10(ta / tb) \
+        + log_fb
+    log_ftot = jnp.where(temp_t < ta, log_f_cold,
+                         jnp.where(temp_t > tb, log_f_hot, log_f_mid))
+
+    f_tot = 10.0 ** log_ftot / units.energy_flux
+    # power-law scaling below the validity thresholds (reference :917-919)
+    f_tot = f_tot * jnp.sqrt(sigma_cgs / sigma_t) \
+        * (temp_cgs / temp_t) ** 2
+    t4 = temperature ** 4
+    f_bb = constants.sigma_sb * t4
+    factor = phys.surface_cooling_factor
+    qminus = 2.0 * factor * jnp.minimum(f_tot, f_bb)
+    tau_eff = factor * 2.0 * constants.sigma_sb * t4 \
+        / jnp.maximum(qminus, 1e-300)
+    return qminus, tau_eff
+
+
 def irradiation(phys: Physics, constants, g: Geom, bodies, n_bodies: int,
                 body_radius, body_temperature, body_irradiates: list,
                 body_rampup_time, cell_x, cell_y, aspect_ratio_grid,
@@ -152,6 +211,12 @@ def substep3(phys: Physics, constants, g: Geom, sigma, energy, vrad, vaz,
     if phys.cooling_surface_enabled and temperature is not None:
         qminus = qminus + thermal_cooling(phys, constants, temperature,
                                           tau_eff)
+    if phys.cooling_scurve_enabled and temperature is not None:
+        mu_grid = pvte_vals[1] if pvte_vals is not None \
+            else jnp.full_like(sigma, phys.mu)
+        q_sc, tau_eff = scurve_cooling(phys, constants, units, g, sigma,
+                                       temperature, mu_grid)
+        qminus = qminus + q_sc
 
     qplus = jnp.zeros_like(energy)
     if phys.heating_viscous:

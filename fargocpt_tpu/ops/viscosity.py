@@ -17,15 +17,59 @@ from .common import Geom, azim_next, azim_prev, set_rows
 from .sources import divergence_v
 
 
-def kinematic_viscosity(phys: Physics, g: Geom, cs, scale_height,
-                        temperature=None):
-    """nu grid (reference src/viscosity/viscosity.cpp:31-137).
+def alpha_grid(phys: Physics, g: Geom, units=None, temperature=None,
+               sigma=None, scale_height=None, bodies=None,
+               n_bodies: int = 0, cell_x=None, cell_y=None):
+    """Per-cell alpha parameter (reference
+    src/viscosity/viscosity.cpp:31-93 ``get_alpha``):
+    mode 0 const; 1 temperature S-curve (tanh blend in log T); 2
+    star-distance ramp; 3 hydrogen-ionization-fraction blend."""
+    if phys.alpha_mode == 1 and temperature is not None and units is not None:
+        t_cgs = temperature * units.temperature
+        a_cold = phys.alpha_cold * (g.rb / 0.4) ** 0.3
+        a_hot = phys.alpha_hot
+        return 10.0 ** (
+            0.5 * (jnp.log10(a_hot) - jnp.log10(a_cold))
+            * (1.0 - jnp.tanh((4.0 - jnp.log10(t_cgs)) / 0.4))
+            + jnp.log10(a_cold))
+    if phys.alpha_mode == 2 and bodies is not None:
+        alpha = jnp.full_like(cell_x, phys.alpha_hot)
+        dist_start, dist_end = 0.35, 0.55
+        for k in range(n_bodies):
+            d = jnp.sqrt((cell_x - bodies.x[k]) ** 2
+                         + (cell_y - bodies.y[k]) ** 2)
+            scale = jnp.clip((d - dist_start) / (dist_end - dist_start),
+                             0.0, 1.0)
+            alpha = jnp.minimum(
+                alpha, phys.alpha_cold
+                + (phys.alpha_hot - phys.alpha_cold) * scale)
+        return alpha
+    if phys.alpha_mode == 3 and temperature is not None \
+            and units is not None:
+        from .pvte import ionization_fraction
+        rho_cgs = sigma / (phys.density_factor * scale_height) \
+            * units.density
+        t_cgs = temperature * units.temperature
+        x_ion = ionization_fraction(rho_cgs, t_cgs,
+                                    phys.hydrogen_mass_fraction)
+        return phys.alpha_cold + (phys.alpha_hot - phys.alpha_cold) \
+            * jnp.minimum(1000.0 * x_ion, 1.0)
+    return phys.viscous_alpha
 
-    alpha mode: nu = alpha * cs_adiabatic * H; otherwise constant.
-    (SCURVE / ion-fraction alpha modes are wired in later rounds.)
-    """
+
+def kinematic_viscosity(phys: Physics, g: Geom, cs, scale_height,
+                        temperature=None, units=None, sigma=None,
+                        bodies=None, n_bodies: int = 0, cell_x=None,
+                        cell_y=None):
+    """nu grid (reference src/viscosity/viscosity.cpp:31-137):
+    nu = alpha(cell) * cs_adiabatic * H, or the constant viscosity."""
     if phys.viscous_alpha > 0.0:
-        return phys.viscous_alpha * cs * scale_height
+        alpha = phys.viscous_alpha
+        if phys.alpha_mode != 0:
+            alpha = alpha_grid(phys, g, units, temperature, sigma,
+                               scale_height, bodies, n_bodies, cell_x,
+                               cell_y)
+        return alpha * cs * scale_height
     return jnp.full_like(cs, phys.constant_viscosity)
 
 

@@ -87,6 +87,7 @@ class Physics:
     cooling_surface_enabled: bool = False
     surface_cooling_factor: float = 1.0
     cooling_scurve_enabled: bool = False
+    scurve_kimura: bool = True   # Kimura+2020 vs Ichikawa&Osaki 1992
     opacity_mode: str = "lin"
     kappa_const: float = 1.0
     tau_factor: float = 0.5
@@ -406,6 +407,7 @@ def physics_from_config(cfg: Config, un: u.Units, dtype: str = "float64") -> Phy
         cooling_surface_enabled=cooling_surface_enabled,
         surface_cooling_factor=cfg.get("CoolingRadiativeFactor", 1.0, type=float),
         cooling_scurve_enabled=cooling_scurve_enabled,
+        scurve_kimura=cfg.get_lowercase("ScurveType", "kimura") == "kimura",
         opacity_mode=cfg.get_lowercase("Opacity", "Lin"),
         kappa_const=cfg.get("KappaConst", 1.0, type=float),
         tau_factor=cfg.get("TauFactor", 0.5, type=float),

@@ -221,7 +221,20 @@ class HydroStep:
         h = eos.scale_height(phys, constants, g, cs, pv)
         return cs, press, h
 
-    def viscosity_grid(self, cs, h):
+    def viscosity_grid(self, cs, h, sigma=None, energy=None, bodies=None):
+        """nu grid; when a non-constant AlphaMode is configured and the
+        thermodynamic fields are provided, the per-cell alpha is used
+        (reference src/viscosity/viscosity.cpp:31-137)."""
+        if self.phys.alpha_mode != 0 and sigma is not None \
+                and energy is not None:
+            pv = self.pvte_vals(sigma, energy)
+            temp = eos.temperature(self.phys, self.constants, sigma, energy,
+                                   None, pv)
+            return visc_ops.kinematic_viscosity(
+                self.phys, self.g, cs, h, temperature=temp,
+                units=self.units, sigma=sigma, bodies=bodies,
+                n_bodies=self.n_bodies if bodies is not None else 0,
+                cell_x=self.cell_x, cell_y=self.cell_y)
         return visc_ops.kinematic_viscosity(self.phys, self.g, cs, h)
 
     def bodies_on_grid(self, nb: NBodyState, time) -> gravity.BodiesOnGrid:
@@ -353,7 +366,7 @@ class HydroStep:
         # recalculate_viscosity (reference src/SourceEuler.cpp:205-223):
         # adiabatic cs/H respond to the energy updates above
         cs, _, h = self.derived(sigma, energy)
-        nu = self.viscosity_grid(cs, h)
+        nu = self.viscosity_grid(cs, h, sigma, energy, bodies)
         tau_rr, tau_pp, tau_rp, div_v = visc_ops.viscous_stress_tensor(
             phys, g, sigma, vrad, vaz, nu)
         vrad, vaz = visc_ops.update_velocities_with_viscosity(
@@ -510,6 +523,8 @@ class HydroStep:
         if phys.calculate_disk:
             sigma, vrad, vaz, energy = self._apply_bcs(
                 sigma, vrad, vaz, energy, omega_frame, final=True, dt=dt)
+            if phys.keep_mass_constant:
+                sigma = self._rescale_to_initial_mass(sigma)
             monitor_acc = self._update_monitor_acc(
                 monitor_acc, _mass_flux, sigma, vrad, vaz, energy,
                 self.bodies_on_grid(nb, mid_time), indirect, dt)
@@ -519,6 +534,17 @@ class HydroStep:
             qplus=qplus, qminus=qminus, nbody=nb,
             frame_angle=frame_angle, particles=particles,
             monitor_acc=monitor_acc)
+
+    def _rescale_to_initial_mass(self, sigma):
+        """KeepDiskMassConstant: rescale Sigma so the active-disk mass stays
+        at its initial value (reference src/simulation.cpp:246-251,
+        :476-481)."""
+        from .ops import quantities as quant
+        rmax = self.geometry.rmax
+        m0 = quant.total_mass(self.phys, self.g, self.ref_values.sigma0,
+                              rmax)
+        m_new = quant.total_mass(self.phys, self.g, sigma, rmax)
+        return sigma * (m0 / m_new)
 
     def _update_monitor_acc(self, acc, mass_flux, sigma, vrad, vaz, energy,
                             bodies, indirect, dt):
@@ -726,6 +752,8 @@ class HydroStep:
             sigma, vrad, vaz, energy = self._apply_bcs(
                 sigma, vrad, vaz, energy, omega_frame, final=True, dt=dt,
                 nb=nb, time=time)
+            if phys.keep_mass_constant:
+                sigma = self._rescale_to_initial_mass(sigma)
             monitor_acc = self._update_monitor_acc(
                 monitor_acc, _mass_flux, sigma, vrad, vaz, energy,
                 self.bodies_on_grid(nb, time), pot_it, dt)
@@ -740,7 +768,7 @@ class HydroStep:
         phys = self.phys
         f = state.fields
         cs, press, h = self.derived(f.sigma, f.energy)
-        nu = self.viscosity_grid(cs, h)
+        nu = self.viscosity_grid(cs, h, f.sigma, f.energy)
         return cfl.condition_cfl(phys, self.g, f.sigma, f.vrad, f.vaz,
                                  f.energy, cs, nu, state.qplus, state.qminus)
 
