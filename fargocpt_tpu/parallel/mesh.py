@@ -51,7 +51,7 @@ def shard_fields(fields, mesh: Mesh):
     n = mesh.devices.size
 
     def place(x):
-        if x.ndim >= 1 and x.shape[0] % n == 0:
+        if x.ndim >= 2 and x.shape[0] % n == 0:
             return jax.device_put(x, sh)
         return jax.device_put(x, rep)
 
