@@ -88,6 +88,84 @@ def scale_height(phys: Physics, constants, g: Geom, cs, pvte_vals=None):
     return cs / omega_k
 
 
+def _min_dist_col(g: Geom):
+    """Half the larger cell extent — the closest a body can effectively be
+    to cell gas (reference src/SourceEuler.cpp:1113-1119)."""
+    return 0.5 * jnp.maximum(g.rsup - g.rinf, g.rb * g.dphi)
+
+
+def sound_speed_iso_nbody(phys: Physics, constants, g: Geom, bodies,
+                          n_bodies: int, body_radius, cell_x, cell_y):
+    """AspectRatioMode 1: Cs^2 = sum_k h0^2 dist^2F G m_k / dist over all
+    bodies (reference src/SourceEuler.cpp:1136-1195
+    ``compute_iso_sound_speed_nbody``)."""
+    cs2 = jnp.zeros_like(cell_x)
+    h0 = phys.aspectratio_ref
+    base_min = _min_dist_col(g)
+    for k in range(n_bodies):
+        dist = jnp.maximum(
+            jnp.sqrt((cell_x - bodies.x[k]) ** 2
+                     + (cell_y - bodies.y[k]) ** 2),
+            base_min + body_radius[k])
+        cs2 = cs2 + h0 * h0 * dist ** (2.0 * phys.flaring_index) \
+            * constants.G * bodies.mass[k] / dist
+    return jnp.sqrt(cs2)
+
+
+def sound_speed_iso_com(phys: Physics, constants, g: Geom, com_x, com_y,
+                        com_mass, cell_x, cell_y):
+    """AspectRatioMode 2: Cs from the distance to the N-body center of mass
+    (reference src/SourceEuler.cpp:1094-1134)."""
+    dist = jnp.maximum(
+        jnp.sqrt((cell_x - com_x) ** 2 + (cell_y - com_y) ** 2),
+        _min_dist_col(g))
+    return phys.aspectratio_ref * dist ** phys.flaring_index \
+        * jnp.sqrt(constants.G * com_mass / dist)
+
+
+def scale_height_nbody(phys: Physics, constants, g: Geom, cs, bodies,
+                       n_bodies: int, body_radius, cell_x, cell_y,
+                       pvte_vals=None):
+    """AspectRatioMode 1: 1/H^2 = sum_k G m_k [gamma1] / (dist^3 cs^2)
+    (Thun et al. 2017 eq. 8; reference src/SourceEuler.cpp:1255-1345
+    ``compute_scale_height_nbody``)."""
+    g1 = 1.0
+    if phys.is_adiabatic or phys.is_polytropic:
+        g1 = pvte_vals[2] if pvte_vals is not None else gamma_eff(phys)
+    cs2 = cs * cs
+    inv_h2 = jnp.zeros_like(cs)
+    base_min = _min_dist_col(g)
+    for k in range(n_bodies):
+        dist = jnp.maximum(
+            jnp.sqrt((cell_x - bodies.x[k]) ** 2
+                     + (cell_y - bodies.y[k]) ** 2),
+            base_min + body_radius[k])
+        inv_h2 = inv_h2 + constants.G * bodies.mass[k] * g1 \
+            / (dist ** 3 * cs2)
+    return 1.0 / jnp.sqrt(inv_h2)
+
+
+def scale_height_com(phys: Physics, constants, g: Geom, cs, com_x, com_y,
+                     com_mass, cell_x, cell_y, pvte_vals=None):
+    """AspectRatioMode 2: H = dist * cs sqrt(dist/(G M [gamma1]))
+    (reference src/SourceEuler.cpp:1346-1399)."""
+    g1 = 1.0
+    if phys.is_adiabatic or phys.is_polytropic:
+        g1 = pvte_vals[2] if pvte_vals is not None else gamma_eff(phys)
+    dist = jnp.sqrt((cell_x - com_x) ** 2 + (cell_y - com_y) ** 2)
+    h = cs * jnp.sqrt(dist / (constants.G * com_mass * g1))
+    return dist * h
+
+
+def adjust_scale_height_for_sg(H, toomre_q):
+    """Self-gravitating vertical structure: H *= sqrt(2/pi) f(Q),
+    f(Q) = pi (sqrt(1 + 8 Q^2/pi) - 1) / (4 Q)
+    (reference src/SourceEuler.cpp:1400-1420)."""
+    f = jnp.pi * (jnp.sqrt(1.0 + 8.0 * toomre_q ** 2 / jnp.pi) - 1.0) \
+        / (4.0 * toomre_q)
+    return H * f * jnp.sqrt(2.0 / jnp.pi)
+
+
 def energy_floor_ceiling(phys: Physics, constants, sigma, energy,
                          pvte_vals=None):
     """Clamp energy to [E(Tmin), E(Tmax)]

@@ -185,7 +185,10 @@ class HydroStep:
         from .ops import pallas_kernels as pk
         self._fuse_sources = (
             pk.use_pallas(dtype) and geometry.naz % 128 == 0
-            and not phys.variable_gamma and not phys.is_polytropic)
+            and not phys.variable_gamma and not phys.is_polytropic
+            and phys.aspectratio_mode == 0
+            and not (phys.self_gravity
+                     and phys.self_gravity_mode == "besselkernel"))
         if self._fuse_sources:
             (self._src_cols, self._cos_row, self._sin_row,
              self._smooth_modes) = pk.make_sources_prep(
@@ -211,14 +214,53 @@ class HydroStep:
         h0 = cs0 / jnp.sqrt(gam0) / omega_k
         return self.pvte.gamma_mu(sigma, energy, h0)
 
-    def derived(self, sigma, energy):
-        """Sound speed, pressure, scale height from prognostic fields."""
+    def derived(self, sigma, energy, bodies=None):
+        """Sound speed, pressure, scale height from prognostic fields.
+        With AspectRatioMode 1/2 and a bodies snapshot, the N-body /
+        center-of-mass variants are used (reference
+        src/SourceEuler.cpp:1054-1441); callers without body context fall
+        back to the axisymmetric mode-0 forms."""
         phys, constants, g = self.phys, self.constants, self.g
         pv = self.pvte_vals(sigma, energy)
-        cs = eos.sound_speed(phys, constants, g, sigma, energy, self.cs_iso,
-                             pv)
-        press = eos.pressure(phys, constants, sigma, energy, cs, pv)
-        h = eos.scale_height(phys, constants, g, cs, pv)
+        mode = phys.aspectratio_mode
+        if mode in (1, 2) and bodies is not None:
+            if phys.is_adiabatic or phys.is_polytropic:
+                cs = eos.sound_speed(phys, constants, g, sigma, energy,
+                                     self.cs_iso, pv)
+            elif mode == 1:
+                cs = eos.sound_speed_iso_nbody(
+                    phys, constants, g, bodies, self.n_bodies,
+                    self.body_radius, self.cell_x, self.cell_y)
+            else:
+                m = jnp.sum(bodies.mass)
+                com_x = jnp.sum(bodies.mass * bodies.x) / m
+                com_y = jnp.sum(bodies.mass * bodies.y) / m
+                cs = eos.sound_speed_iso_com(
+                    phys, constants, g, com_x, com_y, m, self.cell_x,
+                    self.cell_y)
+            press = eos.pressure(phys, constants, sigma, energy, cs, pv)
+            if mode == 1:
+                h = eos.scale_height_nbody(
+                    phys, constants, g, cs, bodies, self.n_bodies,
+                    self.body_radius, self.cell_x, self.cell_y, pv)
+            else:
+                m = jnp.sum(bodies.mass)
+                com_x = jnp.sum(bodies.mass * bodies.x) / m
+                com_y = jnp.sum(bodies.mass * bodies.y) / m
+                h = eos.scale_height_com(phys, constants, g, cs, com_x,
+                                         com_y, m, self.cell_x, self.cell_y,
+                                         pv)
+        else:
+            cs = eos.sound_speed(phys, constants, g, sigma, energy,
+                                 self.cs_iso, pv)
+            press = eos.pressure(phys, constants, sigma, energy, cs, pv)
+            h = eos.scale_height(phys, constants, g, cs, pv)
+        # self-gravitating vertical structure (reference
+        # src/SourceEuler.cpp:1434-1439, Bessel-kernel SG mode only)
+        if phys.self_gravity and phys.self_gravity_mode == "besselkernel":
+            from .ops import quantities as _quant
+            q = _quant.toomre_q(phys, constants, g, sigma, cs)
+            h = eos.adjust_scale_height_for_sg(h, q)
         return cs, press, h
 
     def viscosity_grid(self, cs, h, sigma=None, energy=None, bodies=None):
@@ -336,7 +378,7 @@ class HydroStep:
         potential (reference src/simulation.cpp:168-176)."""
         phys, constants, g = self.phys, self.constants, self.g
 
-        cs, press, h = self.derived(sigma, energy)
+        cs, press, h = self.derived(sigma, energy, bodies)
         pv = self.pvte_vals(sigma, energy)
 
         # self-gravity kick first (reference src/SourceEuler.cpp:438-441)

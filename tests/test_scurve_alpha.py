@@ -161,3 +161,50 @@ def test_keep_mass_constant(tmp_path):
     sim2.run()
     # outflow actually loses mass without the rescale
     assert (m0b - active_mass(sim2)) / m0b > 1e-4
+
+
+def test_aspectratio_modes():
+    """AspectRatioMode 1 (N-body) and 2 (center of mass): around a binary
+    the sound speed / scale height follow the distances to the bodies
+    (reference src/SourceEuler.cpp:1094-1399)."""
+    import jax.numpy as jnp
+    from fargocpt_tpu.step import HydroStep
+    from fargocpt_tpu.ops.boundary import RefValues
+    from fargocpt_tpu.ops.gravity import BodiesOnGrid
+    from fargocpt_tpu.nbody.system import BodyConfig
+
+    geom = Geometry.build(64, 64, 0.4, 2.5, "Log")
+    bodies_cfg = [BodyConfig(name="a", mass=0.5),
+                  BodyConfig(name="b", mass=0.5, semi_major_axis=0.2)]
+    sigma = jnp.full((64, 64), 1e-4)
+    energy = jnp.zeros((64, 64))
+    z = jnp.zeros((65, 64))
+    ref = RefValues(sigma0=sigma, energy0=energy, vrad0=z,
+                    vaz0=jnp.zeros((64, 64)))
+    bodies = BodiesOnGrid(x=jnp.asarray([0.1, -0.1]),
+                          y=jnp.asarray([0.0, 0.0]),
+                          mass=jnp.asarray([0.5, 0.5]),
+                          cubic_smoothing_radius=jnp.zeros(2))
+
+    for mode in (1, 2):
+        phys = Physics(eos="isothermal", aspectratio_ref=0.05,
+                       flaring_index=0.0, aspectratio_mode=mode,
+                       hydro_center_mass=1.0)
+        st = HydroStep(phys, Constants(), geom, ref, bodies=bodies_cfg,
+                       n_hydroframe=2)
+        cs, press, h = st.derived(sigma, energy, bodies)
+        cs0, _, h0 = st.derived(sigma, energy)     # fallback mode 0
+        assert np.all(np.isfinite(np.asarray(cs)))
+        assert np.all(np.asarray(cs) > 0) and np.all(np.asarray(h) > 0)
+        # far from the binary both modes approach the axisymmetric value
+        far = np.asarray(st.g.rb[:, 0]) > 2.0
+        rel_cs = np.abs(np.asarray(cs)[far] / np.asarray(cs0)[far] - 1.0)
+        assert rel_cs.max() < 0.05, (mode, rel_cs.max())
+        rel_h = np.abs(np.asarray(h)[far] / np.asarray(h0)[far] - 1.0)
+        assert rel_h.max() < 0.1, (mode, rel_h.max())
+        # near the binary the per-body mode is azimuthally structured
+        # (mode 2 sees the COM at the origin here -> axisymmetric)
+        near = np.argmin(np.abs(geom.rmed - 0.45))
+        if mode == 1:
+            assert np.asarray(cs)[near].std() \
+                / np.asarray(cs)[near].mean() > 1e-3
