@@ -302,7 +302,8 @@ def center_of_mass_boundary(phys: Physics, constants, g: Geom, sigma, vrad,
 
 def rochelobe_overflow(phys: Physics, constants, g: Geom, sigma, vrad, vaz,
                        energy, omega_frame, nb, current_time,
-                       temp0_factor, time_to_hours, length_to_cm):
+                       temp0_factor, time_to_hours, length_to_cm,
+                       mdot=None):
     """Roche-lobe mass-overflow stream injected at the outer ghost ring
     around the donor's azimuth (reference
     src/boundary_conditions/mass_overflow.cpp:22-140): a Gaussian stream
@@ -322,7 +323,8 @@ def rochelobe_overflow(phys: Physics, constants, g: Geom, sigma, vrad, vaz,
     vr_fraction = 0.002
     vr_stream = -omega_planet * r_cell * vr_fraction
     vazi_stream = (omega_planet - omega_frame) * r_cell
-    mdot = phys.rof_mdot
+    if mdot is None:
+        mdot = phys.rof_mdot
     sigma_stream = jnp.abs(mdot / (g.dphi * g.ra[nr - 1, 0] * vr_stream))
 
     nearest = jnp.mod((naz * angle + 0.5).astype(jnp.int32), naz)

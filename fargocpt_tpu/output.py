@@ -233,6 +233,17 @@ class OutputWriter:
 
         self._write_misc(sdir)
         self._write_nbody_bin(sdir)
+        # ROF massflow tracker state (reference src/massflow_tracker.cpp
+        # write_to_file: delta_mass, averaging_time, mdot)
+        acc2 = sim.state.monitor_acc
+        if sim.phys.rochelobe_overflow and acc2 is not None \
+                and acc2.rof_mdot is not None:
+            st = sim.stepper
+            t_avg = max(float(st.body_period[sim.phys.rof_planet])
+                        * sim.phys.rof_averaging_time, 1e-12) \
+                if st.n_bodies > 1 else 1e-12
+            np.asarray([0.0, t_avg, float(acc2.rof_mdot)],
+                       np.float64).tofile(sdir / "massflow_tracker.bin")
         # dust particles (reference src/particles/particles.cpp:2176
         # ``write``: one binary record per particle per snapshot)
         if sim.state.particles is not None:
@@ -429,8 +440,62 @@ class OutputWriter:
             row[QUANTITIES_COLUMNS.index(name)] = float(v)
         row[QUANTITIES_COLUMNS.index("frame angle")] = \
             float(sim.state.frame_angle)
+        # boundary/damping/floor mass bookkeeping accumulated per step
+        # (reference src/output.cpp:438-490 + src/types.h:30-60), reset
+        # after each monitor write
+        acc = sim.state.monitor_acc
+        if acc is not None and acc.mass_delta is not None:
+            import jax.numpy as jnp
+            md = np.asarray(acc.mass_delta)
+            names = ["inner boundary mass inflow",
+                     "inner boundary mass outflow",
+                     "outer boundary mass inflow",
+                     "outer boundary mass outflow",
+                     "wave damping inner mass creation",
+                     "wave damping inner mass removal",
+                     "wave damping outer mass creation",
+                     "wave damping outer mass removal",
+                     "density floor mass creation"]
+            for i, n in enumerate(names):
+                row[QUANTITIES_COLUMNS.index(n)] = md[i]
+            sim.state = sim.state.replace(monitor_acc=acc.replace(
+                mass_delta=jnp.zeros_like(acc.mass_delta)))
         with open(path, "a") as f:
             f.write("\t".join(f"{v:.18g}" for v in row) + "\n")
+
+    def write_ecc_changes(self):
+        """monitor/eccentricity_change.dat: per-stage disk eccentricity /
+        pericenter changes (reference src/output.cpp:1275-1372
+        ``write_ecc_peri_changes``), reset after each write."""
+        sim = self.sim
+        acc = sim.state.monitor_acc
+        if acc is None or acc.decc is None:
+            return
+        import jax.numpy as jnp
+        path = self.outdir / "monitor" / "eccentricity_change.dat"
+        if not path.exists():
+            with open(path, "w") as f:
+                f.write("# Per-stage disk ecc/pericenter changes\n")
+                cols = ["snapshot number", "monitor number", "time",
+                        "ecc change source", "ecc change artvisc",
+                        "ecc change viscosity", "ecc change transport",
+                        "ecc change damping",
+                        "peri change source", "peri change artvisc",
+                        "peri change viscosity", "peri change transport",
+                        "peri change damping"]
+                for i, c in enumerate(cols):
+                    f.write(f"#variable: {i} | {c} | code units\n")
+        de = np.asarray(acc.decc)
+        dp = np.asarray(acc.dperi)
+        with open(path, "a") as f:
+            f.write("\t".join(
+                [str(sim.n_snapshot), str(sim.n_monitor),
+                 f"{sim.time:.16e}"]
+                + [f"{v:.16e}" for v in de] + [f"{v:.16e}" for v in dp])
+                + "\n")
+        sim.state = sim.state.replace(monitor_acc=acc.replace(
+            decc=jnp.zeros_like(acc.decc),
+            dperi=jnp.zeros_like(acc.dperi)))
 
     def _compute_quantities(self):
         sim = self.sim
@@ -557,6 +622,8 @@ class OutputWriter:
         self.write_nbody_monitor()
         if sim.phys.write_lightcurves:
             self.write_lightcurves()
+        if sim.phys.write_ecc_changes:
+            self.write_ecc_changes()
 
     def _on_snapshot(self, sim):
         self.write_snapshot()
@@ -605,6 +672,15 @@ def restore_simulation(sim, outdir: str | Path, snapshot_id: str | int):
         else sim.state.qplus
     qminus = rd("Qminus.dat", g.nrad) if (sdir / "Qminus.dat").exists() \
         else sim.state.qminus
+    # ROF massflow tracker (reference src/massflow_tracker.cpp
+    # read_from_file)
+    if (sdir / "massflow_tracker.bin").exists() \
+            and sim.state.monitor_acc is not None \
+            and sim.state.monitor_acc.rof_mdot is not None:
+        vals = np.fromfile(sdir / "massflow_tracker.bin", np.float64)
+        sim.state = sim.state.replace(
+            monitor_acc=sim.state.monitor_acc.replace(
+                rof_mdot=jnp.asarray(vals[2], dt)))
     # dust particles (reference src/particles/particles.cpp:797 restart)
     if (sdir / "particles.bin").exists() and sim.state.particles is not None:
         arr = np.fromfile(sdir / "particles.bin",

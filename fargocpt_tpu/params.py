@@ -190,6 +190,8 @@ class Physics:
     rof_rampingtime: float = 30.0
     rof_gamma: float = 0.5
     rof_variable_transfer: bool = False
+    rof_averaging_time: float = 10.0     # donor orbits (ROFaveragingtime)
+    write_ecc_changes: bool = False      # WriteEccentricityChange
 
     # misc
     calculate_disk: bool = True
@@ -464,6 +466,8 @@ def physics_from_config(cfg: Config, un: u.Units, dtype: str = "float64") -> Phy
         rof_rampingtime=cfg.get("ROFrampingtime", 30.0, type=float),
         rof_gamma=cfg.get("ROFgamma", 0.5, type=float),
         rof_variable_transfer=cfg.get_flag("ROFVariableTransfer", False),
+        rof_averaging_time=cfg.get("ROFaveragingtime", 10.0, type=float),
+        write_ecc_changes=cfg.get_flag("WriteEccentricityChange", False),
         damping=cfg.get_flag("Damping", False),
         damping_inner_limit=cfg.get("DampingInnerLimit", 1.05, type=float),
         damping_outer_limit=cfg.get("DampingOuterLimit", 0.95, type=float),

@@ -45,10 +45,28 @@ class MonitorAccum:
     t_adv: jax.Array = None          # sum of advection torque * dt
     t_visc: jax.Array = None         # sum of viscous torque * dt
     t_grav: jax.Array = None         # sum of gravitational torque * dt
+    # mass bookkeeping (reference src/types.h:30-60 BoundaryFlow), always
+    # tracked; see MD_* indices below
+    mass_delta: jax.Array = None
+    # Roche-lobe-overflow massflow tracker (reference
+    # src/massflow_tracker.cpp): exponentially averaged accretion rate
+    rof_mdot: jax.Array = None
+    # per-stage disk ecc/pericenter changes (reference write_ecc_peri_changes
+    # columns: source, artvisc, viscosity, transport, damping)
+    decc: jax.Array = None
+    dperi: jax.Array = None
 
     def replace(self, **kw) -> "MonitorAccum":
         from dataclasses import replace as _replace
         return _replace(self, **kw)
+
+
+# indices into MonitorAccum.mass_delta (reference src/types.h:30-60)
+MD_INNER_IN, MD_INNER_OUT, MD_OUTER_IN, MD_OUTER_OUT = 0, 1, 2, 3
+MD_DAMP_IN_CREATE, MD_DAMP_IN_REMOVE = 4, 5
+MD_DAMP_OUT_CREATE, MD_DAMP_OUT_REMOVE = 6, 7
+MD_FLOOR_CREATE = 8
+N_MASS_DELTA = 9
 
 
 @jax.tree_util.register_dataclass
@@ -137,6 +155,10 @@ class HydroStep:
 
         # user boundary hook (reference src/boundary_conditions/custom.cpp)
         self.custom_bc = None
+
+        # azimuth rows for diagnostics
+        self.cos_row = jnp.asarray(geometry.cos_phi, dtype)[None, :]
+        self.sin_row = jnp.asarray(geometry.sin_phi, dtype)[None, :]
 
         # binary quadrupole moment for the v_az support correction
         # (reference src/Theo.cpp:58-78)
@@ -300,14 +322,28 @@ class HydroStep:
         return self.viscosity_grid(cs, h)
 
     def _apply_bcs(self, sigma, vrad, vaz, energy, omega_frame,
-                   final: bool = False, dt=None, nb=None, time=None):
+                   final: bool = False, dt=None, nb=None, time=None,
+                   rof_mdot=None, want_damping_delta: bool = False):
         """reference src/boundary_conditions/boundary_conditions.cpp:65-110;
         damping runs first and only on the final application of a step
-        (:45-63 ``handle_damping``)."""
+        (:45-63 ``handle_damping``). With ``want_damping_delta`` also
+        returns the (4,) damping mass creation/removal vector."""
         phys = self.phys
+        dmp_delta = jnp.zeros((4,), self.dtype) if want_damping_delta \
+            else None
         if final and phys.damping and self.damping is not None:
+            sig_before = sigma
             sigma, vrad, vaz, energy = self.damping.apply(
                 phys, sigma, vrad, vaz, energy, self.ref_values, dt)
+            if want_damping_delta:
+                dm = (sigma - sig_before) * self.g.surf
+                din = jnp.where(self.damping.in_b, dm, 0.0)
+                dout = jnp.where(self.damping.out_b, dm, 0.0)
+                dmp_delta = jnp.stack([
+                    jnp.sum(jnp.maximum(din, 0.0)),
+                    jnp.sum(jnp.maximum(-din, 0.0)),
+                    jnp.sum(jnp.maximum(dout, 0.0)),
+                    jnp.sum(jnp.maximum(-dout, 0.0))])
         nu = None
         if "viscous" in (phys.bc_vrad_inner, phys.bc_vrad_outer):
             cs, _, h = self.derived(sigma, energy)
@@ -315,7 +351,13 @@ class HydroStep:
         rof_ctx = None
         if phys.rochelobe_overflow and nb is not None:
             un = self.units
-            rof_ctx = (nb, time, un.temperature, un.time / 3600.0, un.length)
+            mdot = phys.rof_mdot
+            if phys.rof_variable_transfer and rof_mdot is not None:
+                # tracked accretion rate drives the stream (reference
+                # src/boundary_conditions/mass_overflow.cpp:42)
+                mdot = rof_mdot
+            rof_ctx = (nb, time, un.temperature, un.time / 3600.0,
+                       un.length, mdot)
         com_ctx = None
         if nb is not None and "centerofmass" in (phys.composite_inner,
                                                  phys.composite_outer):
@@ -324,6 +366,12 @@ class HydroStep:
             phys, self.constants, self.g, sigma, vrad, vaz, energy,
             self.ref_values, omega_frame, nu=nu, rof_ctx=rof_ctx,
             com_ctx=com_ctx)
+        if want_damping_delta:
+            if self.custom_bc is not None and "custom" in (
+                    phys.composite_inner, phys.composite_outer):
+                sigma, vrad, vaz, energy = self.custom_bc(
+                    self.g, sigma, vrad, vaz, energy, omega_frame)
+            return sigma, vrad, vaz, energy, dmp_delta
         # user-supplied boundary hook (reference
         # src/boundary_conditions/custom.cpp): a traceable callable set on
         # the stepper before the first step
@@ -377,6 +425,16 @@ class HydroStep:
         ``indirect`` is the (x, y) indirect-term pair entering the gas
         potential (reference src/simulation.cpp:168-176)."""
         phys, constants, g = self.phys, self.constants, self.g
+        track_ecc = phys.write_ecc_changes
+        ecc_deltas = []
+
+        def ecc_mark(before):
+            e1, p1 = self._disk_ecc_peri(sigma, vrad, vaz, omega_frame)
+            ecc_deltas.append((e1 - before[0], p1 - before[1]))
+            return e1, p1
+
+        mark = self._disk_ecc_peri(sigma, vrad, vaz, omega_frame) \
+            if track_ecc else None
 
         cs, press, h = self.derived(sigma, energy, bodies)
         pv = self.pvte_vals(sigma, energy)
@@ -397,10 +455,14 @@ class HydroStep:
                 phys, g, sigma, press, pot, vrad, vaz, energy, omega_frame,
                 dt, pv)
         vrad, vaz, energy = jax.lax.optimization_barrier((vrad, vaz, energy))
+        if track_ecc:
+            mark = ecc_mark(mark)        # source-term delta
 
         vrad, vaz, energy = artvisc.update_with_artificial_viscosity(
             phys, g, sigma, vrad, vaz, energy, dt)
         vrad, vaz, energy = jax.lax.optimization_barrier((vrad, vaz, energy))
+        if track_ecc:
+            mark = ecc_mark(mark)        # artificial-viscosity delta
         if phys.is_adiabatic and phys.artificial_viscosity_dissipation:
             energy = eos.energy_floor_ceiling(phys, constants, sigma, energy,
                                               self.pvte_vals(sigma, energy))
@@ -414,6 +476,8 @@ class HydroStep:
         vrad, vaz = visc_ops.update_velocities_with_viscosity(
             phys, g, sigma, vrad, vaz, tau_rr, tau_pp, tau_rp, dt)
         vrad, vaz = jax.lax.optimization_barrier((vrad, vaz))
+        if track_ecc:
+            mark = ecc_mark(mark)        # viscosity delta
 
         qplus = jnp.zeros_like(sigma)
         qminus = jnp.zeros_like(sigma)
@@ -425,7 +489,8 @@ class HydroStep:
                 jnp.zeros_like(sigma), time, dt,
                 units=self.units, irradiation_ctx=self.irradiation_ctx(bodies),
                 pvte_vals=self.pvte_vals(sigma, energy))
-        return sigma, vrad, vaz, energy, qplus, qminus
+        return (sigma, vrad, vaz, energy, qplus, qminus,
+                ecc_deltas if track_ecc else None)
 
     def _nbody_feedback_kicks(self, sigma, h, nb, time, dt):
         """Disk force on the bodies + indirect terms; returns the kicked
@@ -451,7 +516,8 @@ class HydroStep:
         """Potential + source/viscosity/energy kicks over ``dt``."""
         phys, constants, g = self.phys, self.constants, self.g
         bodies = self.bodies_on_grid(nb, time)
-        sigma, vrad, vaz, energy, qplus, qminus = self._substeps(
+        (sigma, vrad, vaz, energy, qplus, qminus,
+         _ecc_deltas) = self._substeps(
             sigma, vrad, vaz, energy, indirect, time, dt, omega_frame,
             bodies)
         sigma, vrad, vaz, energy = jax.lax.optimization_barrier(
@@ -563,10 +629,21 @@ class HydroStep:
 
         monitor_acc = state.monitor_acc
         if phys.calculate_disk:
-            sigma, vrad, vaz, energy = self._apply_bcs(
-                sigma, vrad, vaz, energy, omega_frame, final=True, dt=dt)
+            sigma, vrad, vaz, energy, dmp = self._apply_bcs(
+                sigma, vrad, vaz, energy, omega_frame, final=True, dt=dt,
+                want_damping_delta=True)
             if phys.keep_mass_constant:
                 sigma = self._rescale_to_initial_mass(sigma)
+            f_in = _mass_flux[1]
+            f_out = _mass_flux[g.nrad - 1]
+            md = monitor_acc.mass_delta
+            md = md.at[MD_INNER_IN].add(jnp.sum(jnp.maximum(f_in, 0.0)))
+            md = md.at[MD_INNER_OUT].add(jnp.sum(jnp.maximum(-f_in, 0.0)))
+            md = md.at[MD_OUTER_OUT].add(jnp.sum(jnp.maximum(f_out, 0.0)))
+            md = md.at[MD_OUTER_IN].add(jnp.sum(jnp.maximum(-f_out, 0.0)))
+            for i in range(4):
+                md = md.at[MD_DAMP_IN_CREATE + i].add(dmp[i])
+            monitor_acc = monitor_acc.replace(mass_delta=md)
             monitor_acc = self._update_monitor_acc(
                 monitor_acc, _mass_flux, sigma, vrad, vaz, energy,
                 self.bodies_on_grid(nb, mid_time), indirect, dt)
@@ -617,16 +694,32 @@ class HydroStep:
                 g, sigma, pot, dt)
         return acc.replace(**kw)
 
-    def initial_monitor_acc(self) -> MonitorAccum | None:
+    def initial_monitor_acc(self) -> MonitorAccum:
         phys = self.phys
-        if not (phys.write_massflow or phys.write_gas_torques):
-            return None
         z = jnp.zeros((self.geometry.nrad, self.geometry.naz), self.dtype)
+        z5 = jnp.zeros((5,), self.dtype)
         return MonitorAccum(
             massflow=z if phys.write_massflow else None,
             t_adv=z if phys.write_gas_torques else None,
             t_visc=z if phys.write_gas_torques else None,
-            t_grav=z if phys.write_gas_torques else None)
+            t_grav=z if phys.write_gas_torques else None,
+            mass_delta=jnp.zeros((N_MASS_DELTA,), self.dtype),
+            rof_mdot=jnp.zeros((), self.dtype)
+            if phys.rochelobe_overflow else None,
+            decc=z5 if phys.write_ecc_changes else None,
+            dperi=z5 if phys.write_ecc_changes else None)
+
+    def _disk_ecc_peri(self, sigma, vrad, vaz, omega_frame):
+        """Mass-averaged disk eccentricity / pericenter for the
+        ecc-growth monitor (reference src/quantities.cpp
+        ``calculate_disk_delta_ecc_peri``; the in-step deltas are
+        frame-angle invariant, so angle 0 is used)."""
+        from .ops import quantities as quant
+        zero = jnp.zeros((), self.dtype)
+        return quant.disk_ecc_peri(
+            self.phys, self.constants, self.g, sigma, vrad, vaz,
+            omega_frame, zero, self.cos_row, self.sin_row,
+            2.0 * self.geometry.rmax)
 
     def _corotation_update(self, state, nb, vaz, omega_frame, dt):
         """Corotating frame: measure the reference body's swept angle since
@@ -751,7 +844,8 @@ class HydroStep:
 
         # --- gas substeps ---
         if phys.calculate_disk:
-            sigma, vrad, vaz, energy, qplus, qminus = self._substeps(
+            (sigma, vrad, vaz, energy, qplus, qminus,
+             _ecc_deltas) = self._substeps(
                 sigma, vrad, vaz, energy, pot_it, time, dt, omega_frame,
                 bodies)
             # compile-time guard: stop XLA's algebraic simplifier from
@@ -773,11 +867,17 @@ class HydroStep:
             sigma, vrad, vaz, energy = self._apply_bcs(
                 sigma, vrad, vaz, energy, omega_frame, nb=nb, time=time)
 
+            if phys.write_ecc_changes:
+                _ecc_pre_t = self._disk_ecc_peri(sigma, vrad, vaz,
+                                                 omega_frame)
             sigma, vrad, vaz, energy, _mass_flux = transport.transport(
                 phys, g, sigma, vrad, vaz, energy, omega_frame, dt)
             sigma, vrad, vaz, energy = jax.lax.optimization_barrier(
                 (sigma, vrad, vaz, energy))
+            _sig_pre_floor = sigma
             sigma = eos.apply_sigma_floor(phys, sigma)
+            _floor_created = jnp.sum(
+                ((sigma - _sig_pre_floor) * g.surf)[1:g.nrad - 1])
             if phys.is_adiabatic:
                 energy = eos.energy_floor_ceiling(phys, constants, sigma,
                                                   energy)
@@ -790,12 +890,58 @@ class HydroStep:
 
         monitor_acc = state.monitor_acc
         if phys.calculate_disk:
+            # ROF massflow tracker (reference src/massflow_tracker.cpp):
+            # exponentially averaged accretion rate through the inner face
+            rof_mdot = None
+            if phys.rochelobe_overflow and monitor_acc.rof_mdot is not None:
+                delta = -jnp.sum(_mass_flux[1])
+                t_avg = max(float(self.body_period[phys.rof_planet])
+                            * phys.rof_averaging_time, 1e-12) \
+                    if self.n_bodies > 1 else 1e-12
+                alpha = jnp.minimum(dt / t_avg, 1.0)
+                rof_mdot = (1.0 - alpha) * monitor_acc.rof_mdot \
+                    + alpha * delta / dt
+                monitor_acc = monitor_acc.replace(rof_mdot=rof_mdot)
+
+            if phys.write_ecc_changes:
+                _e_t, _p_t = self._disk_ecc_peri(sigma, vrad, vaz,
+                                                 omega_frame)
+                _d_transport = (_e_t - _ecc_pre_t[0], _p_t - _ecc_pre_t[1])
+
             # final boundary conditions (+ damping, when enabled)
-            sigma, vrad, vaz, energy = self._apply_bcs(
+            sigma, vrad, vaz, energy, dmp = self._apply_bcs(
                 sigma, vrad, vaz, energy, omega_frame, final=True, dt=dt,
-                nb=nb, time=time)
+                nb=nb, time=time, rof_mdot=rof_mdot,
+                want_damping_delta=True)
             if phys.keep_mass_constant:
                 sigma = self._rescale_to_initial_mass(sigma)
+            if phys.write_ecc_changes and monitor_acc.decc is not None:
+                _e_d, _p_d = self._disk_ecc_peri(sigma, vrad, vaz,
+                                                 omega_frame)
+                stages = list(_ecc_deltas) + [
+                    _d_transport, (_e_d - _e_t, _p_d - _p_t)]
+                monitor_acc = monitor_acc.replace(
+                    decc=monitor_acc.decc
+                    + jnp.stack([s[0] for s in stages]),
+                    dperi=monitor_acc.dperi
+                    + jnp.stack([s[1] for s in stages]))
+
+            # boundary / damping / floor mass bookkeeping (reference
+            # src/TransportEuler.cpp:575-608 + src/types.h:30-60)
+            f_in = _mass_flux[1]
+            f_out = _mass_flux[g.nrad - 1]
+            md = monitor_acc.mass_delta
+            md = md.at[MD_INNER_IN].add(jnp.sum(jnp.maximum(f_in, 0.0)))
+            md = md.at[MD_INNER_OUT].add(jnp.sum(jnp.maximum(-f_in, 0.0)))
+            md = md.at[MD_OUTER_OUT].add(jnp.sum(jnp.maximum(f_out, 0.0)))
+            md = md.at[MD_OUTER_IN].add(jnp.sum(jnp.maximum(-f_out, 0.0)))
+            md = md.at[MD_DAMP_IN_CREATE].add(dmp[0])
+            md = md.at[MD_DAMP_IN_REMOVE].add(dmp[1])
+            md = md.at[MD_DAMP_OUT_CREATE].add(dmp[2])
+            md = md.at[MD_DAMP_OUT_REMOVE].add(dmp[3])
+            md = md.at[MD_FLOOR_CREATE].add(_floor_created)
+            monitor_acc = monitor_acc.replace(mass_delta=md)
+
             monitor_acc = self._update_monitor_acc(
                 monitor_acc, _mass_flux, sigma, vrad, vaz, energy,
                 self.bodies_on_grid(nb, time), pot_it, dt)

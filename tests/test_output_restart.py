@@ -223,3 +223,47 @@ def test_analysis_loader(tmp_path):
 
     # cgs conversion factors round-trip through units.yml
     assert np.isclose(l.units["length"]["factor"], sim.units.length)
+
+
+def test_mass_bookkeeping_and_ecc_monitor(tmp_path):
+    """Boundary/damping/floor mass columns in Quantities.dat and the
+    per-stage eccentricity-change monitor (reference src/types.h:30-60
+    BoundaryFlow + src/output.cpp:1275 write_ecc_peri_changes)."""
+    outdir = tmp_path / "out"
+    cfg = cfg_dict(outdir)
+    cfg.update({
+        "Damping": "Yes", "DampingInnerLimit": "1.10",
+        "DampingOuterLimit": "0.90",
+        "DampingSurfaceDensityInner": "initial",
+        "DampingSurfaceDensityOuter": "initial",
+        "WriteEccentricityChange": "Yes",
+    })
+    sim = Simulation(Config.from_dict(cfg))
+    out.OutputWriter(sim)
+    sim.run()
+
+    q = np.loadtxt(outdir / "monitor" / "Quantities.dat")
+    cols = out.QUANTITIES_COLUMNS
+
+    def col(name):
+        return q[:, cols.index(name)]
+
+    # outflow boundaries move some mass (rows after the first monitor)
+    flow = (col("inner boundary mass outflow")
+            + col("outer boundary mass outflow")
+            + col("inner boundary mass inflow")
+            + col("outer boundary mass inflow"))
+    assert np.any(flow[1:] > 0)
+    # damping towards the initial profile moves mass in the damping zones
+    damp = (col("wave damping inner mass creation")
+            + col("wave damping inner mass removal")
+            + col("wave damping outer mass creation")
+            + col("wave damping outer mass removal"))
+    assert np.any(damp[1:] > 0)
+    assert np.all(col("density floor mass creation") >= 0)
+
+    ecc = np.loadtxt(outdir / "monitor" / "eccentricity_change.dat")
+    assert ecc.shape[1] == 13
+    assert np.all(np.isfinite(ecc))
+    # the per-stage deltas respond to the dynamics
+    assert np.any(np.abs(ecc[1:, 3:8]) > 0)
