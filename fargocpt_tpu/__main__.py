@@ -41,6 +41,13 @@ def main(argv=None):
 
     args = parser.parse_args(argv)
 
+    # benign placeholders so signals arriving during the (slow) jax import
+    # and first compile don't kill the process before the real handlers
+    # are registered below
+    signal.signal(signal.SIGUSR1, lambda *_: None)
+    import faulthandler
+    faulthandler.register(signal.SIGUSR2, all_threads=True)
+
     import jax
     if args.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
@@ -75,6 +82,18 @@ def main(argv=None):
         stop_requested["flag"] = True
 
     signal.signal(signal.SIGTERM, _sigterm)
+
+    # SIGUSR1 -> CFL/timestep debug report (reference src/cfl.cpp:358-372
+    # PRINT_SIG_INFO); SIGUSR2 -> python stack backtrace (reference
+    # src/backtrace.cpp via execinfo)
+    def _sigusr1(_signum, _frame):
+        import jax.numpy as _jnp
+        cfl_dt = float(sim.stepper.cfl_dt(sim.state))
+        print(f"[SIGUSR1] t = {sim.time:.8g}  monitor {sim.n_monitor}  "
+              f"hydro steps {sim.n_hydro_iter}  last_dt = {sim.last_dt:.6g}"
+              f"  CFL dt = {cfl_dt:.6g}", flush=True)
+
+    signal.signal(signal.SIGUSR1, _sigusr1)
 
     # copy the setup file into the output dir for provenance
     import shutil

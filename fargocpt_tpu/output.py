@@ -78,6 +78,9 @@ class OutputWriter:
         self._write_used_rad()
         self._write_units()
         self._write_info2d()
+        self._write_info1d()
+        if self.sim.state.particles is not None:
+            self._write_info_particles()
 
     def _write_dimensions(self):
         g = self.sim.geometry
@@ -152,6 +155,43 @@ class OutputWriter:
                 "",
             ]
         (self.outdir / "info2D.yml").write_text("\n".join(lines))
+
+    def _write_info1d(self):
+        """info1D.yml: self-describing 1-D profile list (reference
+        src/output.cpp:717-787 ``write_1D_info``). Layout per ring:
+        [radius, azimuthal average, min, max] float64."""
+        lines = ["# 1D output variable descriptions", "# version 0.1", ""]
+        for name, spec in self._field_specs().items():
+            lines += [
+                f"{name}1D:",
+                f"  cgs symbols: {spec['unit']}",
+                f"  code_to_cgs_factor: {spec['factor']:.17g}",
+                f"  Nrad: {spec['nrad']}",
+                "  layout: radius value min max",
+                "  bigendian: 0",
+                f"  filename: {name}1D.dat",
+                "",
+            ]
+        (self.outdir / "info1D.yml").write_text("\n".join(lines))
+
+    def _write_info_particles(self):
+        """infoParticles.yml (reference src/output.cpp:830-850): layout of
+        the per-snapshot particles.bin records."""
+        un = self.sim.units
+        cols = [("r", "cm", un.length), ("phi", "1", 1.0),
+                ("r dot", "cm s^-1", un.velocity),
+                ("phi dot", "s^-1", 1.0 / un.time),
+                ("size", "cm", un.length), ("stokes", "1", 1.0),
+                ("alive", "1", 1.0)]
+        lines = ["# particle output description", "# version 0.1",
+                 "particles:", "  filename: particles.bin",
+                 f"  record: {len(cols)} float64 per particle",
+                 "  columns:"]
+        for name, unit, fac in cols:
+            lines.append(f"    - {{name: {name}, unit: {unit}, "
+                         f"factor: {fac:.17g}}}")
+        (self.outdir / "infoParticles.yml").write_text("\n".join(lines)
+                                                       + "\n")
 
     # ------------------------------------------------------------------
     def write_snapshot(self, snapshot_id: str | None = None,
