@@ -279,7 +279,7 @@ class OutputWriter:
         if sim.phys.rochelobe_overflow and acc2 is not None \
                 and acc2.rof_mdot is not None:
             st = sim.stepper
-            t_avg = max(float(st.body_period[sim.phys.rof_planet])
+            t_avg = max(st.body_period_host[sim.phys.rof_planet]
                         * sim.phys.rof_averaging_time, 1e-12) \
                 if st.n_bodies > 1 else 1e-12
             np.asarray([0.0, t_avg, float(acc2.rof_mdot)],

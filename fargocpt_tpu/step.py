@@ -147,6 +147,7 @@ class HydroStep:
             else:
                 periods.append(0.0)
         self.body_period = jnp.asarray(periods, dtype)
+        self.body_period_host = list(periods)   # python floats for static use
 
         # static locally-isothermal sound-speed profile
         # (reference src/SourceEuler.cpp:1080-1088 — never updated for
@@ -895,7 +896,7 @@ class HydroStep:
             rof_mdot = None
             if phys.rochelobe_overflow and monitor_acc.rof_mdot is not None:
                 delta = -jnp.sum(_mass_flux[1])
-                t_avg = max(float(self.body_period[phys.rof_planet])
+                t_avg = max(self.body_period_host[phys.rof_planet]
                             * phys.rof_averaging_time, 1e-12) \
                     if self.n_bodies > 1 else 1e-12
                 alpha = jnp.minimum(dt / t_avg, 1.0)
