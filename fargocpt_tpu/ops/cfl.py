@@ -74,6 +74,16 @@ def condition_cfl(phys: Physics, g: Geom, sigma, vrad, vaz, energy, cs, nu,
         + invdt5 ** 2 + invdt6 ** 2
     dt_cell = phys.cfl / jnp.sqrt(inv_sq)
 
+    if phys.stabilize_viscosity == 2:
+        # viscosity stability limit dt < -CFL / c (reference
+        # src/cfl.cpp:330-350)
+        from .viscosity import viscosity_correction_factors
+        c_phi, c_r = viscosity_correction_factors(phys, g, sigma, nu)
+        c = jnp.minimum(c_phi, c_r)                  # both negative
+        dt_stable = jnp.where(c != 0.0, -phys.cfl / c,
+                              jnp.finfo(dt_cell.dtype).max)
+        dt_cell = jnp.minimum(dt_cell, dt_stable)
+
     # active rings only: rows 1..NR-2 (reference src/cfl.cpp:211-212)
     dt_min = jnp.min(dt_cell[1:nr - 1])
     return jnp.minimum(dt_shear, dt_min)

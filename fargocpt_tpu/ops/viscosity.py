@@ -100,10 +100,70 @@ def viscous_stress_tensor(phys: Physics, g: Geom, sigma, vrad, vaz, nu):
     return tau_rr, tau_pp, tau_rp, div_v
 
 
-def update_velocities_with_viscosity(phys: Physics, g: Geom, sigma,
-                                     vrad, vaz, tau_rr, tau_pp, tau_rp, dt):
-    """reference src/viscosity/viscosity.cpp:355-426 (conservative form)."""
+def viscosity_correction_factors(phys: Physics, g: Geom, sigma, nu):
+    """StabilizeViscosity correction factors c_phi, c_r per cell, rows
+    1..NR-1 (reference src/viscosity/viscosity.cpp:256-354): the implicit
+    damping coefficients of the viscous velocity update, both negative."""
     nr = g.nrad
+    nu_sig = nu * sigma                                   # (NR, NAZ)
+    # corner (vector-grid) helper rows 1..NR-1: 4-cell average
+    ns4 = 0.25 * (nu_sig[1:] + nu_sig[:-1]
+                  + azim_prev(nu_sig[1:]) + azim_prev(nu_sig[:-1]))
+    z = jnp.zeros_like(nu_sig[:1])
+    ns_rp = jnp.concatenate([z, ns4, z], axis=0)          # (NR+1, NAZ)
+
+    # ---- v_phi factor (reference :283-307) ----
+    ra3_invdrm = g.ra ** 3 * g.inv_diff_rmed              # (NR+1,1) rows f
+    a = ns_rp * ra3_invdrm                                # rows 0..NR
+    mid = slice(1, nr)
+    cphi_rp = -g.inv_rb[mid] * g.two_diff_ra_sq[mid] * (a[2:nr + 1] + a[mid])
+    cphi_pp = -g.four_third_inv_rb_invdphi_sq[mid] \
+        * (nu_sig[mid] + azim_prev(nu_sig[mid]))
+    sig_avg_phi = 0.5 * (sigma[mid] + azim_prev(sigma[mid]))
+    c_phi_mid = (cphi_rp + cphi_pp) / (sig_avg_phi * g.rb[mid])
+
+    # ---- v_r factor (reference :311-345) ----
+    sig_avg_r = 0.5 * (sigma[1:] + sigma[:-1])            # faces 1..NR-1
+    cr_rp = -(azim_next(ns_rp[mid]) + ns_rp[mid]) \
+        / (g.dphi * g.dphi * g.ra[mid])
+    cr_pp_1 = 2.0 * nu_sig[1:] * (0.5 * g.inv_rb[1:]
+                                  + (1.0 / 3.0) * g.ra[mid]
+                                  * g.inv_diff_rsup_rb[1:])
+    cr_pp_2 = 2.0 * nu_sig[:-1] * (0.5 * g.inv_rb[:-1]
+                                   - (1.0 / 3.0) * g.ra[mid]
+                                   * g.inv_diff_rsup_rb[:-1])
+    cr_rr_1 = g.rb[1:] * 2.0 * nu_sig[1:] * (
+        -g.inv_diff_rsup[1:] + (1.0 / 3.0) * g.ra[mid]
+        * g.inv_diff_rsup_rb[1:])
+    cr_rr_2 = -g.rb[:-1] * 2.0 * nu_sig[:-1] * (
+        g.inv_diff_rsup[:-1] - (1.0 / 3.0) * g.ra[mid]
+        * g.inv_diff_rsup_rb[:-1])
+    cr_pp = -0.5 * (cr_pp_1 + cr_pp_2)
+    cr_rr = g.inv_diff_rmed[mid] * (cr_rr_1 + cr_rr_2)
+    rmed_mid = 0.5 * (g.rb[1:] + g.rb[:-1])
+    c_r_mid = phys.radial_viscosity_factor * (cr_rr + cr_rp + cr_pp) \
+        / (sig_avg_r * rmed_mid)
+
+    c_phi = jnp.concatenate([z, c_phi_mid], axis=0)       # (NR, NAZ)
+    c_r = jnp.concatenate([z, c_r_mid], axis=0)           # (NR, NAZ), row f
+    return c_phi, c_r
+
+
+def _stabilize_corr(c, dt):
+    """1 / (max(1 + dt c, 0) - dt c) (reference :386-391, :413-417)."""
+    return 1.0 / (jnp.maximum(1.0 + dt * c, 0.0) - dt * c)
+
+
+def update_velocities_with_viscosity(phys: Physics, g: Geom, sigma,
+                                     vrad, vaz, tau_rr, tau_pp, tau_rp, dt,
+                                     nu=None):
+    """reference src/viscosity/viscosity.cpp:355-426 (conservative form).
+    With StabilizeViscosity == 1 (and the nu grid provided) the updates are
+    scaled by the implicit correction factors (:386-391, :413-417)."""
+    nr = g.nrad
+    c_phi = c_r = None
+    if phys.stabilize_viscosity == 1 and nu is not None:
+        c_phi, c_r = viscosity_correction_factors(phys, g, sigma, nu)
 
     # v_az rows 1..NR-2; needs tau_rp row i+1 -> shift
     ra_sq = g.ra ** 2                                 # (NR+1,1)
@@ -114,6 +174,8 @@ def update_velocities_with_viscosity(phys: Physics, g: Geom, sigma,
     dvp = dt * g.inv_rb / sig_avg_phi * (
         g.two_diff_ra_sq * (trp_rsq_up - trp_rsq)
         + (tau_pp - azim_prev(tau_pp)) * g.invdphi)
+    if c_phi is not None:
+        dvp = dvp * _stabilize_corr(c_phi, dt)
     vaz = set_rows(vaz, vaz + dvp, 1, nr - 1)
 
     # v_rad rows 2..NR-2 (faces); face i uses cells i, i-1
@@ -124,5 +186,7 @@ def update_velocities_with_viscosity(phys: Physics, g: Geom, sigma,
             (rb[1:] * tau_rr[1:] - rb[:-1] * tau_rr[:-1]) * g.inv_diff_rmed[1:nr]
             + (azim_next(tau_rp[1:]) - tau_rp[1:]) * g.invdphi
             - 0.5 * (tau_pp[1:] + tau_pp[:-1]))
+    if c_r is not None:
+        dvr = dvr * _stabilize_corr(c_r[1:], dt)
     vrad = vrad.at[2:nr - 1].add(dvr[1:nr - 2])
     return vrad, vaz

@@ -475,7 +475,7 @@ class HydroStep:
         tau_rr, tau_pp, tau_rp, div_v = visc_ops.viscous_stress_tensor(
             phys, g, sigma, vrad, vaz, nu)
         vrad, vaz = visc_ops.update_velocities_with_viscosity(
-            phys, g, sigma, vrad, vaz, tau_rr, tau_pp, tau_rp, dt)
+            phys, g, sigma, vrad, vaz, tau_rr, tau_pp, tau_rp, dt, nu=nu)
         vrad, vaz = jax.lax.optimization_barrier((vrad, vaz))
         if track_ecc:
             mark = ecc_mark(mark)        # viscosity delta

@@ -208,3 +208,34 @@ def test_aspectratio_modes():
         if mode == 1:
             assert np.asarray(cs)[near].std() \
                 / np.asarray(cs)[near].mean() > 1e-3
+
+
+def test_stabilize_viscosity(tmp_path):
+    """StabilizeViscosity 1 (implicit correction factors) and 2 (CFL
+    limit) run stably and keep the correction coefficients negative
+    (reference src/viscosity/viscosity.cpp:256-354, src/cfl.cpp:330)."""
+    from fargocpt_tpu.ops import viscosity as vo
+    units, constants, geom, g = _setup()
+    phys = Physics(viscous_alpha=0.01, stabilize_viscosity=1)
+    rng = np.random.default_rng(0)
+    sigma = jnp.asarray(rng.random((32, 4)) + 0.5)
+    nu = jnp.asarray(rng.random((32, 4)) * 1e-4 + 1e-5)
+    c_phi, c_r = vo.viscosity_correction_factors(phys, g, sigma, nu)
+    assert np.all(np.asarray(c_phi)[1:-1] < 0)
+    assert np.all(np.asarray(c_r)[1:-1] < 0)
+
+    for mode in ("1", "2"):
+        cfg = Config.from_dict({
+            "EquationOfState": "Isothermal", "AspectRatio": "0.05",
+            "ViscousAlpha": "0.05", "Sigma0": "300 g/cm2",
+            "SigmaSlope": "0.5", "StabilizeViscosity": mode,
+            "Nrad": "32", "Naz": "16", "Rmin": "0.4", "Rmax": "2.5",
+            "InnerBoundary": "outflow", "OuterBoundary": "outflow",
+            "Nsnapshots": "1", "Nmonitor": "1", "MonitorTimestep": "0.5",
+            "OutputDir": str(tmp_path / f"o{mode}"),
+            "nbody": [{"name": "star", "semi-major axis": "0.0",
+                       "mass": "1.0"}],
+        })
+        sim = Simulation(cfg)
+        sim.run()
+        assert np.all(np.isfinite(np.asarray(sim.fields.vaz)))
