@@ -636,6 +636,124 @@ def advect_shift_pallas(qs, nshift, tile: int = 16):
         out_shape=jax.ShapeDtypeStruct(qs.shape, qs.dtype))(shifts, qs)
 
 
+def _cfl_kernel(sig_ref, e_ref, vr_ref, vaz_ref, vazn_ref, qp_ref, qm_ref,
+                vmean_ref, cols_ref, out_ref, *, adiabatic: bool,
+                gamma: float, alpha: float, const_nu: float, c2: float,
+                lf: float, inv_hc_limit: float, cfl: float, sn: bool,
+                fast: bool, dphi: float, invdphi: float):
+    """Fused CFL evaluation for one azimuth tile (reference
+    src/cfl.cpp:185-382): sound speed, viscosity and all six inverse-dt
+    terms derived in-kernel from the primitive fields; emits the tile
+    minimum of the per-cell dt (active rows 1..NR-2).
+
+    cols layout: 0 inv_cell_size, 1 inv_dxrad, 2 inv_dxaz, 3 hfac (H/cs),
+    4 cs_iso, 5 inv_diff_rsup, 6 inv_rb.
+    """
+    nr = sig_ref.shape[0]
+    sig = sig_ref[:]
+    e = e_ref[:]
+    vr = vr_ref[:]
+    vaz = vaz_ref[:]
+    col = lambda i: cols_ref[:, i:i + 1]
+    inv_cell = col(0)
+    inv_dxrad = col(1)
+    inv_dxaz = col(2)
+
+    # min over cells of CFL/sqrt(inv_sq) == CFL/sqrt(max inv_sq), so only
+    # SQUARED inverse-dt terms are needed: cs never needs a sqrt
+    # (invdt1^2 = cs^2 inv_cell^2) and the per-cell divide/sqrt disappears
+    if adiabatic:
+        cs2 = gamma * (gamma - 1.0) * e * (1.0 / sig)
+    else:
+        cs2 = jnp.broadcast_to(col(4) * col(4), sig.shape)
+    if alpha > 0.0:
+        nu = alpha * cs2 * col(3)              # alpha cs H, H = cs*hfac
+    else:
+        nu = jnp.full_like(sig, const_nu)
+
+    vres = vaz - vmean_ref[:] if fast else vaz
+    invdt1_sq = cs2 * (inv_cell * inv_cell)
+    invdt2 = vr[:-1] * inv_dxrad
+    invdt3 = vres * inv_dxaz
+
+    dv_r = vr[1:] - vr[:-1]
+    dv_phi = vazn_ref[:] - vaz
+    if sn:
+        invdt4 = 4.0 * c2 * jnp.maximum(
+            jnp.maximum(-dv_r, 0.0) * inv_dxrad,
+            jnp.maximum(-dv_phi, 0.0) * inv_dxaz) * lf
+    else:
+        eps_rr = dv_r * col(5)
+        eps_pp = col(6) * (dv_phi * invdphi + 0.5 * (vr[1:] + vr[:-1]))
+        invdt4 = 4.0 * c2 * (-jnp.minimum(eps_rr + eps_pp, 0.0)) * lf
+
+    invdt5 = 4.0 * nu * (inv_cell * inv_cell) * lf
+    if adiabatic:
+        invdt6 = inv_hc_limit * jnp.abs((qp_ref[:] - qm_ref[:])
+                                        * (1.0 / e)) * lf
+    else:
+        invdt6 = jnp.zeros_like(invdt1_sq)
+
+    inv_sq = invdt1_sq + invdt2 ** 2 + invdt3 ** 2 + invdt4 ** 2 \
+        + invdt5 ** 2 + invdt6 ** 2
+    # per-lane MAX over the active rings; XLA takes the global max and one
+    # final rsqrt
+    out_ref[...] = jnp.max(inv_sq[1:nr - 1], axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "adiabatic", "gamma", "alpha", "const_nu", "c2", "lf", "inv_hc_limit",
+    "cfl", "sn", "fast", "dphi", "invdphi", "col_tile"))
+def cfl_pallas(sigma, energy, vrad, vaz, qplus, qminus, vmean, cols,
+               adiabatic: bool, gamma: float, alpha: float, const_nu: float,
+               c2: float, lf: float, inv_hc_limit: float, cfl: float,
+               sn: bool, fast: bool, dphi: float, invdphi: float,
+               col_tile: int = 128):
+    """Fused per-cell CFL dt; returns the global min over active rings."""
+    nr, naz = sigma.shape
+    n_tiles = naz // col_tile
+    kernel = functools.partial(
+        _cfl_kernel, adiabatic=adiabatic, gamma=gamma, alpha=alpha,
+        const_nu=const_nu, c2=c2, lf=lf, inv_hc_limit=inv_hc_limit,
+        cfl=cfl, sn=sn, fast=fast, dphi=dphi, invdphi=invdphi)
+    cell = lambda j: (0, j)
+    mins = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((nr, col_tile), cell, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, col_tile), cell, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr + 1, col_tile), cell, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, col_tile), cell, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, col_tile), cell, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, col_tile), cell, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, col_tile), cell, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, 8), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, col_tile), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, naz), sigma.dtype),
+    )(sigma, energy, vrad, vaz, jnp.roll(vaz, -1, axis=-1), qplus, qminus,
+      vmean, cols)
+    return cfl / jnp.sqrt(jnp.max(mins))
+
+
+def make_cfl_cols(g, cs_iso, hfac, dtype):
+    """Packed geometry columns for the fused CFL kernel."""
+    dxrad = g.rsup - g.rinf
+    dxaz = g.rb * g.dphi
+    cell = jnp.minimum(dxrad, dxaz)
+    cols = jnp.zeros((g.nrad, 8), dtype)
+    for i, v in enumerate([1.0 / cell, 1.0 / dxrad, 1.0 / dxaz, hfac,
+                           jnp.broadcast_to(cs_iso, (g.nrad, 1)),
+                           g.inv_diff_rsup, g.inv_rb]):
+        cols = cols.at[:, i].set(jnp.asarray(v, dtype)[:, 0])
+    return cols
+
+
 def use_pallas(dtype=None) -> bool:
     """Fused kernels are the float32/bfloat16 production path; float64 runs
     (emulated on TPU) fall back to the pure-jnp implementation — Mosaic's

@@ -218,6 +218,22 @@ class HydroStep:
                 phys, constants, geometry, self.g, self.cs_iso,
                 self.n_bodies, dtype)
 
+        # fused Pallas CFL kernel gate + packed geometry columns
+        self._fuse_cfl = (
+            pk.use_pallas(dtype) and geometry.naz % 128 == 0
+            and not phys.variable_gamma and not phys.is_polytropic
+            and phys.alpha_mode == 0 and phys.stabilize_viscosity != 2
+            and phys.aspectratio_mode == 0
+            and not (phys.self_gravity
+                     and phys.self_gravity_mode == "besselkernel"))
+        if self._fuse_cfl:
+            omega_k = jnp.sqrt(constants.G * phys.hydro_center_mass
+                               / self.g.rb ** 3)
+            hfac = 1.0 / (jnp.sqrt(phys.adiabatic_index) * omega_k) \
+                if phys.is_adiabatic else 1.0 / omega_k
+            self._cfl_cols = pk.make_cfl_cols(self.g, self.cs_iso, hfac,
+                                              dtype)
+
         self._step = jax.jit(self._step_impl)
         self._cfl = jax.jit(self._cfl_impl)
         self._advance = jax.jit(self._advance_impl)
@@ -956,6 +972,27 @@ class HydroStep:
     def _cfl_impl(self, state: SystemState):
         phys = self.phys
         f = state.fields
+        if self._fuse_cfl:
+            from .ops import pallas_kernels as pk
+            from .params import LEAPFROG, ARTVISC_SN
+            g = self.g
+            vmean = jnp.mean(f.vaz, axis=-1, keepdims=True)
+            lf = 0.6 if phys.hydro_integrator == LEAPFROG else 1.0
+            dt_min = pk.cfl_pallas(
+                f.sigma, f.energy, f.vrad, f.vaz, state.qplus, state.qminus,
+                vmean, self._cfl_cols,
+                adiabatic=phys.is_adiabatic, gamma=phys.adiabatic_index,
+                alpha=phys.viscous_alpha, const_nu=phys.constant_viscosity,
+                c2=phys.artificial_viscosity_factor ** 2, lf=lf,
+                inv_hc_limit=1.0 / phys.heating_cooling_cfl_limit,
+                cfl=phys.cfl,
+                sn=phys.artificial_viscosity == ARTVISC_SN,
+                fast=phys.fast_transport, dphi=g.dphi, invdphi=g.invdphi)
+            # FARGO shear limit (tiny, on the azimuthal means)
+            omega_row = vmean * g.inv_rb
+            denom = jnp.abs(omega_row[:-1] - omega_row[1:]) + 1e-100
+            dt_shear = jnp.min((phys.cfl * g.dphi / denom)[:g.nrad - 2])
+            return jnp.minimum(dt_shear, dt_min)
         cs, press, h = self.derived(f.sigma, f.energy)
         nu = self.viscosity_grid(cs, h, f.sigma, f.energy)
         return cfl.condition_cfl(phys, self.g, f.sigma, f.vrad, f.vaz,

@@ -135,6 +135,56 @@ def test_advect_shift_parity(setup):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+@pytest.mark.parametrize("adiabatic,sn", [(True, True), (False, False)])
+def test_cfl_fused_parity(adiabatic, sn):
+    """Fused CFL kernel matches condition_cfl (including the in-kernel
+    sound speed / viscosity derivation)."""
+    from fargocpt_tpu.constants import Constants
+    from fargocpt_tpu.ops import cfl as cfl_mod, eos
+    from fargocpt_tpu.params import ARTVISC_SN
+
+    geom = Geometry.build(64, 256, 0.4, 2.5, "Log")
+    g = prepare_geom(geom, jnp.float64)
+    phys = Physics(eos="adiabatic" if adiabatic else "isothermal",
+                   adiabatic_index=1.4, viscous_alpha=1e-3,
+                   aspectratio_ref=0.05,
+                   artificial_viscosity="sn" if sn else "tw")
+    constants = Constants()
+    rng = np.random.default_rng(2)
+    sigma = jnp.asarray(rng.random((64, 256)) + 0.5)
+    energy = jnp.asarray(rng.random((64, 256)) * 1e-3 + 1e-3)
+    vaz = jnp.asarray((rng.random((64, 256)) - 0.5) * 0.1 + 1.0)
+    vrad = jnp.asarray((rng.random((65, 256)) - 0.5) * 0.05)
+    qp = jnp.asarray(rng.random((64, 256)) * 1e-6)
+    qm = jnp.asarray(rng.random((64, 256)) * 1e-6)
+
+    cs_iso = eos.sound_speed_iso_profile(phys, constants, g.rb)
+    cs = eos.sound_speed(phys, constants, g, sigma, energy, cs_iso)
+    h = eos.scale_height(phys, constants, g, cs)
+    nu = phys.viscous_alpha * cs * h
+    ref = cfl_mod.condition_cfl(phys, g, sigma, vrad, vaz, energy, cs, nu,
+                                qp, qm)
+
+    omega_k = jnp.sqrt(constants.G * phys.hydro_center_mass / g.rb ** 3)
+    hfac = 1.0 / (jnp.sqrt(phys.adiabatic_index) * omega_k) if adiabatic \
+        else 1.0 / omega_k
+    cols = pk.make_cfl_cols(g, cs_iso, hfac, jnp.float64)
+    vmean = jnp.mean(vaz, axis=-1, keepdims=True)
+    with _interpret():
+        dt_min = pk.cfl_pallas(
+            sigma, energy, vrad, vaz, qp, qm, vmean, cols,
+            adiabatic=adiabatic, gamma=1.4, alpha=1e-3, const_nu=0.0,
+            c2=phys.artificial_viscosity_factor ** 2, lf=1.0,
+            inv_hc_limit=1.0 / phys.heating_cooling_cfl_limit,
+            cfl=phys.cfl, sn=sn, fast=True, dphi=g.dphi,
+            invdphi=g.invdphi)
+    omega_row = vmean * g.inv_rb
+    denom = jnp.abs(omega_row[:-1] - omega_row[1:]) + 1e-100
+    dt_shear = jnp.min((phys.cfl * g.dphi / denom)[:62])
+    out = jnp.minimum(dt_shear, dt_min)
+    np.testing.assert_allclose(float(out), float(ref), rtol=1e-12)
+
+
 @pytest.mark.parametrize("adiabatic", [True, False])
 def test_sources_fused_parity(adiabatic):
     """Fused potential+sources kernel matches nbody_potential followed by
