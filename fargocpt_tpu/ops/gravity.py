@@ -115,6 +115,30 @@ def indirect_term_nbody(constants, bodies: BodiesOnGrid, n_center: int,
     return itx, ity
 
 
+def indirect_term_nbody_predictor(constants, nb, n_center: int,
+                                  n_bodies: int, dt):
+    """Predictor-mode N-body indirect term (reference
+    src/frame_of_reference.cpp:135-165, INDIRECT_TERM_REBOUND): integrate
+    the bodies forward by dt with the high-order integrator and read the
+    effective frame-center acceleration from the COM velocity change. The
+    reference uses its REBOUND/IAS15 copy for the prediction; here the
+    same RK4 sub-stepped integrator that advances the bodies serves as
+    the predictor."""
+    from ..nbody.system import integrate
+    if n_center >= n_bodies or n_bodies == 1:
+        z = jnp.zeros((), nb.x.dtype)
+        return z, z
+    pred = integrate(nb, constants.G, dt)
+    m = nb.mass[:n_center]
+    mc = jnp.sum(m)
+    dvx = jnp.sum(m * (pred.vx[:n_center] - nb.vx[:n_center])) / mc
+    dvy = jnp.sum(m * (pred.vy[:n_center] - nb.vy[:n_center])) / mc
+    safe_dt = jnp.where(dt != 0.0, dt, 1.0)
+    itx = jnp.where(dt != 0.0, -dvx / safe_dt, 0.0)
+    ity = jnp.where(dt != 0.0, -dvy / safe_dt, 0.0)
+    return itx, ity
+
+
 def nbody_potential(phys: Physics, constants, g: Geom,
                     bodies: BodiesOnGrid, n_bodies: int,
                     cell_x: jax.Array, cell_y: jax.Array,

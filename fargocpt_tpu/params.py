@@ -481,6 +481,7 @@ def physics_from_config(cfg: Config, un: u.Units, dtype: str = "float64") -> Phy
         damping_vazimuthal_outer=cfg.get_lowercase("DampingVAzimuthalOuter", "none"),
         damping_surface_density_outer=cfg.get_lowercase("DampingSurfaceDensityOuter", "none"),
         accretion_radius_fraction=cfg.get("MassAccretionRadius", 1.0, type=float),
+        indirect_term_mode=cfg.get("IndirectTermMode", 0, type=int),
         calculate_disk=cfg.get_flag("Disk", True),
         integrate_particles=cfg.get_flag("IntegrateParticles", False),
         keep_mass_constant=cfg.get_flag("KeepDiskMassConstant", False),

@@ -523,8 +523,13 @@ class HydroStep:
             nb = nbody_sys.kick(nb, dax, day, dt)
             it_disk_x, it_disk_y = gravity.indirect_term_disk(
                 phys, bodies, self.n_hydroframe, dax, day)
-        it_nb_x, it_nb_y = gravity.indirect_term_nbody(
-            constants, bodies, self.n_hydroframe, self.n_bodies)
+        if phys.indirect_term_mode == 0:   # REBOUND-predictor (reference
+            # src/frame_of_reference.cpp:135-165, the default mode)
+            it_nb_x, it_nb_y = gravity.indirect_term_nbody_predictor(
+                constants, nb, self.n_hydroframe, self.n_bodies, dt)
+        else:                              # Euler mode
+            it_nb_x, it_nb_y = gravity.indirect_term_nbody(
+                constants, bodies, self.n_hydroframe, self.n_bodies)
         nb = nbody_sys.kick(nb, it_disk_x + it_nb_x, it_disk_y + it_nb_y, dt)
         return nb, (it_disk_x, it_disk_y), (it_nb_x, it_nb_y)
 
@@ -811,9 +816,14 @@ class HydroStep:
             it_disk_x, it_disk_y = gravity.indirect_term_disk(
                 phys, bodies, self.n_hydroframe, dax, day)
 
-        # --- N-body indirect term, Euler mode (reference :160-166) ---
-        it_nb_x, it_nb_y = gravity.indirect_term_nbody(
-            constants, bodies, self.n_hydroframe, self.n_bodies)
+        # --- N-body indirect term (reference :160-166); mode 0 uses the
+        # high-order-predictor formulation, mode 1 the Euler sum ---
+        if phys.indirect_term_mode == 0:
+            it_nb_x, it_nb_y = gravity.indirect_term_nbody_predictor(
+                constants, nb, self.n_hydroframe, self.n_bodies, dt)
+        else:
+            it_nb_x, it_nb_y = gravity.indirect_term_nbody(
+                constants, bodies, self.n_hydroframe, self.n_bodies)
         it_x = it_disk_x + it_nb_x
         it_y = it_disk_y + it_nb_y
         nb = nbody_sys.kick(nb, it_x, it_y, dt)

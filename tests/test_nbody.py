@@ -205,3 +205,31 @@ def test_rochelobe_overflow_stream():
     outer = sigma[-1]
     assert outer.max() > 10 * np.median(outer)
     assert sigma[-2].max() > 10 * np.median(sigma[-2])
+
+
+def test_indirect_term_modes_agree():
+    """Predictor (mode 0) and Euler (mode 1) N-body indirect terms agree to
+    O(dt) for a star+planet system with the planet outside the frame center
+    (reference src/frame_of_reference.cpp:114-165)."""
+    import jax.numpy as jnp
+    from fargocpt_tpu.constants import Constants
+    from fargocpt_tpu.ops import gravity
+    from fargocpt_tpu.nbody.system import NBodyState
+
+    constants = Constants()
+    nb = NBodyState(x=jnp.asarray([0.0, 1.0]), y=jnp.asarray([0.0, 0.0]),
+                    vx=jnp.asarray([0.0, 0.0]), vy=jnp.asarray([0.0, 1.0]),
+                    mass=jnp.asarray([1.0, 1e-3]))
+    bodies = gravity.BodiesOnGrid(x=nb.x, y=nb.y, mass=nb.mass,
+                                  cubic_smoothing_radius=jnp.zeros(2))
+    ex, ey = gravity.indirect_term_nbody(constants, bodies, 1, 2)
+    px, py = gravity.indirect_term_nbody_predictor(constants, nb, 1, 2,
+                                                   jnp.float64(1e-4))
+    # star at origin pulled by the planet: itx = +G m_p / d^2 toward -x
+    assert np.isclose(float(ex), -1e-3, rtol=1e-10)
+    np.testing.assert_allclose(float(px), float(ex), rtol=1e-3)
+    np.testing.assert_allclose(float(py), float(ey), atol=1e-6)
+    # dt = 0 predictor is zero (reference :160-163)
+    zx, zy = gravity.indirect_term_nbody_predictor(constants, nb, 1, 2,
+                                                   jnp.float64(0.0))
+    assert float(zx) == 0.0 and float(zy) == 0.0
