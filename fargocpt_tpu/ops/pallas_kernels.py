@@ -636,6 +636,125 @@ def advect_shift_pallas(qs, nshift, tile: int = 16):
         out_shape=jax.ShapeDtypeStruct(qs.shape, qs.dtype))(shifts, qs)
 
 
+def _lanes(x, xl, xr, k: int):
+    """x shifted by k lanes with periodic wraparound, using the left/right
+    neighbor blocks (the column-tile halo trick: instead of materializing
+    lane-rolled copies in HBM, each tile also reads its azimuthal
+    neighbors' blocks)."""
+    if k == 0:
+        return x
+    if k > 0:
+        return jnp.concatenate([x[:, k:], xr[:, :k]], axis=1)
+    return jnp.concatenate([xl[:, k:], x[:, :k]], axis=1)
+
+
+def _artvisc_sn_kernel(dt_ref, sig_ref, sigl_ref, vazl_ref, vaz_ref,
+                       vazr_ref, vr_ref, e_ref, cols_ref,
+                       vro_ref, vazo_ref, eo_ref,
+                       *, c2: float, dissipation: bool, invdphi: float):
+    """Fused Stone-Norman artificial viscosity substep (reference
+    src/viscosity/artificial_viscosity.cpp:148-250): q_r / q_phi pressures,
+    energy dissipation and both velocity kicks in one pass. Column tiling
+    keeps the radial stencils free; the azimuthal neighbors come from the
+    adjacent lane tiles via periodic index maps, so no lane-halo copies
+    ever exist in HBM.
+
+    cols: 0 inv_diff_rsup, 1 inv_rb, 2 inv_diff_rmed[:NR] (rows = faces).
+    """
+    dt = dt_ref[0]
+    nr = sig_ref.shape[0]
+    sig = sig_ref[:]
+    sig_l = sigl_ref[:]
+    vaz = vaz_ref[:]
+    vr = vr_ref[:]
+    e = e_ref[:]
+    col = lambda i: cols_ref[:, i:i + 1]
+
+    dv_r = vr[1:] - vr[:-1]                               # (NR, C)
+    vaz_p1 = _lanes(vaz, vazl_ref[:], vazr_ref[:], 1)
+    vaz_m1 = _lanes(vaz, vazl_ref[:], vazr_ref[:], -1)
+    dv_phi = vaz_p1 - vaz
+    q_r = jnp.where(dv_r < 0.0, c2 * sig * dv_r * dv_r, 0.0)
+    q_phi = jnp.where(dv_phi < 0.0, c2 * sig * dv_phi * dv_phi, 0.0)
+
+    invdxtheta = col(1) * invdphi
+    if dissipation:
+        e_new = e - dt * q_r * dv_r * col(0) \
+            - dt * q_phi * dv_phi * invdxtheta
+        eo_ref[...] = jnp.concatenate(
+            [e[:1], e_new[1:nr - 1], e[nr - 1:]], axis=0)
+    else:
+        eo_ref[...] = e
+
+    # v_rad rows 2..NR-2 (faces 1..NR-1 computed, interior applied)
+    dvr_mid = -dt * 2.0 / (sig[1:] + sig[:-1]) * (q_r[1:] - q_r[:-1]) \
+        * col(2)[1:]
+    z1 = jnp.zeros_like(dvr_mid[:1])
+    add = jnp.concatenate([z1, z1, dvr_mid[1:nr - 2], z1, z1], axis=0)
+    vro_ref[...] = vr + add
+
+    # v_az rows 1..NR-2 (previous-lane q_phi recomputed from the halo)
+    sig_m1 = _lanes(sig, sig_l, sig_l, -1)
+    dv_phi_m1 = vaz - vaz_m1
+    q_phi_m1 = jnp.where(dv_phi_m1 < 0.0,
+                         c2 * sig_m1 * dv_phi_m1 * dv_phi_m1, 0.0)
+    dvaz = -dt * 2.0 / (sig + sig_m1) * (q_phi - q_phi_m1) * invdxtheta
+    va = vaz + dvaz
+    vazo_ref[...] = jnp.concatenate(
+        [vaz[:1], va[1:nr - 1], vaz[nr - 1:]], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("c2", "dissipation", "invdphi",
+                                              "col_tile"))
+def artvisc_sn_pallas(sigma, vrad, vaz, energy, cols, dt, c2: float,
+                      dissipation: bool, invdphi: float,
+                      col_tile: int = 128):
+    """Fused SN artificial viscosity. Returns (vrad, vaz, energy)."""
+    nr, naz = sigma.shape
+    n_tiles = naz // col_tile
+    kernel = functools.partial(_artvisc_sn_kernel, c2=c2,
+                               dissipation=dissipation, invdphi=invdphi)
+    cell = lambda j: (0, j)
+    left = lambda j: (0, (j - 1) % n_tiles)
+    right = lambda j: (0, (j + 1) % n_tiles)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1,), lambda j: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nr, col_tile), cell, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, col_tile), left, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, col_tile), left, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, col_tile), cell, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, col_tile), right, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr + 1, col_tile), cell, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, col_tile), cell, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, 8), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((nr + 1, col_tile), cell, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, col_tile), cell, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, col_tile), cell, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(vrad.shape, vrad.dtype),
+            jax.ShapeDtypeStruct(vaz.shape, vaz.dtype),
+            jax.ShapeDtypeStruct(energy.shape, energy.dtype),
+        ),
+    )(jnp.reshape(jnp.asarray(dt, sigma.dtype), (1,)), sigma, sigma, vaz,
+      vaz, vaz, vrad, energy, cols)
+    return out
+
+
+def make_artvisc_cols(g, dtype):
+    cols = jnp.zeros((g.nrad, 8), dtype)
+    for i, v in enumerate([g.inv_diff_rsup, g.inv_rb,
+                           g.inv_diff_rmed[:g.nrad]]):
+        cols = cols.at[:, i].set(jnp.asarray(v, dtype)[:, 0])
+    return cols
+
+
 def _cfl_kernel(sig_ref, e_ref, vr_ref, vaz_ref, vazn_ref, qp_ref, qm_ref,
                 vmean_ref, cols_ref, out_ref, *, adiabatic: bool,
                 gamma: float, alpha: float, const_nu: float, c2: float,

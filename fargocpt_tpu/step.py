@@ -218,6 +218,21 @@ class HydroStep:
                 phys, constants, geometry, self.g, self.cs_iso,
                 self.n_bodies, dtype)
 
+        # fused Pallas SN artificial-viscosity kernel
+        from .params import ARTVISC_SN as _SN
+        # NOTE: measured SLOWER than the XLA path inside the full step at
+        # 1024x3072 f32 (1108 vs 1185 Mcell/s) — the neighbor-block halo
+        # reads triple the vaz traffic while XLA fuses artvisc into the
+        # surrounding elementwise chains. Kept (with parity test) for
+        # future tile-level experiments; disabled in production.
+        self._fuse_artvisc = False and (
+            pk.use_pallas(dtype) and geometry.naz % 128 == 0
+            and phys.artificial_viscosity == _SN)
+        if self._fuse_artvisc:
+            self._artvisc_cols = pk.make_artvisc_cols(self.g, dtype)
+        else:
+            self._artvisc_cols = None
+
         # fused Pallas CFL kernel gate + packed geometry columns
         self._fuse_cfl = (
             pk.use_pallas(dtype) and geometry.naz % 128 == 0
@@ -475,8 +490,17 @@ class HydroStep:
         if track_ecc:
             mark = ecc_mark(mark)        # source-term delta
 
-        vrad, vaz, energy = artvisc.update_with_artificial_viscosity(
-            phys, g, sigma, vrad, vaz, energy, dt)
+        if self._fuse_artvisc:
+            from .ops import pallas_kernels as pk
+            vrad, vaz, energy = pk.artvisc_sn_pallas(
+                sigma, vrad, vaz, energy, self._artvisc_cols, dt,
+                c2=phys.artificial_viscosity_factor ** 2,
+                dissipation=phys.is_adiabatic
+                and phys.artificial_viscosity_dissipation,
+                invdphi=g.invdphi)
+        else:
+            vrad, vaz, energy = artvisc.update_with_artificial_viscosity(
+                phys, g, sigma, vrad, vaz, energy, dt)
         vrad, vaz, energy = jax.lax.optimization_barrier((vrad, vaz, energy))
         if track_ecc:
             mark = ecc_mark(mark)        # artificial-viscosity delta

@@ -270,3 +270,32 @@ def test_fargo_theta_fused_parity(setup, two_pass):
                                     two_pass=two_pass)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-12, atol=1e-14)
+
+
+@pytest.mark.parametrize("dissipation", [True, False])
+def test_artvisc_fused_parity(setup, dissipation):
+    """Fused SN artificial viscosity matches the jnp implementation."""
+    from fargocpt_tpu.ops import artvisc
+    g, _, qs, v = setup
+    phys = Physics(eos="adiabatic", artificial_viscosity="sn",
+                   artificial_viscosity_dissipation=dissipation)
+    rng = np.random.default_rng(9)
+    sigma = jnp.asarray(rng.random((64, 256)) + 0.5)
+    energy = jnp.asarray(rng.random((64, 256)) + 0.2)
+    vaz = jnp.asarray((rng.random((64, 256)) - 0.5) * 0.3)
+    vrad = jnp.asarray((rng.random((65, 256)) - 0.5) * 0.3)
+    dt = jnp.float64(0.01)
+    vr_ref, va_ref, e_ref = artvisc.update_sn(phys, g, sigma, vrad, vaz,
+                                              energy, dt)
+    cols = pk.make_artvisc_cols(g, jnp.float64)
+    with _interpret():
+        vr, va, e = pk.artvisc_sn_pallas(
+            sigma, vrad, vaz, energy, cols, dt,
+            c2=phys.artificial_viscosity_factor ** 2,
+            dissipation=dissipation, invdphi=g.invdphi)
+    np.testing.assert_allclose(np.asarray(vr), np.asarray(vr_ref),
+                               rtol=1e-12, atol=1e-15)
+    np.testing.assert_allclose(np.asarray(va), np.asarray(va_ref),
+                               rtol=1e-12, atol=1e-15)
+    np.testing.assert_allclose(np.asarray(e), np.asarray(e_ref),
+                               rtol=1e-12, atol=1e-15)
