@@ -173,7 +173,14 @@ class Geometry:
         rmax = cfg.get("Rmax", 2.5, dim=DIM_LENGTH, type=float)
         spacing = cfg.get("RadialSpacing", "Logarithmic", type=str)
         ecf = cfg.get("ExponentialCellSizeFactor", 1.41, type=float)
-        return cls.build(nrad, naz, rmin, rmax, spacing, ecf)
+        custom = None
+        if spacing.lower().startswith("cus"):
+            # custom interface radii from file (reference
+            # src/init.cpp:143-160 reads 'radii.dat': NR+1 ascii floats)
+            path = cfg.get("RadiiFile", "radii.dat", type=str)
+            custom = np.loadtxt(path).ravel()
+        return cls.build(nrad, naz, rmin, rmax, spacing, ecf,
+                         custom_radii=custom)
 
     # convenience: column views for broadcasting against (NR, NAZ) fields
     def col(self, name: str) -> np.ndarray:

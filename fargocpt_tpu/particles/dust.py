@@ -187,11 +187,26 @@ def gravity_derivatives(constants, bodies, n_bodies, r, phi):
 # semi-implicit exponential midpoint integrator
 # ---------------------------------------------------------------------------
 
+def sample_sg_accel(geom_np, sg_accel, r, phi):
+    """Bilinear interpolation of the self-gravity acceleration fields at
+    the particle positions (reference src/particles/particles.cpp:1506-1524
+    ``update_velocity_from_disk_gravity``)."""
+    g_r, g_t = sg_accel
+    naz = g_r.shape[1]
+    rpos = jnp.asarray(geom_np.rmed)
+    r_c = jnp.clip(r, rpos[0], rpos[-1])
+    ar = interpolate(g_r, rpos, r_c, phi, naz)
+    at = interpolate(g_t, rpos, r_c, phi, naz)
+    return ar, at
+
+
 def integrate_expmid(phys: Physics, pp: ParticleParams, constants, units,
                      geom_np, g: Geom, state: ParticleState,
                      rho, temperature, vrad, vaz, bodies, n_bodies,
-                     omega_frame, dt):
-    """One dt of particle motion (reference :1579-1674, Zhu et al. 2014)."""
+                     omega_frame, dt, sg_accel=None):
+    """One dt of particle motion (reference :1579-1674, Zhu et al. 2014).
+    ``sg_accel`` = (g_r, g_phi) disk self-gravity grids enables disk
+    gravity on the particles."""
     r0, phi0 = state.r, state.phi
     r_dot0, phi_dot0 = state.r_dot, state.phi_dot
     l0 = r0 * r0 * phi_dot0
@@ -221,6 +236,10 @@ def integrate_expmid(phys: Physics, pp: ParticleParams, constants, units,
 
     r_ddot_grav, l_dot_grav = gravity_derivatives(constants, bodies,
                                                   n_bodies, r1, phi1)
+    if pp.disk_gravity and sg_accel is not None:
+        sg_r, sg_t = sample_sg_accel(geom_np, sg_accel, r1, phi1)
+        r_ddot_grav = r_ddot_grav + sg_r
+        l_dot_grav = l_dot_grav + r1 * sg_t
 
     # exponential propagator (Mignone et al. 2019 eq. 33)
     x = dt / ts
@@ -264,7 +283,7 @@ def integrate_expmid(phys: Physics, pp: ParticleParams, constants, units,
 def integrate_rk45(phys: Physics, pp: ParticleParams, constants, units,
                    geom_np, g: Geom, state: ParticleState,
                    rho, temperature, vrad, vaz, bodies, n_bodies,
-                   omega_frame, dt):
+                   omega_frame, dt, sg_accel=None):
     """Explicit drag kick + adaptive Cash-Karp RK45 gravity integration
     (reference src/particles/particles.cpp:1428-1524
     ``update_velocities_from_gas_drag`` + :1677-2015
@@ -290,6 +309,12 @@ def integrate_rk45(phys: Physics, pp: ParticleParams, constants, units,
     if pp.gas_drag:
         r_dot = r_dot - dt * vrel_r / ts_physical
         phi_dot = phi_dot - dt * vrel_phi / (r0 * ts_physical)
+    if pp.disk_gravity and sg_accel is not None:
+        # disk gravity applied with the drag kick for the explicit
+        # integrator (reference :1497-1504)
+        sg_r, sg_t = sample_sg_accel(geom_np, sg_accel, r0, state.phi)
+        r_dot = r_dot + dt * sg_r
+        phi_dot = phi_dot + dt * sg_t / r0
 
     # --- adaptive RK45 on the gravity-only equations of motion ---
     def f(r, phi, rd, pd):

@@ -796,9 +796,13 @@ class HydroStep:
         bodies = self.bodies_on_grid(nb, time)
         integ = dust.integrate_rk45 if pp.integrator.startswith(
             ("e", "a", "r")) else dust.integrate_expmid
+        sg_accel = None
+        if pp.disk_gravity and self.selfgravity is not None:
+            sg_accel = self.selfgravity.accelerations(sigma)
         particles = integ(
             phys, pp, constants, self.units, self.geometry, g, particles,
-            rho_mid, temp, vrad, vaz, bodies, self.n_bodies, omega_frame, dt)
+            rho_mid, temp, vrad, vaz, bodies, self.n_bodies, omega_frame, dt,
+            sg_accel=sg_accel)
         if pp.diffusion:
             particles = dust.diffuse_dust(
                 phys, constants, self.geometry, g, particles, rho_mid,
@@ -873,10 +877,13 @@ class HydroStep:
             rho_mid = sigma / (phys.density_factor * h0)
             integ = dust.integrate_rk45 if pp.integrator.startswith(
                 ("e", "a", "r")) else dust.integrate_expmid
+            sg_accel = None
+            if pp.disk_gravity and self.selfgravity is not None:
+                sg_accel = self.selfgravity.accelerations(sigma)
             particles = integ(
                 phys, pp, constants, self.units, self.geometry, g, particles,
                 rho_mid, temp, vrad, vaz, bodies, self.n_bodies,
-                omega_frame, dt)
+                omega_frame, dt, sg_accel=sg_accel)
             if pp.diffusion:
                 particles = dust.diffuse_dust(
                     phys, constants, self.geometry, g, particles, rho_mid,

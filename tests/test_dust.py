@@ -229,3 +229,47 @@ def test_particle_snapshot_restart(tmp_path):
     np.testing.assert_array_equal(arr[:, 0], np.asarray(p2.r))
     np.testing.assert_array_equal(arr[:, 3], np.asarray(p2.phi_dot))
     np.testing.assert_array_equal(arr[:, 6] > 0.5, np.asarray(p2.alive))
+
+
+def test_particle_disk_gravity_kick():
+    """ParticleDiskGravityEnabled: the SG acceleration field pulls
+    particles (reference src/particles/particles.cpp:1506-1524)."""
+    from fargocpt_tpu.particles import dust
+    from fargocpt_tpu.params import Physics
+    from fargocpt_tpu.constants import Constants
+    from fargocpt_tpu.units import Units
+    from fargocpt_tpu.grid import Geometry
+    from fargocpt_tpu.ops.common import prepare_geom
+    from fargocpt_tpu.ops.gravity import BodiesOnGrid
+    import jax
+
+    phys = Physics(hydro_center_mass=1.0)
+    constants = Constants()
+    geom = Geometry.build(32, 16, 0.2, 5.0, "Log")
+    g = prepare_geom(geom, jnp.float64)
+    bodies = BodiesOnGrid(x=jnp.zeros(1), y=jnp.zeros(1), mass=jnp.ones(1),
+                          cubic_smoothing_radius=jnp.zeros(1))
+    pp = dust.ParticleParams(gas_drag=False, disk_gravity=True,
+                             min_escape_radius=0.01,
+                             max_escape_radius=100.0)
+    state = dust.ParticleState(
+        r=jnp.asarray([1.0]), phi=jnp.asarray([0.0]),
+        r_dot=jnp.zeros(1), phi_dot=jnp.asarray([1.0]),
+        size=jnp.full(1, 1e-5), stokes=jnp.zeros(1),
+        alive=jnp.ones(1, bool), rng_key=jax.random.PRNGKey(0))
+    ones = jnp.ones((32, 16))
+    zeros_vr = jnp.zeros((33, 16))
+    # uniform inward SG acceleration: effective central mass increases ->
+    # the circular particle falls inward vs the no-SG run
+    sg = (-0.2 * jnp.ones((32, 16)), jnp.zeros((32, 16)))
+    dt = jnp.float64(0.05)
+    s_nog = dust.integrate_expmid(phys, pp, constants, Units(), geom, g,
+                                  state, ones, ones, zeros_vr, ones,
+                                  bodies, 1, jnp.float64(0.0), dt)
+    s_sg = dust.integrate_expmid(phys, pp, constants, Units(), geom, g,
+                                 state, ones, ones, zeros_vr, ones,
+                                 bodies, 1, jnp.float64(0.0), dt,
+                                 sg_accel=sg)
+    assert float(s_sg.r_dot[0]) < float(s_nog.r_dot[0])
+    np.testing.assert_allclose(float(s_sg.r_dot[0] - s_nog.r_dot[0]),
+                               -0.2 * 0.05, rtol=0.1)
