@@ -377,6 +377,12 @@ class OutputWriter:
             return st.viscosity_grid(cs, h)
         if name == "DivV":
             return sources.divergence_v(g, f.vrad, f.vaz)
+        if name == "PdivV":
+            # (gamma_eff - 1) dt div(v) E per cell (reference
+            # src/SourceEuler.cpp:978-998); uses the last hydro dt
+            gam = pv[0] if pv is not None else phys.adiabatic_index
+            return (gam - 1.0) * sim.last_dt \
+                * sources.divergence_v(g, f.vrad, f.vaz) * f.energy
         if name == "TReynolds":
             return quant.reynolds_stress(g, f.sigma, f.vrad, f.vaz)
         if name == "AlphaReynolds":
@@ -576,6 +582,15 @@ class OutputWriter:
                                            one))
         vals["gravitational torque"] = reduce_active(
             quant.gravitational_torque_increment(st.g, f.sigma, pot, one))
+        # pdivv of the last hydro step (reference src/SourceEuler.cpp:978
+        # + output.cpp:425-466)
+        if sim.phys.is_adiabatic:
+            from .ops import sources
+            pv = st.pvte_vals(f.sigma, f.energy)
+            gam = pv[0] if pv is not None else sim.phys.adiabatic_index
+            pdivv = (gam - 1.0) * sim.last_dt \
+                * sources.divergence_v(st.g, f.vrad, f.vaz) * f.energy
+            vals["pdivv"] = reduce_active(pdivv)
         return vals
 
     def write_timestep_log(self):

@@ -577,6 +577,7 @@ _SNAPSHOT_FIELD_FLAGS = (
     ("WriteMeanMolecularWeight", ("Mu",)),
     ("WriteAlpha", ("Alpha",)),
     ("WriteScaleHeight", ("ScaleHeight",)),
+    ("WritepDV", ("PdivV",)),
 )
 
 

@@ -101,3 +101,27 @@ def test_viscous_boundary_condition():
     expected1 = -1.5 * 5.0 / sim.geometry.ra[1] * nu_edge
     np.testing.assert_allclose(vr[1], expected1, rtol=1e-12)
     assert np.all(vr[1] < 0)
+
+
+def test_polytropic_eos_smoke(tmp_path):
+    """Polytropic EoS (reference src/SourceEuler.cpp:1059-1079 /
+    src/pvte_law.cpp dispatch): cs^2 = gamma K Sigma^(gamma-1); a short
+    run stays finite and positive."""
+    import numpy as np
+    from fargocpt_tpu.config import Config
+    from fargocpt_tpu.sim import Simulation
+    cfg = Config.from_dict({
+        "EquationOfState": "Polytropic", "AdiabaticIndex": "2.0",
+        "PolytropicConstant": "16.0",
+        "AspectRatio": "0.05", "ViscousAlpha": "0.001",
+        "Sigma0": "200 g/cm2", "SigmaSlope": "0.5",
+        "Nrad": "32", "Naz": "16", "Rmin": "0.4", "Rmax": "2.5",
+        "InnerBoundary": "outflow", "OuterBoundary": "outflow",
+        "Nsnapshots": "1", "Nmonitor": "1", "MonitorTimestep": "0.2",
+        "OutputDir": str(tmp_path / "o"),
+        "nbody": [{"name": "star", "semi-major axis": "0.0", "mass": "1.0"}],
+    })
+    sim = Simulation(cfg)
+    sim.run()
+    sig = np.asarray(sim.fields.sigma)
+    assert np.all(np.isfinite(sig)) and np.all(sig > 0)
