@@ -161,8 +161,11 @@ def transport(phys: Physics, g: Geom, sigma, vrad, vaz, energy,
     k_sigma = k_quant - 1
 
     from . import pallas_kernels as pk
-    fuse = pk.use_pallas(sigma.dtype) and sigma.ndim == 2
-    fuse_radial = fuse and sigma.shape[-1] % 128 == 0
+    # Mosaic's dynamic lane rotate (the FARGO shift) and the column-tiled
+    # radial kernel both need a 128-aligned azimuth
+    fuse = pk.use_pallas(sigma.dtype) and sigma.ndim == 2 \
+        and sigma.shape[-1] % 128 == 0
+    fuse_radial = fuse
 
     # ---- radial sweep (OneWindRad, reference :138-167) ----
     density_star = star_radial(phys, g, sigma, vrad, dt)
