@@ -66,6 +66,16 @@ class OutputWriter:
         from .native import AsyncFileWriter
         self._awriter = AsyncFileWriter()
         self._setup()
+        # 'reference' snapshot holding the damping/reference-BC target
+        # fields (reference src/output.cpp:183-248 register_output writes a
+        # reference snapshot once)
+        refdir = self.outdir / "snapshots" / "reference"
+        if not refdir.exists():
+            refdir.mkdir(parents=True)
+            rv = sim.stepper.ref_values
+            for name, arr in (("Sigma", rv.sigma0), ("energy", rv.energy0),
+                              ("vrad", rv.vrad0), ("vazi", rv.vaz0)):
+                np.asarray(arr, np.float64).tofile(refdir / f"{name}.dat")
         # hook into the simulation
         sim.monitor_hooks.append(self._on_monitor)
         sim.snapshot_hooks.append(self._on_snapshot)
@@ -204,6 +214,15 @@ class OutputWriter:
         sdir.mkdir(parents=True)
         self.snapshot_dir = sdir
 
+        # free-space precheck (reference src/output.cpp:120-146): one
+        # snapshot is ~5 full float64 grids plus metadata
+        need = 6 * 8 * sim.geometry.nrad * sim.geometry.naz
+        free = shutil.disk_usage(self.outdir).free
+        if free < 2 * need:
+            raise OSError(
+                f"not enough disk space for a snapshot: {free} bytes free, "
+                f"need ~{2 * need}")
+
         f = sim.fields
         w = self._awriter.write
         w(sdir / "Sigma.dat", np.asarray(f.sigma))
@@ -294,6 +313,12 @@ class OutputWriter:
                  np.asarray(p.stokes),
                  np.asarray(p.alive, np.float64)], axis=1)
             w(sdir / "particles.bin", arr)
+
+        # config provenance per snapshot (reference src/output.cpp:249-304
+        # copies config.yml into every snapshot directory)
+        setup_copy = self.outdir / "parameters" / "setup.yml"
+        if setup_copy.exists():
+            shutil.copyfile(setup_copy, sdir / "config.yml")
 
         # drain the async queue so the snapshot is durable before the
         # registry names it
