@@ -208,7 +208,8 @@ def integrate(state: NBodyState, G: float, dt, n_substeps: int = 16
               ) -> NBodyState:
     """Advance the bodies under mutual gravity by dt with fixed-substep RK4
     (replaces the reference's REBOUND IAS15 call,
-    src/nbody/planetary_system.cpp:878)."""
+    src/nbody/planetary_system.cpp:878, and supersedes the legacy RK5 path
+    of src/RungeKutta.cpp:12-68)."""
     if state.n == 1:
         return state
     h = dt / n_substeps

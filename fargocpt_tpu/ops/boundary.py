@@ -75,7 +75,8 @@ def _scalar_outer(name: str, x, x0, g: Geom, phys: Physics = None,
 # ----- v_rad BCs -------------------------------------------------------------
 
 def _vrad_inner(name: str, vr, vr0, g: Geom, nu=None,
-                phys_vos: float = 1.0):
+                phys_vos: float = 1.0, gm: float = 1.0,
+                kep_factor: float = 1.0):
     if name == "zerogradient":
         return vr.at[0:2].set(vr[2])
     if name == "outflow":
@@ -87,6 +88,13 @@ def _vrad_inner(name: str, vr, vr0, g: Geom, nu=None,
         return vr.at[1].set(0.0)
     if name == "reference":
         return vr.at[0:2].set(vr0[0:2])
+    if name == "keplerian":
+        # v_rad ghost rows pinned to factor * vKep(Rmed) (reference
+        # src/boundary_conditions/keplerian_radial.cpp:18-39)
+        vk0 = kep_factor * jnp.sqrt(gm / g.rmed_ext[0, 0])
+        vk1 = kep_factor * jnp.sqrt(gm / g.rmed_ext[1, 0])
+        vr = vr.at[0].set(vk0)
+        return vr.at[1].set(vk1)
     if name == "viscous":
         # steady viscous drift speed at the inner edge (reference
         # src/boundary_conditions/viscous.cpp:12-29)
@@ -101,7 +109,8 @@ def _vrad_inner(name: str, vr, vr0, g: Geom, nu=None,
 
 
 def _vrad_outer(name: str, vr, vr0, g: Geom, nu=None,
-                phys_vos: float = 1.0):
+                phys_vos: float = 1.0, gm: float = 1.0,
+                kep_factor: float = 1.0):
     nv = vr.shape[0]          # NR+1
     irad = nv - 1             # reference get_max_radial() for vectors
     if name == "zerogradient":
@@ -114,6 +123,12 @@ def _vrad_outer(name: str, vr, vr0, g: Geom, nu=None,
         return vr.at[irad - 1].set(0.0)
     if name == "reference":
         return vr.at[irad - 1:].set(vr0[irad - 1:])
+    if name == "keplerian":
+        # (reference src/boundary_conditions/keplerian_radial.cpp:41-63)
+        vk_hi = kep_factor * jnp.sqrt(gm / g.rmed_ext[irad, 0])
+        vk_lo = kep_factor * jnp.sqrt(gm / g.rmed_ext[irad - 1, 0])
+        vr = vr.at[irad].set(vk_hi)
+        return vr.at[irad - 1].set(vk_lo)
     if name == "viscous":
         # (reference src/boundary_conditions/viscous.cpp:31-48)
         if nu is None:
@@ -207,10 +222,13 @@ def apply_boundary_conditions(phys: Physics, constants, g: Geom,
                            phys, "energy")
     energy = _scalar_outer(phys.bc_energy_outer, energy, ref.energy0, g,
                            phys, "energy")
+    gm = constants.G * phys.hydro_center_mass
     vrad = _vrad_inner(phys.bc_vrad_inner, vrad, ref.vrad0, g, nu,
-                       phys.viscous_outflow_speed)
+                       phys.viscous_outflow_speed, gm,
+                       phys.keplerian_radial_inner_factor)
     vrad = _vrad_outer(phys.bc_vrad_outer, vrad, ref.vrad0, g, nu,
-                       phys.viscous_outflow_speed)
+                       phys.viscous_outflow_speed, gm,
+                       phys.keplerian_radial_outer_factor)
     vaz = _vaz_inner(phys, constants, phys.bc_vaz_inner, vaz, ref.vaz0, g,
                      omega_frame)
     vaz = _vaz_outer(phys, constants, phys.bc_vaz_outer, vaz, ref.vaz0, g,

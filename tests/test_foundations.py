@@ -125,3 +125,32 @@ def test_polytropic_eos_smoke(tmp_path):
     sim.run()
     sig = np.asarray(sim.fields.sigma)
     assert np.all(np.isfinite(sig)) and np.all(sig > 0)
+
+
+def test_keplerian_radial_bc():
+    """InnerBoundaryVrad/OuterBoundaryVrad 'keplerian': vrad ghost rows
+    pinned to factor * vKep(Rmed)
+    (reference src/boundary_conditions/keplerian_radial.cpp)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from fargocpt_tpu.grid import Geometry
+    from fargocpt_tpu.constants import Constants
+    from fargocpt_tpu.params import Physics
+    from fargocpt_tpu.ops import boundary
+    from fargocpt_tpu.ops.common import prepare_geom
+
+    geom = Geometry.build(32, 8, 0.4, 2.5, "Log")
+    g = prepare_geom(geom, jnp.float64)
+    phys = Physics(bc_vrad_inner="keplerian", bc_vrad_outer="keplerian",
+                   keplerian_radial_inner_factor=-0.1,
+                   keplerian_radial_outer_factor=0.2)
+    z = jnp.zeros((32, 8))
+    vr = jnp.ones((33, 8))
+    rv = boundary.RefValues(sigma0=z + 1, energy0=z, vrad0=vr, vaz0=z)
+    sig, vr2, va, e = boundary.apply_boundary_conditions(
+        phys, Constants(), g, z + 1, vr, z, z, rv, jnp.float64(0.0))
+    vk = np.sqrt(1.0 / np.asarray(g.rmed_ext)[:, 0])
+    np.testing.assert_allclose(np.asarray(vr2)[0], -0.1 * vk[0], rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(vr2)[1], -0.1 * vk[1], rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(vr2)[32], 0.2 * vk[32], rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(vr2)[31], 0.2 * vk[31], rtol=1e-12)
