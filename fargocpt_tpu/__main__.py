@@ -30,6 +30,10 @@ def main(argv=None):
         p.add_argument("--dtype", default="float64",
                        choices=["float64", "float32"])
         p.add_argument("-N", "--max-iterations", type=int, default=None)
+        p.add_argument("--profile", metavar="DIR", default=None,
+                       help="write a jax.profiler trace of the run")
+        p.add_argument("--debug-nans", action="store_true",
+                       help="enable jax_debug_nans (FPE-trap analog)")
 
     p = sub.add_parser("restart")
     p.add_argument("snapshot", help="snapshot number (or 'last')")
@@ -38,6 +42,8 @@ def main(argv=None):
     p.add_argument("--dtype", default="float64",
                    choices=["float64", "float32"])
     p.add_argument("-N", "--max-iterations", type=int, default=None)
+    p.add_argument("--profile", metavar="DIR", default=None)
+    p.add_argument("--debug-nans", action="store_true")
 
     args = parser.parse_args(argv)
 
@@ -51,6 +57,10 @@ def main(argv=None):
     import jax
     if args.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
+    if args.debug_nans:
+        # NaN trap (analog of the reference's FPE trapping stub,
+        # src/main.cpp:64-66, actually usable here)
+        jax.config.update("jax_debug_nans", True)
 
     from .config import Config
     from .sim import Simulation
@@ -59,6 +69,34 @@ def main(argv=None):
     cfg = Config.from_file(args.setup)
     sim = Simulation(cfg, outdir=args.outdir, dtype=args.dtype)
     writer = out.OutputWriter(sim)
+
+    # pidfile for external supervision (reference src/parallel.cpp:44-50)
+    import os
+    (writer.outdir / "fargocpt.pid").write_text(f"{os.getpid()}\n")
+
+    # mirror the progress log into the output dir (reference
+    # src/logging.cpp:43-60 per-run log files)
+    (writer.outdir / "logs").mkdir(exist_ok=True)
+    log_fh = open(writer.outdir / "logs" / "fargocpt.log", "a")
+
+    class _Tee:
+        def __init__(self, *streams):
+            self.streams = streams
+
+        def write(self, s):
+            for st in self.streams:
+                st.write(s)
+
+        def flush(self):
+            for st in self.streams:
+                st.flush()
+
+    sys.stdout = _Tee(sys.__stdout__, log_fh)
+
+    if args.profile:
+        # tracing (reference has no tracer; callgrind scripts instead —
+        # here a real jax.profiler trace, viewable in tensorboard/xprof)
+        jax.profiler.start_trace(args.profile)
 
     if args.mode == "restart":
         sid = args.snapshot
@@ -126,9 +164,17 @@ def main(argv=None):
             "dt_sum": float(dt_sum), "dt_sq": float(dt_sq)}
         sim.n_monitor += 1
         sim._handle_outputs()
+        # autosave dirs are cleaned after the next real snapshot
+        # (reference src/output.cpp:225-248)
+        autosave = writer.outdir / "snapshots" / "autosave"
+        if autosave.exists() and sim.n_monitor % s.n_monitor == 0:
+            shutil.rmtree(autosave, ignore_errors=True)
         rate = n / max(sim.monitor_stats["walltime"], 1e-9)
         print(f"monitor {sim.n_monitor}/{total_monitors}  t={sim.time:.6g}  "
               f"steps={sim.n_hydro_iter}  {rate:.1f} steps/s")
+    if args.profile:
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {args.profile}")
     print("done")
     return 0
 
