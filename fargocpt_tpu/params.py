@@ -253,6 +253,17 @@ class Physics:
 def _parse_eos(cfg: Config) -> tuple[str, float]:
     eos = cfg.get_lowercase("EquationOfState", "Isothermal")
     gamma = cfg.get("AdiabaticIndex", 1.4, type=float)
+    # deprecated 'Adiabatic yes/no' flag (reference
+    # src/Interpret.cpp:360-392): honored with a warning when
+    # EquationOfState is absent
+    if "EquationOfState" not in cfg and "Adiabatic" in cfg:
+        import warnings
+        flag = cfg.get_flag("Adiabatic", False)
+        warnings.warn(
+            "'Adiabatic: {}' is deprecated; use 'EquationOfState: {}'"
+            .format("yes" if flag else "no",
+                    "Adiabatic" if flag else "Isothermal"))
+        eos = "adiabatic" if flag else "isothermal"
     if eos in ("isothermal", "iso"):
         return ISOTHERMAL, gamma
     if eos in ("adiabatic", "ideal"):
