@@ -21,10 +21,11 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
+import os
 
-NRAD, NAZ = 1024, 3072
-WARMUP_STEPS = 20
-BENCH_STEPS = 100
+NRAD = int(os.environ.get("BENCH_NRAD", 1024))
+NAZ = int(os.environ.get("BENCH_NAZ", 3072))
+BENCH_STEPS = int(os.environ.get("BENCH_STEPS", 100))
 TARGET_MCELLS = 1000.0  # 1 Gcell-update/s/chip
 
 

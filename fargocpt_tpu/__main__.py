@@ -45,7 +45,23 @@ def main(argv=None):
     p.add_argument("--profile", metavar="DIR", default=None)
     p.add_argument("--debug-nans", action="store_true")
 
+    p = sub.add_parser("bench", help="run the headline benchmark")
+    p.add_argument("--nrad", type=int, default=1024)
+    p.add_argument("--naz", type=int, default=3072)
+    p.add_argument("--steps", type=int, default=100)
+
     args = parser.parse_args(argv)
+
+    if args.mode == "bench":
+        import runpy
+        import os as _os
+        _os.environ.setdefault("BENCH_NRAD", str(args.nrad))
+        _os.environ.setdefault("BENCH_NAZ", str(args.naz))
+        _os.environ.setdefault("BENCH_STEPS", str(args.steps))
+        from pathlib import Path
+        bench = Path(__file__).resolve().parent.parent / "bench.py"
+        runpy.run_path(str(bench), run_name="__main__")
+        return 0
 
     # benign placeholders so signals arriving during the (slow) jax import
     # and first compile don't kill the process before the real handlers
