@@ -131,8 +131,9 @@ def _nu_of(phys: Physics, constants, r, mass, sigma):
                                            r)
         e = cutoff / (gam - 1.0) * sigma * (h * vk) ** 2
         efac = sigma / phys.mu * constants.R / (gam - 1.0)
+        from .eos import finite_in
         e = jnp.clip(e, phys.minimum_temperature * efac,
-                     phys.maximum_temperature * efac)
+                     finite_in(phys.maximum_temperature, e.dtype) * efac)
         cs_adb = jnp.sqrt(gam * (gam - 1.0) * e / sigma)
         cs_iso = jnp.sqrt((gam - 1.0) * e / sigma)
         H = cs_iso * r / vk

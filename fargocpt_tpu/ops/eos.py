@@ -166,20 +166,33 @@ def adjust_scale_height_for_sg(H, toomre_q):
     return H * f * jnp.sqrt(2.0 / jnp.pi)
 
 
+def finite_in(value: float, dtype) -> float:
+    """Clamp a Python scalar to the largest finite value of ``dtype``.
+
+    Reference defaults such as MaximumTemperature are DBL_MAX-scale
+    (src/parameters.cpp); multiplying them into an f32 array would emit
+    numpy overflow-in-cast warnings and produce inf."""
+    import numpy as np
+    # compare as Python floats: np.minimum would first cast the (possibly
+    # 1e300) scalar to dtype, which is the very warning being avoided
+    return min(float(value), float(np.finfo(dtype).max))
+
+
 def energy_floor_ceiling(phys: Physics, constants, sigma, energy,
                          pvte_vals=None):
     """Clamp energy to [E(Tmin), E(Tmax)]
     (reference src/SourceEuler.cpp:136-202 ``assure_temperature_range``)."""
+    t_max = finite_in(phys.maximum_temperature, energy.dtype)
     if pvte_vals is not None:
         gam, mu, _g1 = pvte_vals
         factor = sigma / mu * constants.R / (gam - 1.0)
         e_min = phys.minimum_temperature * factor
-        e_max = phys.maximum_temperature * factor
+        e_max = t_max * factor
         return jnp.clip(energy, e_min, e_max)
     gam = gamma_eff(phys)
     factor = sigma / phys.mu * constants.R / (gam - 1.0)
     e_min = phys.minimum_temperature * factor
-    e_max = phys.maximum_temperature * factor
+    e_max = t_max * factor
     return jnp.clip(energy, e_min, e_max)
 
 

@@ -154,8 +154,9 @@ class FLDSolver:
         nr = self.geometry.nrad
         tol = cfg.tolerance
         dtype = T.dtype
+        from .eos import finite_in
         tmin = self.phys.minimum_temperature
-        tmax = self.phys.maximum_temperature
+        tmax = finite_in(self.phys.maximum_temperature, dtype)
 
         def half_sweep(T, color_mask):
             up = T[:-2]     # T(i-1) for rows 1..NR-2

@@ -696,7 +696,7 @@ class HydroStep:
 
         return state.replace(
             fields=FieldState(sigma=sigma, vrad=vrad, vaz=vaz, energy=energy),
-            qplus=qplus, qminus=qminus, nbody=nb,
+            qplus=qplus, qminus=qminus, nbody=nb, omega_frame=omega_frame,
             frame_angle=frame_angle, particles=particles,
             monitor_acc=monitor_acc)
 

@@ -176,6 +176,41 @@ def test_corotating_frame():
                       rtol=1e-6)
 
 
+def test_corotating_frame_leapfrog():
+    """Regression (round-1 bug): the leapfrog step must persist the updated
+    omega_frame in the returned state. With a stale (initial) value carried
+    forever, the per-step corotation correction domega = omega_new -
+    omega_stale stops telescoping: once the eccentric reference body's
+    angular velocity departs from its initial value, vaz is ratcheted by the
+    accumulated (not incremental) difference every step. Gate: leapfrog
+    tracks the Euler path (which persists omega correctly) closely."""
+    def run(integ):
+        cfg = kepler_config(ecc="0.3", extra={
+            "Frame": "C", "CorotationReferenceBody": "1",
+            "Integrator": integ,
+            "Disk": "Yes", "Sigma0": "200 g/cm2", "SigmaSlope": "0.5",
+            "ViscousAlpha": "0.001", "Nrad": "32", "Naz": "64",
+            "InnerBoundary": "zerogradient", "OuterBoundary": "zerogradient",
+        })
+        sim = Simulation(cfg)
+        om0 = float(sim.state.omega_frame)
+        for _ in range(100):                   # ~1/6 of the e=0.3 orbit
+            sim.step_once(1e-2)
+        return om0, float(sim.state.omega_frame), np.asarray(sim.fields.vaz)
+
+    om0_e, om_e, vaz_e = run("Euler")
+    om0_l, om_l, vaz_l = run("LeapFrog")
+    # on an e=0.3 orbit leaving pericenter, omega drops measurably; a stale
+    # state would still report the initial value
+    assert om_l < om0_l * 0.999, \
+        f"omega_frame not persisted by leapfrog step ({om0_l} -> {om_l})"
+    assert np.isclose(om_l, om_e, rtol=0.02)
+    # same physics, different splitting: interior vaz must agree closely
+    # (the stale-omega bug put leapfrog O(1)*vK away from Euler)
+    d = np.abs(vaz_l - vaz_e)[1:-1]
+    assert d.max() < 0.1, f"leapfrog vaz deviates from Euler by {d.max():.3f}"
+
+
 def test_rochelobe_overflow_stream():
     """Mass-overflow stream at the outer boundary (reference
     src/boundary_conditions/mass_overflow.cpp): mass flows in around the
