@@ -182,6 +182,41 @@ class Geometry:
         return cls.build(nrad, naz, rmin, rmax, spacing, ecf,
                          custom_radii=custom)
 
+    def window(self, start: int, nrad_w: int) -> "Geometry":
+        """Radial sub-window [start, start+nrad_w) of this geometry.
+
+        Every per-ring array is an exact row-slice of the global one (all
+        derived columns are local functions of the interface radii), so a
+        window Geometry drives the same ops on a local radial slab — the
+        building block of the explicit shard_map domain decomposition
+        (the analog of the reference's per-rank slab, src/split.cpp:21-90).
+        ``rmin``/``rmax`` keep the GLOBAL domain edges (damping zones, BC
+        reference radii and profile cutoffs are domain properties).
+        """
+        if start < 0 or start + nrad_w > self.nrad:
+            raise ValueError(f"window [{start}, {start + nrad_w}) outside "
+                             f"grid of {self.nrad} rings")
+        sl = slice(start, start + nrad_w)          # NR-row arrays
+        sl1 = slice(start, start + nrad_w + 1)     # NR+1-row arrays
+        n_extra = self.radii_ext.size - self.radii.size
+        return dataclasses.replace(
+            self, nrad=nrad_w,
+            radii=self.radii_ext[sl1],
+            radii_ext=self.radii_ext[start:start + nrad_w + 1 + n_extra],
+            rmed=self.rmed[sl], rmed_ext=self.rmed_ext[sl1],
+            rinf=self.rinf[sl],
+            rsup=self.rsup[sl],
+            ra=self.radii_ext[sl1],
+            surf=self.surf[sl], inv_surf=self.inv_surf[sl],
+            inv_rmed=self.inv_rmed[sl],
+            inv_rinf=self.inv_rinf[sl1],
+            inv_diff_rmed=self.inv_diff_rmed[sl1],
+            inv_diff_rsup=self.inv_diff_rsup[sl],
+            inv_diff_rsup_rb=self.inv_diff_rsup_rb[sl],
+            two_diff_ra_sq=self.two_diff_ra_sq[sl],
+            four_third_inv_rb_invdphi_sq=self.four_third_inv_rb_invdphi_sq[sl],
+        )
+
     # convenience: column views for broadcasting against (NR, NAZ) fields
     def col(self, name: str) -> np.ndarray:
         return getattr(self, name)[:, None]

@@ -36,12 +36,18 @@ def orbital_period(constants, phys: Physics, x, y, vx, vy):
 def accrete_onto_planets(phys: Physics, constants, g: Geom, nb, bodies,
                          accretion_efficiency, accretion_types: list,
                          cell_x, cell_y, sigma, energy, vrad, vaz,
-                         omega_frame, dt, nu_grid=None):
+                         omega_frame, dt, nu_grid=None,
+                         row_w=None, axis_name=None):
     """Accretion for every accreting body: two-zone Kley (reference :84),
     single-zone sinkhole (:223), or viscous-rate (:336 — needs ``nu_grid``).
 
     Returns (sigma, energy, nb) with the bodies' mass/velocity updated when
     disk feedback is enabled (reference :200-219).
+
+    ``row_w``/``axis_name``: under the explicit shard_map path, the
+    ownership-and-active row weight replaces the local ``active`` mask for
+    the mass/momentum bookkeeping and the sums are psum'ed over the mesh
+    axis (the reference's MPI_Allreduce, src/accretion.cpp:200-219).
     """
     nr = g.nrad
     floor = phys.sigma_floor * phys.sigma0
@@ -128,10 +134,17 @@ def accrete_onto_planets(phys: Physics, constants, g: Geom, nb, bodies,
             if phys.is_adiabatic:
                 energy = energy * (1.0 - f1)
 
-        dm = jnp.where(active, dm, 0.0)
+        if row_w is None:
+            dm = jnp.where(active, dm, 0.0)
+        else:
+            dm = dm * row_w
         d_m = jnp.sum(dm)
         d_px = jnp.sum(dm * vx_cell)
         d_py = jnp.sum(dm * vy_cell)
+        if axis_name is not None:
+            d_m = jax.lax.psum(d_m, axis_name)
+            d_px = jax.lax.psum(d_px, axis_name)
+            d_py = jax.lax.psum(d_py, axis_name)
 
         if phys.disk_feedback:
             m_old = new_mass[k]

@@ -53,11 +53,16 @@ def smoothing_length(phys: Physics, scale_height: jax.Array,
 def disk_on_body_accel(phys: Physics, constants, g: Geom,
                        bodies: BodiesOnGrid, n_bodies: int,
                        cell_x: jax.Array, cell_y: jax.Array,
-                       scale_height: jax.Array, sigma: jax.Array):
+                       scale_height: jax.Array, sigma: jax.Array,
+                       row_w=None, axis_name=None):
     """Acceleration of each body due to the gas disk
     (reference src/Force.cpp:23-122 ``ComputeDiskOnPlanetAccel``): smoothed
     sum of cell-mass attractions over the active rings; the MPI_Allreduce
     becomes the jnp.sum (a cross-shard reduce under the mesh).
+
+    Under the explicit shard_map path, ``row_w`` is the
+    ownership-and-active row-weight column of the local slab and
+    ``axis_name`` the mesh axis to ``psum`` over.
 
     Returns (ax, ay) arrays of length n_bodies.
     """
@@ -80,9 +85,17 @@ def disk_on_body_accel(phys: Physics, constants, g: Geom,
         klahr = jnp.where((r_sm > 0.0) & (d_sm < r_sm),
                           -(3.0 * q ** 4 - 4.0 * q ** 3), 1.0)
         w = constants.G * cellmass * inv_d3 * klahr
-        axs.append(jnp.sum((w * dx)[1:nr - 1]))
-        ays.append(jnp.sum((w * dy)[1:nr - 1]))
-    return jnp.stack(axs), jnp.stack(ays)
+        if row_w is None:
+            axs.append(jnp.sum((w * dx)[1:nr - 1]))
+            ays.append(jnp.sum((w * dy)[1:nr - 1]))
+        else:
+            axs.append(jnp.sum(w * dx * row_w))
+            ays.append(jnp.sum(w * dy * row_w))
+    ax, ay = jnp.stack(axs), jnp.stack(ays)
+    if axis_name is not None:
+        ax = jax.lax.psum(ax, axis_name)
+        ay = jax.lax.psum(ay, axis_name)
+    return ax, ay
 
 
 def indirect_term_disk(phys: Physics, bodies: BodiesOnGrid, n_center: int,

@@ -23,8 +23,16 @@ def _mask_cols(g: Geom, radius_limit):
     return (g.rb[1:g.nrad - 1] <= radius_limit)
 
 
-def total_mass(phys: Physics, g: Geom, sigma, radius_limit):
-    """reference src/quantities.cpp:51-80."""
+def total_mass(phys: Physics, g: Geom, sigma, radius_limit,
+               row_w=None, axis_name=None):
+    """reference src/quantities.cpp:51-80.
+
+    ``row_w``/``axis_name``: ownership row weight + mesh axis for the
+    explicit shard_map path (full-row masked sum + psum)."""
+    if row_w is not None:
+        w = jnp.where(g.rb <= radius_limit, g.surf, 0.0) * row_w
+        s = jnp.sum(w * sigma)
+        return jax.lax.psum(s, axis_name) if axis_name else s
     w = jnp.where(_mask_cols(g, radius_limit), g.surf[1:g.nrad - 1], 0.0)
     return jnp.sum(w * _active(sigma, g.nrad))
 
@@ -106,20 +114,30 @@ def eccentricity_vector(phys: Physics, constants, g: Geom, sigma, vrad, vaz,
     return e_x * ca - e_y * sa, e_y * ca + e_x * sa
 
 
-def mass_average(phys: Physics, g: Geom, sigma, arr, radius_limit):
+def mass_average(phys: Physics, g: Geom, sigma, arr, radius_limit,
+                 row_w=None, axis_name=None):
     """reference src/quantities.cpp:107-190."""
     nr = g.nrad
+    if row_w is not None:
+        w = jnp.where(g.rb <= radius_limit, sigma * g.surf, 0.0) * row_w
+        num = jnp.sum(w * arr)
+        den = jnp.sum(w)
+        if axis_name:
+            num = jax.lax.psum(num, axis_name)
+            den = jax.lax.psum(den, axis_name)
+        return num / den
     w = jnp.where(_mask_cols(g, radius_limit),
                   (sigma * g.surf)[1:nr - 1], 0.0)
     return jnp.sum(w * _active(arr, nr)) / jnp.sum(w)
 
 
 def disk_ecc_peri(phys: Physics, constants, g: Geom, sigma, vrad, vaz,
-                  omega_frame, frame_angle, cos_phi, sin_phi, radius_limit):
+                  omega_frame, frame_angle, cos_phi, sin_phi, radius_limit,
+                  row_w=None, axis_name=None):
     e_x, e_y = eccentricity_vector(phys, constants, g, sigma, vrad, vaz,
                                    omega_frame, frame_angle, cos_phi, sin_phi)
-    ax = mass_average(phys, g, sigma, e_x, radius_limit)
-    ay = mass_average(phys, g, sigma, e_y, radius_limit)
+    ax = mass_average(phys, g, sigma, e_x, radius_limit, row_w, axis_name)
+    ay = mass_average(phys, g, sigma, e_y, radius_limit, row_w, axis_name)
     return jnp.sqrt(ax * ax + ay * ay), jnp.arctan2(ay, ax)
 
 

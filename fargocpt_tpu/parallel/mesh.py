@@ -39,13 +39,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_fields(fields, mesh: Mesh):
+def shard_fields(fields, mesh: Mesh, nrad: int | None = None):
     """Place a FieldState on the mesh, radial-sharded.
 
-    v_rad has NR+1 rows, which cannot be evenly partitioned, so at the jit
-    boundary it is replicated; GSPMD still computes on it shard-wise inside
-    the step. (The explicit shard_map halo-exchange path will carry local
-    face arrays instead.)"""
+    v_rad has NR+1 rows, which cannot be evenly partitioned at the jit
+    boundary, so it enters replicated; GSPMD still computes on it
+    shard-wise inside the step. The explicit shard_map halo-exchange path
+    (parallel/shard_step.ShardedHydroStep) carries true sharded face slabs
+    instead — prefer it for production multi-chip runs.
+
+    Any other grid leaf whose leading dim is not divisible by the device
+    count is replicated WITH A LOUD WARNING: a replicated "sharded" run
+    computes redundantly on every chip and will not scale. Pass ``nrad``
+    to distinguish the expected vrad case (NR+1 rows) from a genuinely
+    indivisible grid."""
+    import warnings
     sh = field_sharding(mesh)
     rep = replicated(mesh)
     n = mesh.devices.size
@@ -53,6 +61,13 @@ def shard_fields(fields, mesh: Mesh):
     def place(x):
         if x.ndim >= 2 and x.shape[0] % n == 0:
             return jax.device_put(x, sh)
+        if x.ndim >= 2 and x.shape[0] > n and not (
+                nrad is not None and x.shape[0] == nrad + 1):
+            warnings.warn(
+                f"shard_fields: leading dim {x.shape[0]} not divisible by "
+                f"{n} devices — replicating this field (it will not "
+                "scale); pick Nrad divisible by the device count or use "
+                "parallel.shard_step for true slabs", stacklevel=3)
         return jax.device_put(x, rep)
 
     return jax.tree_util.tree_map(place, fields)
@@ -61,7 +76,12 @@ def shard_fields(fields, mesh: Mesh):
 def shard_state(state, mesh: Mesh):
     """Place a full SystemState on the mesh: grid fields radial-sharded,
     body arrays and scalars replicated."""
-    return shard_fields(state, mesh)
+    nrad = None
+    try:
+        nrad = int(state.fields.sigma.shape[0])
+    except AttributeError:
+        pass
+    return shard_fields(state, mesh, nrad=nrad)
 
 
 # backwards-compatible alias

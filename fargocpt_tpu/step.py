@@ -249,9 +249,51 @@ class HydroStep:
             self._cfl_cols = pk.make_cfl_cols(self.g, self.cs_iso, hfac,
                                               dtype)
 
+        # --- sharding hooks (explicit shard_map path, parallel/shard_step)
+        # All None/static on the single-device + GSPMD paths. A "localized"
+        # copy of this stepper (operating on a per-shard extended radial
+        # window inside shard_map) sets:
+        #   _axis_name     mesh axis to psum/pmin over
+        #   _own_col       (Lx,1) 1.0 where the window row is owned
+        #   _own_int_col   ownership AND global rows [1, NR-2]
+        #   _own_act_col   ownership AND global rows [2, NR-3] (accretion)
+        #   _inner_face    (local index of global face 1, validity weight)
+        #   _outer_face    (local index of global face NR-1, validity weight)
+        #   _halo_refresh  callable refreshing the halo rows of a state
+        self._axis_name = None
+        self._own_col = None
+        self._own_int_col = None
+        self._own_act_col = None
+        self._inner_face = (1, 1.0)
+        self._outer_face = (geometry.nrad - 1, 1.0)
+        self._halo_refresh = None
+
         self._step = jax.jit(self._step_impl)
         self._cfl = jax.jit(self._cfl_impl)
         self._advance = jax.jit(self._advance_impl)
+
+    # --- sharding-aware reduction helpers --------------------------------
+    def _sum_cells(self, x, weight_col):
+        """Grid sum with an ownership row weight + psum under the explicit
+        shard_map path; plain jnp.sum otherwise (the caller then does its
+        own row slicing)."""
+        if weight_col is not None:
+            x = x * weight_col
+        s = jnp.sum(x)
+        if self._axis_name is not None:
+            s = jax.lax.psum(s, self._axis_name)
+        return s
+
+    def _face_row(self, flux, which: str):
+        """One global face row of a (NR+1, NAZ) face array: ``which`` is
+        'inner' (global face 1) or 'outer' (global face NR-1). Under the
+        shard_map path the owning shard contributes, psum broadcasts."""
+        idx, w = self._inner_face if which == "inner" else self._outer_face
+        if self._axis_name is None:
+            return flux[idx]
+        row = jax.lax.dynamic_slice_in_dim(
+            flux, jnp.asarray(idx, jnp.int32), 1, axis=0)[0] * w
+        return jax.lax.psum(row, self._axis_name)
 
     # ------------------------------------------------------------------
     def pvte_vals(self, sigma, energy):
@@ -372,10 +414,10 @@ class HydroStep:
                 din = jnp.where(self.damping.in_b, dm, 0.0)
                 dout = jnp.where(self.damping.out_b, dm, 0.0)
                 dmp_delta = jnp.stack([
-                    jnp.sum(jnp.maximum(din, 0.0)),
-                    jnp.sum(jnp.maximum(-din, 0.0)),
-                    jnp.sum(jnp.maximum(dout, 0.0)),
-                    jnp.sum(jnp.maximum(-dout, 0.0))])
+                    self._sum_cells(jnp.maximum(din, 0.0), self._own_col),
+                    self._sum_cells(jnp.maximum(-din, 0.0), self._own_col),
+                    self._sum_cells(jnp.maximum(dout, 0.0), self._own_col),
+                    self._sum_cells(jnp.maximum(-dout, 0.0), self._own_col)])
         nu = None
         if "viscous" in (phys.bc_vrad_inner, phys.bc_vrad_outer):
             cs, _, h = self.derived(sigma, energy)
@@ -543,7 +585,8 @@ class HydroStep:
         if phys.disk_feedback and phys.calculate_disk:
             dax, day = gravity.disk_on_body_accel(
                 phys, constants, g, bodies, self.n_bodies,
-                self.cell_x, self.cell_y, h, sigma)
+                self.cell_x, self.cell_y, h, sigma,
+                row_w=self._own_int_col, axis_name=self._axis_name)
             nb = nbody_sys.kick(nb, dax, day, dt)
             it_disk_x, it_disk_y = gravity.indirect_term_disk(
                 phys, bodies, self.n_hydroframe, dax, day)
@@ -599,7 +642,8 @@ class HydroStep:
                 phys, constants, g, nb, bodies,
                 self.body_accretion_efficiency, self.body_accretion_types,
                 self.cell_x, self.cell_y, sigma, energy, vrad, vaz,
-                omega_frame, hdt, nu_grid=self._accretion_nu(sigma, energy))
+                omega_frame, hdt, nu_grid=self._accretion_nu(sigma, energy),
+                row_w=self._own_act_col, axis_name=self._axis_name)
             sigma = eos.apply_sigma_floor(phys, sigma)
         nb, it_disk, it_nb = self._nbody_feedback_kicks(sigma, h0, nb,
                                                         time, hdt)
@@ -660,7 +704,8 @@ class HydroStep:
                 phys, constants, g, nb, bodies,
                 self.body_accretion_efficiency, self.body_accretion_types,
                 self.cell_x, self.cell_y, sigma, energy, vrad, vaz,
-                omega_frame, hdt, nu_grid=self._accretion_nu(sigma, energy))
+                omega_frame, hdt, nu_grid=self._accretion_nu(sigma, energy),
+                row_w=self._own_act_col, axis_name=self._axis_name)
             sigma = eos.apply_sigma_floor(phys, sigma)
         nb = nbody_sys.integrate(nb, constants.G, hdt)
         nb = nbody_sys.move_to_hydro_frame_center(nb, self.n_hydroframe)
@@ -680,8 +725,8 @@ class HydroStep:
                 want_damping_delta=True)
             if phys.keep_mass_constant:
                 sigma = self._rescale_to_initial_mass(sigma)
-            f_in = _mass_flux[1]
-            f_out = _mass_flux[g.nrad - 1]
+            f_in = self._face_row(_mass_flux, "inner")
+            f_out = self._face_row(_mass_flux, "outer")
             md = monitor_acc.mass_delta
             md = md.at[MD_INNER_IN].add(jnp.sum(jnp.maximum(f_in, 0.0)))
             md = md.at[MD_INNER_OUT].add(jnp.sum(jnp.maximum(-f_in, 0.0)))
@@ -707,8 +752,9 @@ class HydroStep:
         from .ops import quantities as quant
         rmax = self.geometry.rmax
         m0 = quant.total_mass(self.phys, self.g, self.ref_values.sigma0,
-                              rmax)
-        m_new = quant.total_mass(self.phys, self.g, sigma, rmax)
+                              rmax, self._own_int_col, self._axis_name)
+        m_new = quant.total_mass(self.phys, self.g, sigma, rmax,
+                                 self._own_int_col, self._axis_name)
         return sigma * (m0 / m_new)
 
     def _update_monitor_acc(self, acc, mass_flux, sigma, vrad, vaz, energy,
@@ -765,7 +811,8 @@ class HydroStep:
         return quant.disk_ecc_peri(
             self.phys, self.constants, self.g, sigma, vrad, vaz,
             omega_frame, zero, self.cos_row, self.sin_row,
-            2.0 * self.geometry.rmax)
+            2.0 * self.geometry.rmax,
+            row_w=self._own_int_col, axis_name=self._axis_name)
 
     def _corotation_update(self, state, nb, vaz, omega_frame, dt):
         """Corotating frame: measure the reference body's swept angle since
@@ -830,7 +877,8 @@ class HydroStep:
                 phys, constants, g, nb, bodies,
                 self.body_accretion_efficiency, self.body_accretion_types,
                 self.cell_x, self.cell_y, sigma, energy, vrad, vaz,
-                omega_frame, dt, nu_grid=self._accretion_nu(sigma, energy))
+                omega_frame, dt, nu_grid=self._accretion_nu(sigma, energy),
+                row_w=self._own_act_col, axis_name=self._axis_name)
             sigma = eos.apply_sigma_floor(phys, sigma)
             bodies = self.bodies_on_grid(nb, time)
 
@@ -839,7 +887,8 @@ class HydroStep:
         if phys.disk_feedback and phys.calculate_disk:
             dax, day = gravity.disk_on_body_accel(
                 phys, constants, g, bodies, self.n_bodies,
-                self.cell_x, self.cell_y, h0, sigma)
+                self.cell_x, self.cell_y, h0, sigma,
+                row_w=self._own_int_col, axis_name=self._axis_name)
             nb = nbody_sys.kick(nb, dax, day, dt)
             it_disk_x, it_disk_y = gravity.indirect_term_disk(
                 phys, bodies, self.n_hydroframe, dax, day)
@@ -934,8 +983,12 @@ class HydroStep:
                 (sigma, vrad, vaz, energy))
             _sig_pre_floor = sigma
             sigma = eos.apply_sigma_floor(phys, sigma)
-            _floor_created = jnp.sum(
-                ((sigma - _sig_pre_floor) * g.surf)[1:g.nrad - 1])
+            if self._own_int_col is not None:
+                _floor_created = self._sum_cells(
+                    (sigma - _sig_pre_floor) * g.surf, self._own_int_col)
+            else:
+                _floor_created = jnp.sum(
+                    ((sigma - _sig_pre_floor) * g.surf)[1:g.nrad - 1])
             if phys.is_adiabatic:
                 energy = eos.energy_floor_ceiling(phys, constants, sigma,
                                                   energy)
@@ -952,7 +1005,7 @@ class HydroStep:
             # exponentially averaged accretion rate through the inner face
             rof_mdot = None
             if phys.rochelobe_overflow and monitor_acc.rof_mdot is not None:
-                delta = -jnp.sum(_mass_flux[1])
+                delta = -jnp.sum(self._face_row(_mass_flux, "inner"))
                 t_avg = max(self.body_period_host[phys.rof_planet]
                             * phys.rof_averaging_time, 1e-12) \
                     if self.n_bodies > 1 else 1e-12
@@ -986,8 +1039,8 @@ class HydroStep:
 
             # boundary / damping / floor mass bookkeeping (reference
             # src/TransportEuler.cpp:575-608 + src/types.h:30-60)
-            f_in = _mass_flux[1]
-            f_out = _mass_flux[g.nrad - 1]
+            f_in = self._face_row(_mass_flux, "inner")
+            f_out = self._face_row(_mass_flux, "outer")
             md = monitor_acc.mass_delta
             md = md.at[MD_INNER_IN].add(jnp.sum(jnp.maximum(f_in, 0.0)))
             md = md.at[MD_INNER_OUT].add(jnp.sum(jnp.maximum(-f_in, 0.0)))
@@ -1033,11 +1086,19 @@ class HydroStep:
             omega_row = vmean * g.inv_rb
             denom = jnp.abs(omega_row[:-1] - omega_row[1:]) + 1e-100
             dt_shear = jnp.min((phys.cfl * g.dphi / denom)[:g.nrad - 2])
-            return jnp.minimum(dt_shear, dt_min)
+            dt = jnp.minimum(dt_shear, dt_min)
+            if self._axis_name is not None:
+                dt = jax.lax.pmin(dt, self._axis_name)
+            return dt
         cs, press, h = self.derived(f.sigma, f.energy)
         nu = self.viscosity_grid(cs, h, f.sigma, f.energy)
-        return cfl.condition_cfl(phys, self.g, f.sigma, f.vrad, f.vaz,
-                                 f.energy, cs, nu, state.qplus, state.qminus)
+        dt = cfl.condition_cfl(phys, self.g, f.sigma, f.vrad, f.vaz,
+                               f.energy, cs, nu, state.qplus, state.qminus)
+        if self._axis_name is not None:
+            # the reference's MPI_Allreduce(MIN) (src/cfl.cpp:379); every
+            # interior ring is covered by at least one shard's window
+            dt = jax.lax.pmin(dt, self._axis_name)
+        return dt
 
     def _advance_impl(self, state: SystemState, time, last_dt, t_target):
         """Advance to ``t_target`` (one monitor interval) entirely on-device
@@ -1057,6 +1118,12 @@ class HydroStep:
 
         def body(carry):
             (state, time, last_dt, n, dmin, dmax, dsum, dsq, _done) = carry
+            if self._halo_refresh is not None:
+                # explicit shard_map path: one bidirectional ppermute
+                # refreshing every halo ring before CFL + step (the
+                # reference's once-per-step CommunicateBoundaries,
+                # src/commbound.cpp:98)
+                state = self._halo_refresh(state)
             cfl_dt = self._cfl_impl(state)
             dt = jnp.minimum(self.phys.cfl_max_var * last_dt, cfl_dt)
             time_left = t_target - time

@@ -1,0 +1,165 @@
+"""Explicit shard_map/ppermute halo-exchange path vs the single-device
+step (analog of the reference's mpi_simple + the commbound correctness
+contract: a sharded run must reproduce the serial run).
+
+Unlike the GSPMD tests (test_sharding.py), these exercise
+parallel/shard_step.py: skewed extended windows, one stacked ppermute
+pair per step, pmin CFL, psum feedback/diagnostics, sharded vrad faces.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fargocpt_tpu.config import Config
+from fargocpt_tpu.sim import Simulation
+from fargocpt_tpu.parallel.mesh import make_mesh
+from fargocpt_tpu.parallel.shard_step import ShardedHydroStep
+
+
+def flagship_config(nrad=192, naz=64, extra=None):
+    cfg = {
+        "EquationOfState": "Ideal", "AdiabaticIndex": "1.4",
+        "AspectRatio": "0.05", "FlaringIndex": "0.25",
+        "ViscousAlpha": "0.001",
+        "Sigma0": "200 g/cm2", "SigmaSlope": "0.5",
+        "HeatingViscous": "Yes", "CoolingBetaLocal": "Yes",
+        "CoolingBeta": "10",
+        "ArtificialViscosity": "SN",
+        "Nrad": str(nrad), "Naz": str(naz),
+        "Rmin": "0.4", "Rmax": "2.5", "RadialSpacing": "Log",
+        "InnerBoundary": "outflow", "OuterBoundary": "outflow",
+        "Transport": "FARGO",
+        "Nsnapshots": "1", "Nmonitor": "1", "MonitorTimestep": "0.5",
+        "FirstDT": "1e-4",
+    }
+    if extra:
+        cfg.update(extra)
+    return Config.from_dict(cfg)
+
+
+def _rel(a, b):
+    a = np.asarray(a)
+    b = np.asarray(b)
+    scale = max(np.max(np.abs(a)), 1e-300)
+    return np.max(np.abs(a - b)) / scale
+
+
+def _compare_states(s_single, s_sharded, tol):
+    for name in ("sigma", "vrad", "vaz", "energy"):
+        d = _rel(getattr(s_single.fields, name),
+                 getattr(s_sharded.fields, name))
+        assert d < tol, f"{name}: sharded vs single rel diff {d:.3e}"
+    for name in ("qplus", "qminus"):
+        d = _rel(getattr(s_single, name), getattr(s_sharded, name))
+        assert d < tol, f"{name}: rel diff {d:.3e}"
+
+
+def test_sharded_step_matches_single_device():
+    """One full step on the flagship adiabatic config: 8-way explicit
+    shard_map == single device at f64 roundoff."""
+    sim = Simulation(flagship_config())
+    mesh = make_mesh(8)
+    ss = ShardedHydroStep(sim.stepper, mesh)
+    pair = ss.shard_state(sim.state)
+
+    s1 = sim.stepper.step(sim.state, 0.0, 2e-4)
+    pair = ss.step(pair, 0.0, 2e-4)
+    s2 = ss.gather(pair)
+    _compare_states(s1, s2, 1e-13)
+    # owned vrad stays sharded (8 device shards)
+    assert len(pair[0].fields.vrad.sharding.device_set) == 8
+
+
+def test_sharded_cfl_matches_single_device():
+    sim = Simulation(flagship_config())
+    mesh = make_mesh(8)
+    ss = ShardedHydroStep(sim.stepper, mesh)
+    pair = ss.shard_state(sim.state)
+    dt1 = float(sim.stepper.cfl_dt(sim.state))
+    dt2 = float(ss.cfl_dt(pair))
+    assert np.isclose(dt1, dt2, rtol=1e-14), (dt1, dt2)
+
+
+def test_sharded_advance_matches_single_device():
+    """A whole monitor interval (many steps, dynamic dt, exact landing)
+    inside the shard_map while_loop: one ppermute pair per iteration."""
+    sim = Simulation(flagship_config())
+    mesh = make_mesh(8)
+    ss = ShardedHydroStep(sim.stepper, mesh)
+    pair = ss.shard_state(sim.state)
+
+    out1 = sim.stepper.advance_to(sim.state, 0.0, 1e-4, 0.5)
+    s1, t1, dt1, n1 = out1[0], out1[1], out1[2], out1[3]
+
+    pair2, t2, dt2, n2, *_stats = ss.advance_to(pair, 0.0, 1e-4, 0.5)
+    s2 = ss.gather(pair2)
+
+    assert int(n1) == int(n2), (int(n1), int(n2))
+    assert np.isclose(float(t1), float(t2), rtol=0, atol=0)
+    assert np.isclose(float(dt1), float(dt2), rtol=1e-12)
+    _compare_states(s1, s2, 5e-12)
+
+
+def test_sharded_planet_feedback_matches_single_device():
+    """Disk-on-planet force (psum), accretion bookkeeping (psum) and the
+    corotating frame under the explicit path."""
+    cfg = flagship_config(nrad=192, naz=64, extra={
+        "EquationOfState": "Isothermal",
+        "DiskFeedback": "yes",
+        "Frame": "C", "CorotationReferenceBody": "1",
+        "nbody": [
+            {"name": "star", "semi-major axis": "0.0", "mass": "1.0"},
+            {"name": "planet", "semi-major axis": "1.0", "mass": "1e-3",
+             "accretion efficiency": "1.0", "accretion method": "kley"},
+        ],
+    })
+    sim = Simulation(cfg)
+    mesh = make_mesh(8)
+    ss = ShardedHydroStep(sim.stepper, mesh)
+    pair = ss.shard_state(sim.state)
+
+    s1 = sim.state
+    for i in range(3):
+        s1 = sim.stepper.step(s1, i * 1e-4, 1e-4)
+        pair = ss.step(pair, i * 1e-4, 1e-4)
+    s2 = ss.gather(pair)
+    _compare_states(s1, s2, 1e-12)
+    for name in ("x", "y", "vx", "vy", "mass"):
+        d = _rel(getattr(s1.nbody, name), getattr(s2.nbody, name))
+        assert d < 1e-13, f"nbody.{name}: rel diff {d:.3e}"
+    assert np.isclose(float(s1.omega_frame), float(s2.omega_frame),
+                      rtol=1e-13)
+
+
+def test_sharded_damping_massdelta_matches():
+    """Damping zones + boundary mass bookkeeping (masked psum path)."""
+    cfg = flagship_config(extra={
+        "Damping": "Yes", "DampingInnerLimit": "1.10",
+        "DampingOuterLimit": "0.90", "TauDamping": "10",
+    })
+    sim = Simulation(cfg)
+    mesh = make_mesh(8)
+    ss = ShardedHydroStep(sim.stepper, mesh)
+    pair = ss.shard_state(sim.state)
+
+    s1 = sim.stepper.step(sim.state, 0.0, 2e-4)
+    pair = ss.step(pair, 0.0, 2e-4)
+    s2 = ss.gather(pair)
+    _compare_states(s1, s2, 1e-13)
+    d = _rel(s1.monitor_acc.mass_delta, s2.monitor_acc.mass_delta)
+    assert d < 1e-12, f"mass_delta rel diff {d:.3e}"
+
+
+def test_sharded_rejects_unsupported():
+    sim = Simulation(flagship_config(extra={"SelfGravity": "Yes"}))
+    with pytest.raises(NotImplementedError):
+        ShardedHydroStep(sim.stepper, make_mesh(8))
+
+
+def test_sharded_rejects_indivisible():
+    sim = Simulation(flagship_config(nrad=100))
+    with pytest.raises(ValueError):
+        ShardedHydroStep(sim.stepper, make_mesh(8))
