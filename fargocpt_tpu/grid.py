@@ -172,6 +172,23 @@ class Geometry:
         rmin = cfg.get("Rmin", 0.4, dim=DIM_LENGTH, type=float)
         rmax = cfg.get("Rmax", 2.5, dim=DIM_LENGTH, type=float)
         spacing = cfg.get("RadialSpacing", "Logarithmic", type=str)
+        # 'cps' (cells per scale height) overrides Nrad/Naz (reference
+        # src/Interpret.cpp:206-228): the grid is sized so each cell spans
+        # H/cps radially and matches that size azimuthally.
+        cps = cfg.get("cps", -1.0, type=float)
+        if cps > 0:
+            h = cfg.get("AspectRatio", 0.05, type=float)
+            kind = normalize_spacing(spacing)
+            if kind == ARITHMETIC:
+                nrad = round(cps * (rmax - rmin) / h)
+                naz = round(2.0 * math.pi / (rmax - rmin) * nrad)
+            elif kind == LOGARITHMIC:
+                nrad = round(math.log(rmax / rmin) / math.log(1.0 + h / cps))
+                naz = round(2.0 * math.pi /
+                            ((rmax / rmin) ** (1.0 / nrad) - 1.0))
+            else:
+                raise ValueError(
+                    "cps grid sizing requires Log or Arithmetic spacing")
         ecf = cfg.get("ExponentialCellSizeFactor", 1.41, type=float)
         custom = None
         if spacing.lower().startswith("cus"):

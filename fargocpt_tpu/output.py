@@ -782,4 +782,7 @@ def restore_simulation(sim, outdir: str | Path, snapshot_id: str | int):
     sim.n_monitor = misc["n_monitor"]
     sim.n_snapshot = misc["n_snapshot"]
     sim.n_hydro_iter = misc["n_hydro_iter"]
+    # restarts resume with the stored last_dt; the fresh-start double
+    # growth (sim.py run()) must not apply (reference src/simulation.cpp:467)
+    sim._dt_primed = True
     return sim

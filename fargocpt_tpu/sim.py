@@ -134,6 +134,11 @@ class Simulation:
 
         self.time = 0.0
         self.last_dt = self.settings.first_dt
+        # On a fresh start the reference grows last_dt twice before the
+        # first loop step: once in main (src/main.cpp:117) and once in
+        # sim::init (src/simulation.cpp:467-469). Restarts skip this
+        # (restore_simulation overwrites last_dt from misc.bin).
+        self._dt_primed = False
         self.n_monitor = 0
         self.n_snapshot = 0
         self.n_hydro_iter = 0
@@ -205,6 +210,10 @@ class Simulation:
         """Outer loop (reference src/simulation.cpp:505-560)."""
         s = self.settings
         total_monitors = s.n_snapshots * s.n_monitor
+        if not self._dt_primed:
+            self.calculate_time_step()   # main.cpp:117
+            self.calculate_time_step()   # sim::init, simulation.cpp:467
+            self._dt_primed = True
         self._handle_outputs(initial=True)
         while self.n_monitor < total_monitors:
             if max_steps is not None and self.n_hydro_iter >= max_steps:

@@ -575,9 +575,14 @@ class HydroStep:
         return (sigma, vrad, vaz, energy, qplus, qminus,
                 ecc_deltas if track_ecc else None)
 
-    def _nbody_feedback_kicks(self, sigma, h, nb, time, dt):
+    def _nbody_feedback_kicks(self, sigma, h, nb, time, dt,
+                              nb_indirect=None):
         """Disk force on the bodies + indirect terms; returns the kicked
-        bodies and the indirect-term components."""
+        bodies and the indirect-term components. ``nb_indirect`` supplies
+        the body state the N-body indirect term is evaluated from when it
+        differs from ``nb`` (the leapfrog computes it forward-looking from
+        the PRE-drift positions, reference src/simulation.cpp:287-291,
+        while the feedback force uses the drifted positions)."""
         phys, constants, g = self.phys, self.constants, self.g
         zero = jnp.zeros((), self.dtype)
         bodies = self.bodies_on_grid(nb, time)
@@ -590,13 +595,16 @@ class HydroStep:
             nb = nbody_sys.kick(nb, dax, day, dt)
             it_disk_x, it_disk_y = gravity.indirect_term_disk(
                 phys, bodies, self.n_hydroframe, dax, day)
+        nb_it = nb if nb_indirect is None else nb_indirect
         if phys.indirect_term_mode == 0:   # REBOUND-predictor (reference
             # src/frame_of_reference.cpp:135-165, the default mode)
             it_nb_x, it_nb_y = gravity.indirect_term_nbody_predictor(
-                constants, nb, self.n_hydroframe, self.n_bodies, dt)
+                constants, nb_it, self.n_hydroframe, self.n_bodies, dt)
         else:                              # Euler mode
+            bodies_it = bodies if nb_indirect is None else \
+                self.bodies_on_grid(nb_it, time)
             it_nb_x, it_nb_y = gravity.indirect_term_nbody(
-                constants, bodies, self.n_hydroframe, self.n_bodies)
+                constants, bodies_it, self.n_hydroframe, self.n_bodies)
         nb = nbody_sys.kick(nb, it_disk_x + it_nb_x, it_disk_y + it_nb_y, dt)
         return nb, (it_disk_x, it_disk_y), (it_nb_x, it_nb_y)
 
@@ -629,7 +637,11 @@ class HydroStep:
         hdt = 0.5 * dt
         mid_time = time + hdt
 
-        # N-body drift 1/2
+        # N-body drift 1/2; the indirect N-body term for kick 1 is
+        # forward-looking from the PRE-drift positions (reference
+        # src/simulation.cpp:287-291 computes it "while Nbody is still
+        # at 'dt'")
+        nb_pre_drift = nb
         nb = nbody_sys.integrate(nb, constants.G, hdt)
         nb = nbody_sys.move_to_hydro_frame_center(nb, self.n_hydroframe)
 
@@ -645,8 +657,8 @@ class HydroStep:
                 omega_frame, hdt, nu_grid=self._accretion_nu(sigma, energy),
                 row_w=self._own_act_col, axis_name=self._axis_name)
             sigma = eos.apply_sigma_floor(phys, sigma)
-        nb, it_disk, it_nb = self._nbody_feedback_kicks(sigma, h0, nb,
-                                                        time, hdt)
+        nb, it_disk, it_nb = self._nbody_feedback_kicks(
+            sigma, h0, nb, time, hdt, nb_indirect=nb_pre_drift)
 
         # frame rotation (half step)
         if phys.corotating:

@@ -1,0 +1,80 @@
+"""Reference-binary golden fidelity gates.
+
+The goldens in tests/goldens/ are produced by the REAL reference binary
+(built from /root/reference/src by tools/refgolden/build_reference.sh, a
+serial-MPI strict-IEEE -O2 build) running short-horizon variants of the
+reference's own test setups (test/spreading_ring/setup.yml,
+test/planet_torque/torque_test.yml); see tools/refgolden/gen_goldens.sh.
+
+These tests run this framework f64 on the *identical* YAML setup and
+require the 2-D fields to match the reference binary snapshot-for-snapshot:
+
+  * spreading_ring: 660 steps to t=4.0 (viscous ring, Euler integrator,
+    outflow BCs) — observed agreement ~6e-12, gated at 1e-9.
+  * planet_torque: 76 steps to t=1.257 (LeapFrog, embedded 2e-5 Msun
+    planet with ramp-up, TW artificial viscosity, reflecting+balanced
+    BCs, vrad damping, cps grid sizing, REBOUND-predictor indirect term)
+    — observed agreement ~2e-7 on vrad (f64 roundoff seeded by FMA
+    contraction differences, amplified in the planet wake), gated at 1e-6
+    per BASELINE.json.
+
+Any substep-ordering or physics regression shows up here as orders of
+magnitude, not factors.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from fargocpt_tpu.config import Config
+from fargocpt_tpu.sim import Simulation
+from fargocpt_tpu import output as out
+
+GOLDENS = Path(__file__).parent / "goldens"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name,tol", [
+    ("spreading_ring", 1e-9),
+    ("planet_torque", 1e-6),
+])
+def test_fields_match_reference_binary(name, tol, tmp_path):
+    golden = GOLDENS / name
+    cfg = Config.from_file(str(golden / "setup.yml"))
+    sim = Simulation(cfg, outdir=str(tmp_path / "out"), dtype="float64")
+    out.OutputWriter(sim)
+    sim.run()
+
+    nr, na = sim.geometry.nrad, sim.geometry.naz
+    # grid must be identical before fields can be compared (also pins the
+    # cps-based sizing for planet_torque, reference src/Interpret.cpp:206)
+    ref_rad = np.loadtxt(golden / "used_rad.dat")
+    assert ref_rad.shape[0] == nr + 1
+    np.testing.assert_allclose(sim.geometry.radii[:nr + 1], ref_rad,
+                               rtol=1e-12)
+
+    for snap in ("1", "2"):
+        for field, rows in (("Sigma", nr), ("vrad", nr + 1), ("vazi", nr)):
+            g = np.fromfile(golden / "snapshots" / snap / f"{field}.dat")
+            m = np.fromfile(tmp_path / "out" / "snapshots" / snap /
+                            f"{field}.dat")
+            assert g.shape == m.shape == (rows * na,)
+            scale = np.max(np.abs(g))
+            err = np.max(np.abs(g - m)) / scale
+            assert err < tol, (f"{name} snapshot {snap} {field}: "
+                               f"max rel dev {err:.3e} >= {tol}")
+
+    # step counts and dt trajectory must agree exactly (misc.bin:
+    # [u32 snapshot, u32 monitor, f64 time, f64 omega_frame,
+    #  f64 frame_angle, f64 last_dt, u32 n_iter])
+    for snap in ("1", "2"):
+        bg = (golden / "snapshots" / snap / "misc.bin").read_bytes()
+        bm = (tmp_path / "out" / "snapshots" / snap /
+              "misc.bin").read_bytes()
+        ng = int(np.frombuffer(bg[40:44], np.uint32)[0])
+        nm = int(np.frombuffer(bm[40:44], np.uint32)[0])
+        assert ng == nm, f"hydro step count differs: ref {ng} vs {nm}"
+        dt_g = float(np.frombuffer(bg[32:40], np.float64)[0])
+        dt_m = float(np.frombuffer(bm[32:40], np.float64)[0])
+        assert abs(dt_g - dt_m) / dt_g < 1e-8

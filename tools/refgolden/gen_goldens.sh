@@ -1,0 +1,66 @@
+#!/usr/bin/env bash
+# Generate reference-binary golden outputs for the <1e-6 fidelity tests
+# (tests/test_reference_golden.py).
+#
+# Uses the serially-built reference binary (see build_reference.sh) on
+# short-horizon variants of the reference's own test configs
+# (test/spreading_ring/setup.yml, test/planet_torque/torque_test.yml): same
+# physics, but snapshots land after a few hundred steps so f64 trajectories
+# are comparable at <1e-6 before chaotic/roundoff growth dominates.
+# OMP_NUM_THREADS=1 keeps any OpenMP sum reductions bit-deterministic.
+#
+# Usage: tools/refgolden/gen_goldens.sh
+# Writes tests/goldens/<name>/snapshots/... into the repo.
+set -euo pipefail
+
+HERE="$(cd "$(dirname "$0")" && pwd)"
+REPO="$(cd "$HERE/../.." && pwd)"
+REF=/root/reference
+BIN=/tmp/refbuild/bin/fargocpt_exe
+RUNROOT=/tmp/refrun
+
+[ -x "$BIN" ] || bash "$HERE/build_reference.sh"
+
+run_golden() {
+    local name="$1" src_cfg="$2"
+    local dir="$RUNROOT/golden_$name"
+    rm -rf "$dir"
+    mkdir -p "$dir"
+    cp "$src_cfg" "$dir/setup.yml"
+    # short horizon + absolute output dir
+    python3 - "$dir/setup.yml" "$dir/out" <<'EOF'
+import re, sys
+path, outdir = sys.argv[1], sys.argv[2]
+text = open(path).read()
+def setkey(text, key, val):
+    pat = re.compile(rf"^{key}:.*$", re.M)
+    assert pat.search(text), key
+    return pat.sub(f"{key}: '{val}'", text)
+text = setkey(text, "OutputDir", outdir)
+text = setkey(text, "Nsnapshots", "2")
+text = setkey(text, "Nmonitor", "1")
+if "spreading_ring" in outdir:
+    text = setkey(text, "MonitorTimestep", "2.0")
+else:
+    text = setkey(text, "MonitorTimestep", "0.6283185307179586")
+open(path, "w").write(text)
+EOF
+    (cd "$dir" && OMP_NUM_THREADS=1 "$BIN" start setup.yml >run.log 2>&1)
+    local dst="$REPO/tests/goldens/$name"
+    rm -rf "$dst"
+    mkdir -p "$dst"
+    cp -r "$dir/out/snapshots" "$dst/"
+    cp "$dir/out/used_rad.dat" "$dir/out/dimensions.dat" "$dst/"
+    cp "$dir/setup.yml" "$dst/"
+    # the rebound archives are binary REBOUND internals we never read back;
+    # 1D profiles are azimuthal averages of the 2D fields (derivable); energy
+    # is unused in these isothermal setups
+    find "$dst" -name 'rebound.bin' -delete
+    find "$dst" -name '*1D.dat' -delete
+    find "$dst" -name 'energy.dat' -delete
+    echo "golden '$name' written to $dst"
+    grep "Total Hydrosteps" "$dir/run.log" || true
+}
+
+run_golden spreading_ring "$REF/test/spreading_ring/setup.yml"
+run_golden planet_torque "$REF/test/planet_torque/torque_test.yml"
