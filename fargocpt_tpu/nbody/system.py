@@ -204,14 +204,22 @@ def mutual_accelerations(x, y, mass, G):
     return ax, ay
 
 
-def integrate(state: NBodyState, G: float, dt, n_substeps: int = 16
-              ) -> NBodyState:
-    """Advance the bodies under mutual gravity by dt with fixed-substep RK4
-    (replaces the reference's REBOUND IAS15 call,
-    src/nbody/planetary_system.cpp:878, and supersedes the legacy RK5 path
-    of src/RungeKutta.cpp:12-68)."""
+def integrate(state: NBodyState, G: float, dt, n_substeps: int = 16,
+              method: str = "ias15") -> NBodyState:
+    """Advance the bodies under mutual gravity by exactly dt.
+
+    Default is the adaptive 15th-order Gauss-Radau integrator (IAS15,
+    nbody/ias15.py) — the same integrator class the reference uses via
+    REBOUND (src/nbody/planetary_system.cpp:878 with exact_finish_time).
+    ``method='rk4'`` selects the fixed-substep RK4 used in round 1
+    (supersedes the legacy RK5 path of src/RungeKutta.cpp:12-68)."""
     if state.n == 1:
         return state
+    if method == "ias15":
+        from .ias15 import integrate_ias15
+        x, y, vx, vy = integrate_ias15(
+            state.x, state.y, state.vx, state.vy, state.mass, G, dt)
+        return state.replace(x=x, y=y, vx=vx, vy=vy)
     h = dt / n_substeps
     m = state.mass
 
