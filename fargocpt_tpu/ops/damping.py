@@ -61,6 +61,9 @@ class DampingZones:
         # scalar rings live at Rb, v_rad rows at Ra (reference :314-315)
         self.rate_b, self.in_b, self.out_b = cols(geometry.rmed)
         self.rate_a, self.in_a, self.out_a = cols(geometry.ra)
+        nr = geometry.nrad
+        self.inv_ra_col = jnp.asarray(
+            1.0 / geometry.ra[:nr + 1, None], dtype)
 
     def _damp(self, x, x0_inner, x0_outer, rate, in_mask, out_mask, dt,
               mode_inner: str, mode_outer: str):
@@ -85,8 +88,20 @@ class DampingZones:
             return x0
         raise NotImplementedError(f"damping target {mode!r}")
 
+    def _viscous_vrad_target(self, phys: Physics, nu):
+        """Viscous-drift vrad target v_r = -1.5 s nu / Rinf with the
+        kinematic viscosity averaged onto the radial faces (reference
+        src/boundary_conditions/damping.cpp:623-678
+        ``damping_vradial_inner_visc``; Kley, Papaloizou & Ogilvie 2008).
+        ``nu`` is the (NR, NAZ) viscosity grid of the current fields (the
+        reference reuses its pre-transport VISCOSITY grid here — a stale-
+        by-one-substep value; recomputing is the cleaner equivalent)."""
+        nu_face = jnp.concatenate(
+            [nu[:1], 0.5 * (nu[1:] + nu[:-1]), nu[-1:]], axis=0)
+        return -1.5 * phys.viscous_outflow_speed * nu_face * self.inv_ra_col
+
     def apply(self, phys: Physics, sigma, vrad, vaz, energy, ref: RefValues,
-              dt):
+              dt, nu=None):
         """reference src/boundary_conditions/damping.cpp ``damping()``."""
         p = phys
 
@@ -104,7 +119,18 @@ class DampingZones:
                      p.damping_vazimuthal_outer)
 
         mi, mo = p.damping_vradial_inner, p.damping_vradial_outer
-        ti = self._target(mi, vrad, ref.vrad0)
+        if mo == "viscous":
+            # matches the reference hard error (damping.cpp:124-127)
+            raise NotImplementedError(
+                "Damping vrad to viscous radial speed at the outer "
+                "boundary is not implemented (matches reference)")
+        if mi == "viscous":
+            if nu is None:
+                raise ValueError("viscous vrad damping needs the viscosity "
+                                 "grid (pass nu=)")
+            ti = self._viscous_vrad_target(p, nu)
+        else:
+            ti = self._target(mi, vrad, ref.vrad0)
         to = self._target(mo, vrad, ref.vrad0)
         vrad = self._damp(vrad, ti, to, self.rate_a, self.in_a, self.out_a,
                           dt, mi, mo)

@@ -29,17 +29,60 @@ def viscous_heating(phys: Physics, g: Geom, sigma, nu, tau_rr, tau_pp,
     return qplus
 
 
+def _ziampras_beta_inv(phys: Physics, constants, g: Geom, sigma, energy,
+                       temperature, kappa, scale_height, omega_k, pvte_vals):
+    """Physically-motivated local beta for the Ziampras et al. (2023)
+    cooling prescription (reference src/SourceEuler.cpp:655-760):
+      surf: 1/beta = |Q_surf| / (E Omega_K) with the surface-cooling rate,
+      mid:  1/beta = eta / (Omega_K (H^2 + l_rad^2/3)),
+            eta = 16 sigma_SB T^3 / (3 c_v kappa rho^2),
+      tot:  sum of both inverse betas.
+    NOTE the reference's tau_eff here is 3 tau/8 + pow(3,1/2)/4 + 1/(4 tau)
+    where pow(3,1/2) is INTEGER division = pow(3,0) = 1 (an upstream C++
+    quirk); replicated for parity."""
+    rho = sigma / (phys.density_factor * scale_height)
+    if pvte_vals is not None:
+        gam, mu_val, _ = pvte_vals
+    else:
+        gam = eos.gamma_eff(phys)
+        mu_val = phys.mu
+    beta_inv_surf = beta_inv_mid = None
+    if phys.cooling_beta_method in ("surf", "tot"):
+        tau = 0.5 * kappa * sigma
+        tau_eff = 3.0 * tau / 8.0 + 0.25 + 1.0 / (4.0 * tau)
+        q_surf = phys.surface_cooling_factor * 2.0 * constants.sigma_sb \
+            * temperature ** 4 / tau_eff
+        beta_inv_surf = jnp.abs(q_surf) / (energy * omega_k)
+    if phys.cooling_beta_method in ("mid", "tot"):
+        c_v = constants.R / (mu_val * (gam - 1.0))
+        eta = 16.0 * constants.sigma_sb * temperature ** 3 \
+            / (3.0 * c_v * kappa * rho ** 2)
+        lrad = 1.0 / (rho * kappa)
+        beta_inv_mid = eta / (omega_k
+                              * (scale_height ** 2 + lrad ** 2 / 3.0))
+    if phys.cooling_beta_method == "surf":
+        return beta_inv_surf
+    if phys.cooling_beta_method == "mid":
+        return beta_inv_mid
+    return beta_inv_surf + beta_inv_mid
+
+
 def beta_cooling(phys: Physics, constants, g: Geom, sigma, energy,
-                 sigma0_ref, energy0_ref, current_time):
+                 sigma0_ref, energy0_ref, current_time, temperature=None,
+                 kappa=None, scale_height=None, pvte_vals=None):
     """Thermal relaxation Q- = dE * Omega_K / beta
-    (reference src/SourceEuler.cpp:632-786; surf/mid/tot variants come with
-    the opacity module)."""
+    (reference src/SourceEuler.cpp:632-786), including the Ziampras 2023
+    surf/mid/tot local-beta variants when configured."""
     omega_k = jnp.sqrt(constants.G * phys.hydro_center_mass / g.rb ** 3)
     beta_inv = 1.0 / phys.cooling_beta
     if phys.cooling_beta_ramp_up > 0.0:
         t = current_time
         ramp = 1.0 - jnp.exp(-(2.0 * t / phys.cooling_beta_ramp_up) ** 2)
         beta_inv = beta_inv * ramp
+    if phys.cooling_beta_method != "no" and temperature is not None:
+        beta_inv = _ziampras_beta_inv(
+            phys, constants, g, sigma, energy, temperature, kappa,
+            scale_height, omega_k, pvte_vals)
     delta_e = energy
     if phys.cooling_beta_reference:
         delta_e = delta_e - energy0_ref / sigma0_ref * sigma
@@ -195,8 +238,9 @@ def substep3(phys: Physics, constants, g: Geom, sigma, energy, vrad, vaz,
     nr = g.nrad
 
     needs_tau = phys.cooling_surface_enabled or phys.heating_star \
-        or phys.cooling_scurve_enabled
+        or phys.cooling_scurve_enabled or phys.cooling_beta_method != "no"
     temperature = None
+    _kappa = None
     if needs_tau and units is not None:
         from . import eos as eos_mod
         temperature = eos_mod.temperature(phys, constants, sigma, energy,
@@ -206,8 +250,10 @@ def substep3(phys: Physics, constants, g: Geom, sigma, energy, vrad, vaz,
 
     qminus = jnp.zeros_like(energy)
     if phys.cooling_beta_enabled:
-        qminus = qminus + beta_cooling(phys, constants, g, sigma, energy,
-                                       sigma0_ref, energy0_ref, current_time)
+        qminus = qminus + beta_cooling(
+            phys, constants, g, sigma, energy, sigma0_ref, energy0_ref,
+            current_time, temperature=temperature, kappa=_kappa,
+            scale_height=scale_height, pvte_vals=pvte_vals)
     if phys.cooling_surface_enabled and temperature is not None:
         qminus = qminus + thermal_cooling(phys, constants, temperature,
                                           tau_eff)

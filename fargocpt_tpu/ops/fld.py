@@ -37,6 +37,7 @@ class FLDConfig:
     tolerance: float = 1e-10
     max_iterations: int = 50000
     omega: float = 1.5
+    auto_omega: bool = False          # RadiativeDiffusionAutoOmega
     inner_boundary: str = "none"      # none | zeroflux | zerogradient | outflow
     outer_boundary: str = "none"
     constant_fluxlimiter: bool = False
@@ -145,12 +146,33 @@ class FLDSolver:
         B = -A - C - D - E + 1.0
         return A, B, C, D, E
 
-    def solve(self, T, Told, A, B, C, D, E):
+    def initial_sor_state(self, dtype):
+        """[omega, direction, old_iterations] carried across hydro steps
+        when RadiativeDiffusionAutoOmega is on (the reference keeps these
+        as function statics, src/fld.cpp:698-700)."""
+        return jnp.asarray([self.config.omega, 1.0,
+                            float(self.config.max_iterations)], dtype)
+
+    def adapt_omega(self, sor_state, n_iter):
+        """Post-solve omega walk: reverse direction whenever the iteration
+        count worsened, step omega by 0.01, clamp to [1.0, 1.99]
+        (reference src/fld.cpp:773-792)."""
+        omega, direction, old_iter = sor_state[0], sor_state[1], sor_state[2]
+        it = n_iter.astype(sor_state.dtype)
+        direction = jnp.where(old_iter < it, -direction, direction)
+        omega = omega + direction * 0.01
+        direction = jnp.where(omega >= 2.0, -1.0,
+                              jnp.where(omega <= 1.0, 1.0, direction))
+        omega = jnp.clip(omega, 1.0, 1.99)
+        return jnp.stack([omega, direction, it])
+
+    def solve(self, T, Told, A, B, C, D, E, omega=None):
         """Red-black SOR with the reference's convergence criterion
         (change of the cell-averaged update norm < tolerance,
         src/fld.cpp:694-790)."""
         cfg = self.config
-        omega = cfg.omega
+        if omega is None:
+            omega = cfg.omega
         nr = self.geometry.nrad
         tol = cfg.tolerance
         dtype = T.dtype
@@ -190,9 +212,12 @@ class FLDSolver:
         return T, n_iter
 
     # ------------------------------------------------------------------
-    def radiative_diffusion(self, g: Geom, sigma, energy, scale_height, dt):
+    def radiative_diffusion(self, g: Geom, sigma, energy, scale_height, dt,
+                            sor_state=None):
         """Full FLD substep on the energy field
-        (reference src/fld.cpp:965-1019)."""
+        (reference src/fld.cpp:965-1019). With ``sor_state`` (auto-omega
+        enabled) the SOR relaxation factor is taken from and walked in the
+        carried state; returns (energy, n_iter, new_sor_state)."""
         phys, constants = self.phys, self.constants
         nr = g.nrad
         gam = phys.adiabatic_index
@@ -203,9 +228,12 @@ class FLDSolver:
         T = self._temperature_boundary(T)
         ka, kb = self.diffusion_coefficients(g, rho, T)
         A, B, C, D, E = self.matrix_elements(g, rho, ka, kb, dt)
-        T_new, n_iter = self.solve(T, T, A, B, C, D, E)
+        omega = sor_state[0] if sor_state is not None else None
+        T_new, n_iter = self.solve(T, T, A, B, C, D, E, omega=omega)
+        if sor_state is not None:
+            sor_state = self.adapt_omega(sor_state, n_iter)
 
         # update energy rows 1..NR-2 (reference :804-817)
         e_new = c_v * T_new * sigma
         energy = set_rows(energy, e_new, 1, nr - 1)
-        return energy, n_iter
+        return energy, n_iter, sor_state

@@ -28,10 +28,8 @@ from ..params import Physics
 from .common import Geom
 
 
-def kernel_host(phys: Physics, geometry: Geometry, aspect_ratio: float
-                ) -> tuple[np.ndarray, np.ndarray]:
-    """K_r, K_t on the doubled grid (host numpy; reference
-    src/selfgravity.cpp:418-519 ``compute_FFT_kernel``)."""
+def _doubled_grid_uth(geometry: Geometry):
+    """(u, theta) columns of the radially doubled kernel grid."""
     nr, naz = geometry.nrad, geometry.naz
     radii = geometry.radii_ext
     # u on the doubled grid: mirrored negative branch for i >= NR
@@ -40,24 +38,40 @@ def kernel_host(phys: Physics, geometry: Geometry, aspect_ratio: float
                  np.log(radii[np.minimum(i, nr)] / radii[0]),
                  -np.log(radii[np.minimum(2 * nr - i, nr)] / radii[0]))
     theta = geometry.dphi * np.arange(naz)
-    U, TH = u[:, None], theta[None, :]
+    return u[:, None], theta[None, :]
 
+
+def _kernel_bs(phys: Physics, U, TH, aspect_ratio, xp):
+    """K_r, K_t for the 'basic' / 'symmetric' smoothing modes; ``xp`` is
+    numpy (host build) or jax.numpy (traced in-run rebuild with a traced
+    aspect ratio, reference src/selfgravity.cpp:186-214 update_kernel)."""
     mode = phys.self_gravity_mode
     if mode in ("basic", "b"):
         eps = phys.thickness_smoothing_sg * aspect_ratio
-        denom = (eps * eps * np.exp(U)
-                 + 2.0 * (np.cosh(U) - np.cos(TH))) ** -1.5
-        k_r = (1.0 + eps * eps - np.cos(TH) * np.exp(-U)) * denom
-        k_t = np.sin(TH) * denom
-    elif mode in ("symmetric", "s"):
+        denom = (eps * eps * xp.exp(U)
+                 + 2.0 * (xp.cosh(U) - xp.cos(TH))) ** -1.5
+        k_r = (1.0 + eps * eps - xp.cos(TH) * xp.exp(-U)) * denom
+        k_t = xp.sin(TH) * denom
+    else:
         # Moldenhauer 2018 fits (reference :171-179)
         lam_sq = (0.4571 * aspect_ratio
-                  + 0.6737 * np.sqrt(aspect_ratio)) ** 2
+                  + 0.6737 * xp.sqrt(aspect_ratio)) ** 2
         chi_sq = ((-0.7543 * aspect_ratio + 0.6472) * aspect_ratio) ** 2
-        denom = (2.0 * (np.cosh(U) - np.cos(TH))
-                 + lam_sq * (np.exp(U) + np.exp(-U) - 2.0) + chi_sq) ** -1.5
-        k_r = (1.0 - np.cos(TH) * np.exp(-U)) * denom
-        k_t = np.sin(TH) * denom
+        denom = (2.0 * (xp.cosh(U) - xp.cos(TH))
+                 + lam_sq * (xp.exp(U) + xp.exp(-U) - 2.0) + chi_sq) ** -1.5
+        k_r = (1.0 - xp.cos(TH) * xp.exp(-U)) * denom
+        k_t = xp.sin(TH) * denom
+    return k_r, k_t
+
+
+def kernel_host(phys: Physics, geometry: Geometry, aspect_ratio: float
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """K_r, K_t on the doubled grid (host numpy; reference
+    src/selfgravity.cpp:418-519 ``compute_FFT_kernel``)."""
+    U, TH = _doubled_grid_uth(geometry)
+    mode = phys.self_gravity_mode
+    if mode in ("basic", "b", "symmetric", "s"):
+        k_r, k_t = _kernel_bs(phys, U, TH, aspect_ratio, np)
     elif mode in ("besselkernel", "bk"):
         from scipy.special import kv
         h = aspect_ratio
@@ -120,18 +134,87 @@ class SelfGravity:
         self.k_r_hat = jnp.asarray(np.fft.rfft2(k_r))
         self.k_t_hat = jnp.asarray(np.fft.rfft2(k_t))
 
-    def accelerations(self, sigma: jax.Array):
-        """g_r, g_phi on cell centers (reference :321-700)."""
+    # ------- in-run kernel update (reference selfgravity.cpp:186-214) -----
+    def supports_in_run_update(self) -> bool:
+        """The razor-thin besselkernel is the only mode whose kernel needs
+        scipy special functions (and it is rebuilt rarely in practice --
+        the reference rebuilds it from the same aspect-ratio trigger, but
+        its shape dependence enters only through d^2 ~ 1/h^2)."""
+        return self.phys.self_gravity_mode in ("basic", "b",
+                                               "symmetric", "s")
+
+    def initial_kernel_state(self):
+        """Carried [k_r_hat, k_t_hat, last_aspect_ratio, since_last]
+        mirroring the reference's function statics (:192-210: counter
+        starts at N so the first compute refreshes, last aspect ratio 0
+        so the threshold test passes)."""
+        n = self.phys.sg_kernel_update_interval
+        return (self.k_r_hat, self.k_t_hat,
+                jnp.zeros((), self.dtype),
+                jnp.asarray(n, jnp.int32))
+
+    def update_kernel(self, kstate, sigma, scale_height, g: Geom,
+                      row_w=None, axis_name=None):
+        """Every Nth call, if the mass-averaged aspect ratio moved by more
+        than the threshold, rebuild the kernel spectra in-graph
+        (reference :186-214 update_kernel + quantities.cpp:107-140
+        gas_allreduce_mass_average)."""
+        k_r_hat, k_t_hat, last_ar, since = kstate
+        phys = self.phys
+        n_every = phys.sg_kernel_update_interval
+
+        inside = g.rb <= self.geometry.rmax            # (NR,1)
+        w = sigma * g.surf
+        if row_w is not None:
+            w = w * row_w
+        w = jnp.where(inside, w, 0.0)
+        ar = scale_height * g.inv_rb
+        mass = jnp.sum(w)
+        q = jnp.sum(ar * w)
+        if axis_name is not None:
+            mass = jax.lax.psum(mass, axis_name)
+            q = jax.lax.psum(q, axis_name)
+        ar_avg = q / mass
+        # safety net (reference :158-161)
+        ar_avg = jnp.where(ar_avg == 0.0, phys.aspectratio_ref, ar_avg)
+
+        due = since >= n_every - 1
+        since = jnp.where(due, 0, since + 1)
+        changed = jnp.abs(last_ar - ar_avg)             >= phys.sg_kernel_aspectratio_threshold
+        rebuild = due & changed
+
+        U, TH = _doubled_grid_uth(self.geometry)
+        U = jnp.asarray(U, self.dtype)
+        TH = jnp.asarray(TH, self.dtype)
+
+        def do_rebuild(_):
+            k_r, k_t = _kernel_bs(phys, U, TH, ar_avg, jnp)
+            return (jnp.fft.rfft2(k_r).astype(k_r_hat.dtype),
+                    jnp.fft.rfft2(k_t).astype(k_t_hat.dtype), ar_avg)
+
+        def keep(_):
+            return (k_r_hat, k_t_hat, last_ar)
+
+        k_r_new, k_t_new, last_ar = jax.lax.cond(rebuild, do_rebuild, keep,
+                                                 None)
+        return (k_r_new, k_t_new, last_ar, since)
+
+    def accelerations(self, sigma: jax.Array, spectra=None):
+        """g_r, g_phi on cell centers (reference :321-700). ``spectra``
+        optionally overrides the precomputed kernel spectra with carried
+        in-run-updated ones."""
         nr, naz = self.geometry.nrad, self.geometry.naz
         G = self.constants.G
+        k_r_hat, k_t_hat = spectra if spectra is not None \
+            else (self.k_r_hat, self.k_t_hat)
         s_r = sigma * self.scale_half
         s_t = sigma * self.scale_3half
         pad = jnp.zeros_like(sigma)
         s_r = jnp.concatenate([s_r, pad], axis=0)           # (2NR, NAZ)
         s_t = jnp.concatenate([s_t, pad], axis=0)
-        acc_r = jnp.fft.irfft2(self.k_r_hat * jnp.fft.rfft2(s_r),
+        acc_r = jnp.fft.irfft2(k_r_hat * jnp.fft.rfft2(s_r),
                                s=(2 * nr, naz))
-        acc_t = jnp.fft.irfft2(self.k_t_hat * jnp.fft.rfft2(s_t),
+        acc_t = jnp.fft.irfft2(k_t_hat * jnp.fft.rfft2(s_t),
                                s=(2 * nr, naz))
         norm = -G * self.r_step * self.t_step
         g_r = (norm * acc_r[:nr]).astype(sigma.dtype) / self.scale_half

@@ -84,6 +84,8 @@ class Physics:
     cooling_beta_reference: bool = False
     cooling_beta_model: bool = False
     cooling_beta_floor: bool = False
+    # Ziampras et al. 2023 local beta: "no" | "surf" | "mid" | "tot"
+    cooling_beta_method: str = "no"
     cooling_surface_enabled: bool = False
     surface_cooling_factor: float = 1.0
     cooling_scurve_enabled: bool = False
@@ -100,12 +102,16 @@ class Physics:
     fld_tolerance: float = 1e-10
     fld_max_iterations: int = 50000
     fld_omega: float = 1.5
+    fld_auto_omega: bool = False
     fld_inner_boundary: str = "none"
     fld_outer_boundary: str = "none"
 
     # self-gravity
     self_gravity: bool = False
     self_gravity_mode: str = "besselkernel"
+    # kernel refresh cadence (reference src/parameters.cpp:715-716)
+    sg_kernel_update_interval: int = 20
+    sg_kernel_aspectratio_threshold: float = 0.001
     thickness_smoothing_sg: float = 0.6
 
     # gravity smoothing
@@ -411,7 +417,15 @@ def physics_from_config(cfg: Config, un: u.Units, dtype: str = "float64") -> Phy
         heating_viscous=cfg.get_flag("HeatingViscous", True),
         heating_viscous_factor=cfg.get("HeatingViscousFactor", 1.0, type=float),
         heating_star=cfg.get_flag("HeatingStar", False),
-        cooling_beta_enabled=cfg.get_flag("CoolingBetaLocal", False),
+        # the reference reads CoolingBetaLocal then unconditionally
+        # overwrites the flag with CoolingBetaZiampras2023
+        # (src/parameters.cpp:449-451, an upstream quirk); the sane intent
+        # -- either key enables beta cooling -- is used here
+        cooling_beta_enabled=(cfg.get_flag("CoolingBetaLocal", False)
+                              or cfg.get_flag("CoolingBetaZiampras2023",
+                                              False)),
+        cooling_beta_method=cfg.get_lowercase(
+            "CoolingBetaZiampras2023Method", "no"),
         cooling_beta=cfg.get("CoolingBeta", 1.0, type=float),
         cooling_beta_ramp_up=cfg.get("CoolingBetaRampUp", 0.0, dim=u.DIM_TIME, type=float),
         cooling_beta_reference=(beta_ref == "reference"),
@@ -433,12 +447,17 @@ def physics_from_config(cfg: Config, un: u.Units, dtype: str = "float64") -> Phy
         fld_max_iterations=cfg.get("RadiativeDiffusionMaxIterations", 50000,
                                    type=int),
         fld_omega=cfg.get("RadiativeDiffusionOmega", 1.5, type=float),
+        fld_auto_omega=cfg.get_flag("RadiativeDiffusionAutoOmega", False),
         fld_inner_boundary=cfg.get_lowercase(
             "RadiativeDiffusionInnerBoundary", "none"),
         fld_outer_boundary=cfg.get_lowercase(
             "RadiativeDiffusionOuterBoundary", "none"),
         self_gravity=cfg.get_flag("SelfGravity", False),
         self_gravity_mode=cfg.get_lowercase("SelfGravityMode", "besselkernel"),
+        sg_kernel_update_interval=cfg.get(
+            "SelfGravityStepsBetweenKernelUpdate", 20, type=int),
+        sg_kernel_aspectratio_threshold=cfg.get(
+            "SelfGravityAspectRatioChangeThreshold", 0.001, type=float),
         thickness_smoothing=cfg.get("ThicknessSmoothing", 0.6, type=float),
         thickness_smoothing_sg=cfg.get("ThicknessSmoothingSG",
                                        cfg.get("ThicknessSmoothing", 0.6, type=float),

@@ -87,6 +87,13 @@ class SystemState:
     corot_ref_y: jax.Array = None
     particles: object = None  # ParticleState when dust is enabled
     monitor_acc: MonitorAccum = None  # when any monitor grid is enabled
+    # [omega, direction, old_iterations] for the FLD SOR auto-omega walk
+    # (reference src/fld.cpp:698-700 function statics); None unless
+    # RadiativeDiffusionAutoOmega is enabled
+    fld_sor: jax.Array = None
+    # (k_r_hat, k_t_hat, last_aspect_ratio, since_last) for the adiabatic
+    # self-gravity kernel refresh cadence (reference selfgravity.cpp:186-214)
+    sg_kernel: tuple = None
 
     def replace(self, **kw) -> "SystemState":
         from dataclasses import replace as _replace
@@ -198,6 +205,7 @@ class HydroStep:
                 FLDConfig(tolerance=phys.fld_tolerance,
                           max_iterations=phys.fld_max_iterations,
                           omega=phys.fld_omega,
+                          auto_omega=phys.fld_auto_omega,
                           inner_boundary=phys.fld_inner_boundary,
                           outer_boundary=phys.fld_outer_boundary), dtype)
         else:
@@ -406,9 +414,14 @@ class HydroStep:
         dmp_delta = jnp.zeros((4,), self.dtype) if want_damping_delta \
             else None
         if final and phys.damping and self.damping is not None:
+            dmp_nu = None
+            if phys.damping_vradial_inner == "viscous":
+                cs_d, _, h_d = self.derived(sigma, energy)
+                dmp_nu = self.viscosity_grid(cs_d, h_d)
             sig_before = sigma
             sigma, vrad, vaz, energy = self.damping.apply(
-                phys, sigma, vrad, vaz, energy, self.ref_values, dt)
+                phys, sigma, vrad, vaz, energy, self.ref_values, dt,
+                nu=dmp_nu)
             if want_damping_delta:
                 dm = (sigma - sig_before) * self.g.surf
                 din = jnp.where(self.damping.in_b, dm, 0.0)
@@ -494,7 +507,7 @@ class HydroStep:
         return vrad, vaz, energy
 
     def _substeps(self, sigma, vrad, vaz, energy, indirect, time, dt,
-                  omega_frame, bodies):
+                  omega_frame, bodies, sg_kernel=None):
         """Source + viscosity + energy substeps (the 'kick' part).
         ``indirect`` is the (x, y) indirect-term pair entering the gas
         potential (reference src/simulation.cpp:168-176)."""
@@ -513,9 +526,16 @@ class HydroStep:
         cs, press, h = self.derived(sigma, energy, bodies)
         pv = self.pvte_vals(sigma, energy)
 
-        # self-gravity kick first (reference src/SourceEuler.cpp:438-441)
+        # self-gravity kick first (reference src/SourceEuler.cpp:438-441);
+        # adiabatic runs refresh the kernel on the reference's cadence
         if self.selfgravity is not None:
-            g_r, g_t = self.selfgravity.accelerations(sigma)
+            spectra = None
+            if sg_kernel is not None:
+                sg_kernel = self.selfgravity.update_kernel(
+                    sg_kernel, sigma, h, g, row_w=self._own_int_col,
+                    axis_name=self._axis_name)
+                spectra = (sg_kernel[0], sg_kernel[1])
+            g_r, g_t = self.selfgravity.accelerations(sigma, spectra=spectra)
             vrad, vaz = self.selfgravity.kick(g, vrad, vaz, g_r, g_t, dt)
 
         if self._fuse_sources and pv is None:
@@ -573,7 +593,7 @@ class HydroStep:
                 units=self.units, irradiation_ctx=self.irradiation_ctx(bodies),
                 pvte_vals=self.pvte_vals(sigma, energy))
         return (sigma, vrad, vaz, energy, qplus, qminus,
-                ecc_deltas if track_ecc else None)
+                ecc_deltas if track_ecc else None, sg_kernel)
 
     def _nbody_feedback_kicks(self, sigma, h, nb, time, dt,
                               nb_indirect=None):
@@ -609,22 +629,22 @@ class HydroStep:
         return nb, (it_disk_x, it_disk_y), (it_nb_x, it_nb_y)
 
     def _gas_kick(self, sigma, vrad, vaz, energy, nb, indirect, time, dt,
-                  omega_frame):
+                  omega_frame, sor=None, sg_kernel=None):
         """Potential + source/viscosity/energy kicks over ``dt``."""
         phys, constants, g = self.phys, self.constants, self.g
         bodies = self.bodies_on_grid(nb, time)
         (sigma, vrad, vaz, energy, qplus, qminus,
-         _ecc_deltas) = self._substeps(
+         _ecc_deltas, sg_kernel) = self._substeps(
             sigma, vrad, vaz, energy, indirect, time, dt, omega_frame,
-            bodies)
+            bodies, sg_kernel=sg_kernel)
         sigma, vrad, vaz, energy = jax.lax.optimization_barrier(
             (sigma, vrad, vaz, energy))
         if self.fld is not None:
             _, _, h_now = self.derived(sigma, energy)
-            energy, _n_iter = self.fld.radiative_diffusion(
-                g, sigma, energy, h_now, dt)
+            energy, _n_iter, sor = self.fld.radiative_diffusion(
+                g, sigma, energy, h_now, dt, sor_state=sor)
             energy = eos.energy_floor_ceiling(phys, constants, sigma, energy)
-        return sigma, vrad, vaz, energy, qplus, qminus
+        return sigma, vrad, vaz, energy, qplus, qminus, sor, sg_kernel
 
     def _step_leapfrog_impl(self, state: SystemState, time, dt):
         """Leapfrog step: gas kick-drift-kick, bodies drift-kick-drift
@@ -677,9 +697,12 @@ class HydroStep:
 
         if phys.calculate_disk:
             # gas kick 1/2 + drift 1/1
-            sigma, vrad, vaz, energy, qplus, qminus = self._gas_kick(
+            sor = state.fld_sor
+            sg_kernel = state.sg_kernel
+            (sigma, vrad, vaz, energy, qplus, qminus, sor,
+             sg_kernel) = self._gas_kick(
                 sigma, vrad, vaz, energy, nb, indirect, time, hdt,
-                omega_frame)
+                omega_frame, sor=sor, sg_kernel=sg_kernel)
             sigma, vrad, vaz, energy = self._apply_bcs(
                 sigma, vrad, vaz, energy, omega_frame)
             sigma, vrad, vaz, energy, _mass_flux = transport.transport(
@@ -696,11 +719,14 @@ class HydroStep:
                 sigma, h0, nb, mid_time, hdt)
             indirect = it_nb if not phys.indirect_term_disk_on_disk else \
                 (it_disk[0] + it_nb[0], it_disk[1] + it_nb[1])
-            sigma, vrad, vaz, energy, qplus, qminus = self._gas_kick(
+            (sigma, vrad, vaz, energy, qplus, qminus, sor,
+             sg_kernel) = self._gas_kick(
                 sigma, vrad, vaz, energy, nb, indirect, mid_time, hdt,
-                omega_frame)
+                omega_frame, sor=sor, sg_kernel=sg_kernel)
         else:
             qplus, qminus = state.qplus, state.qminus
+            sor = state.fld_sor
+            sg_kernel = state.sg_kernel
 
         if phys.integrate_particles and particles is not None:
             particles = self._integrate_particles(
@@ -755,7 +781,7 @@ class HydroStep:
             fields=FieldState(sigma=sigma, vrad=vrad, vaz=vaz, energy=energy),
             qplus=qplus, qminus=qminus, nbody=nb, omega_frame=omega_frame,
             frame_angle=frame_angle, particles=particles,
-            monitor_acc=monitor_acc)
+            monitor_acc=monitor_acc, fld_sor=sor, sg_kernel=sg_kernel)
 
     def _rescale_to_initial_mass(self, sigma):
         """KeepDiskMassConstant: rescale Sigma so the active-disk mass stays
@@ -925,6 +951,7 @@ class HydroStep:
             pot_it = (it_nb_x, it_nb_y)
 
         # --- dust particles (reference :178-182 particles::integrate) ---
+        sor = state.fld_sor
         particles = state.particles
         if phys.integrate_particles and particles is not None:
             from .particles import dust
@@ -962,11 +989,12 @@ class HydroStep:
         frame_angle = state.frame_angle + omega_frame * dt
 
         # --- gas substeps ---
+        sg_kernel = state.sg_kernel
         if phys.calculate_disk:
             (sigma, vrad, vaz, energy, qplus, qminus,
-             _ecc_deltas) = self._substeps(
+             _ecc_deltas, sg_kernel) = self._substeps(
                 sigma, vrad, vaz, energy, pot_it, time, dt, omega_frame,
-                bodies)
+                bodies, sg_kernel=sg_kernel)
             # compile-time guard: stop XLA's algebraic simplifier from
             # chasing simplifications across substep boundaries — the long
             # chains of azimuthal rolls (concat-of-slices) otherwise blow
@@ -977,8 +1005,8 @@ class HydroStep:
             # FLD radiative diffusion (reference src/simulation.cpp:203-206)
             if self.fld is not None:
                 _, _, h_now = self.derived(sigma, energy)
-                energy, _n_iter = self.fld.radiative_diffusion(
-                    g, sigma, energy, h_now, dt)
+                energy, _n_iter, sor = self.fld.radiative_diffusion(
+                    g, sigma, energy, h_now, dt, sor_state=sor)
                 energy = eos.energy_floor_ceiling(phys, constants, sigma,
                                                   energy)
 
@@ -1073,7 +1101,7 @@ class HydroStep:
             fields=FieldState(sigma=sigma, vrad=vrad, vaz=vaz, energy=energy),
             qplus=qplus, qminus=qminus, nbody=nb, omega_frame=omega_frame,
             frame_angle=frame_angle, particles=particles,
-            monitor_acc=monitor_acc)
+            monitor_acc=monitor_acc, fld_sor=sor, sg_kernel=sg_kernel)
 
     def _cfl_impl(self, state: SystemState):
         phys = self.phys
@@ -1196,12 +1224,20 @@ class HydroStep:
             x, y = float(nbody.x[k]), float(nbody.y[k])
             vx, vy = float(nbody.vx[k]), float(nbody.vy[k])
             omega0 = (x * vy - y * vx) / max(x * x + y * y, 1e-300)
+        fld_sor = None
+        if self.fld is not None and self.fld.config.auto_omega:
+            fld_sor = self.fld.initial_sor_state(self.dtype)
+        sg_kernel = None
+        if (self.selfgravity is not None and phys.is_adiabatic
+                and self.selfgravity.supports_in_run_update()):
+            sg_kernel = self.selfgravity.initial_kernel_state()
         return SystemState(
             fields=fields, qplus=qplus, qminus=qminus, nbody=nbody,
             omega_frame=jnp.asarray(omega0, self.dtype),
             frame_angle=jnp.zeros((), self.dtype),
             corot_ref_x=nbody.x[k], corot_ref_y=nbody.y[k],
-            monitor_acc=self.initial_monitor_acc())
+            monitor_acc=self.initial_monitor_acc(), fld_sor=fld_sor,
+            sg_kernel=sg_kernel)
 
     def disk_torques(self, state: SystemState, time=0.0):
         """Specific torque of the gas disk on each body,
