@@ -155,6 +155,15 @@ def main(argv=None):
 
     s = sim.settings
     total_monitors = s.n_snapshots * s.n_monitor
+    # fresh starts grow last_dt twice before the loop (reference
+    # main.cpp:117 + simulation.cpp:467); restarts were primed by
+    # restore_simulation
+    if not sim._dt_primed:
+        sim.calculate_time_step()
+        sim.calculate_time_step()
+        sim._dt_primed = True
+    import time
+    _log_state = {"steps": 0, "wall": time.time()}
     sim._handle_outputs(initial=True)
     while sim.n_monitor < total_monitors:
         if args.max_iterations is not None \
@@ -186,8 +195,22 @@ def main(argv=None):
         if autosave.exists() and sim.n_monitor % s.n_monitor == 0:
             shutil.rmtree(autosave, ignore_errors=True)
         rate = n / max(sim.monitor_stats["walltime"], 1e-9)
-        print(f"monitor {sim.n_monitor}/{total_monitors}  t={sim.time:.6g}  "
-              f"steps={sim.n_hydro_iter}  {rate:.1f} steps/s")
+        # runtime-log throttle (reference src/logging.cpp:214-235
+        # LogAfterSteps / LogAfterRealSeconds); this rebuild can only log
+        # at monitor boundaries, so the keys set minimum gaps between lines
+        log_now = True
+        if sim.phys.log_after_steps > 0:
+            log_now = (sim.n_hydro_iter - _log_state["steps"]
+                       >= sim.phys.log_after_steps)
+        elif sim.phys.log_after_real_seconds > 0.0:
+            log_now = (time.time() - _log_state["wall"]
+                       >= sim.phys.log_after_real_seconds)
+        if log_now or sim.n_monitor == total_monitors:
+            _log_state["steps"] = sim.n_hydro_iter
+            _log_state["wall"] = time.time()
+            print(f"monitor {sim.n_monitor}/{total_monitors}  "
+                  f"t={sim.time:.6g}  steps={sim.n_hydro_iter}  "
+                  f"{rate:.1f} steps/s")
     if args.profile:
         jax.profiler.stop_trace()
         print(f"profiler trace written to {args.profile}")

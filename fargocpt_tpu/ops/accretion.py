@@ -146,7 +146,8 @@ def accrete_onto_planets(phys: Physics, constants, g: Geom, nb, bodies,
             d_px = jax.lax.psum(d_px, axis_name)
             d_py = jax.lax.psum(d_py, axis_name)
 
-        if phys.disk_feedback:
+        if phys.disk_feedback or phys.accrete_without_disk_feedback:
+            # reference accretion.cpp:207,319,466
             m_old = new_mass[k]
             m_new = m_old + d_m
             new_vx = new_vx.at[k].set((m_old * new_vx[k] + d_px) / m_new)

@@ -67,7 +67,13 @@ def disk_on_body_accel(phys: Physics, constants, g: Geom,
     Returns (ax, ay) arrays of length n_bodies.
     """
     nr = g.nrad
-    cellmass = g.surf * sigma                      # (NR, NAZ)
+    sig = sigma
+    if phys.correct_disk_selfgravity:
+        # remove the axisymmetric background so the planet only feels the
+        # non-axisymmetric disk response (reference src/Force.cpp:64-66,
+        # default on when self-gravity is off, parameters.cpp:732)
+        sig = sigma - jnp.mean(sigma, axis=-1, keepdims=True)
+    cellmass = g.surf * sig                        # (NR, NAZ)
     # active rings only (radial_first_active..radial_active_size-1)
     axs, ays = [], []
     for k in range(n_bodies):
@@ -135,7 +141,7 @@ def indirect_term_nbody_predictor(constants, nb, n_center: int,
     the bodies forward by dt with the high-order integrator and read the
     effective frame-center acceleration from the COM velocity change. The
     reference uses its REBOUND/IAS15 copy for the prediction; here the
-    same RK4 sub-stepped integrator that advances the bodies serves as
+    same adaptive IAS15 integrator that advances the bodies serves as
     the predictor."""
     from ..nbody.system import integrate
     if n_center >= n_bodies or n_bodies == 1:

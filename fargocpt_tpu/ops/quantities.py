@@ -234,7 +234,8 @@ def monitor_quantities(phys: Physics, constants, g: Geom, sigma, vrad, vaz,
     """All scalars for one Quantities.dat row, as a dict of 0-d arrays."""
     nr = g.nrad
     mass = total_mass(phys, g, sigma, radius_limit)
-    radius = disk_radius(phys, g, sigma, mass)
+    radius = disk_radius(phys, g, sigma, mass,
+                         frac=phys.disk_radius_mass_fraction)
     am = angular_momentum(phys, g, sigma, vaz, omega_frame, radius_limit)
     eint = internal_energy(phys, g, energy, radius_limit)
     e_rad, e_az = kinetic_energies(phys, g, sigma, vrad, vaz, omega_frame,

@@ -234,9 +234,12 @@ class OutputWriter:
             temp = sim.phys.mu / sim.constants.R * (gam - 1.0) \
                 * np.asarray(f.energy) / np.asarray(f.sigma)
             w(sdir / "Temperature.dat", temp)
-        # Q grids for bitwise-exact restart (reference src/restart.cpp:73-90)
-        w(sdir / "Qplus.dat", np.asarray(sim.state.qplus))
-        w(sdir / "Qminus.dat", np.asarray(sim.state.qminus))
+        # Q grids for bitwise-exact restart (reference src/restart.cpp:73-90,
+        # written only when BitwiseExactRestarting is on and the run is not
+        # locally isothermal, src/output.cpp:259)
+        if sim.phys.bitwise_exact_restarting and sim.phys.is_adiabatic:
+            w(sdir / "Qplus.dat", np.asarray(sim.state.qplus))
+            w(sdir / "Qminus.dat", np.asarray(sim.state.qminus))
 
         # 1-D radial profiles: interleaved [radius, azi-avg, min, max]
         # per ring (reference src/polargrid.cpp:187-260 write1D)
@@ -271,15 +274,25 @@ class OutputWriter:
         acc = sim.state.monitor_acc
         if acc is not None:
             denom = sim.settings.n_monitor * sim.settings.monitor_timestep
-            names = {"massflow": "MassFlow", "t_adv": "AdvectionTorque",
-                     "t_visc": "ViscousTorque",
-                     "t_grav": "GravitationalTorqueNotIntegrated"}
+            # alpha means keep the reference normalization: accumulated
+            # alpha*dt/monitor_timestep, written raw and cleared
+            # (quantities.cpp:991-996)
+            names = {"massflow": ("MassFlow", denom),
+                     "t_adv": ("AdvectionTorque", denom),
+                     "t_visc": ("ViscousTorque", denom),
+                     "t_grav": ("GravitationalTorqueNotIntegrated", denom),
+                     "alpha_grav_mean": (
+                         "alpha_grav_mean",
+                         sim.settings.monitor_timestep),
+                     "alpha_reynolds_mean": (
+                         "alpha_reynolds_mean",
+                         sim.settings.monitor_timestep)}
             kw = {}
-            for attr, fname in names.items():
+            for attr, (fname, dv) in names.items():
                 grid = getattr(acc, attr)
                 if grid is None:
                     continue
-                arr = np.asarray(grid) / denom
+                arr = np.asarray(grid) / dv
                 w(sdir / f"{fname}.dat", arr)
                 self._write_1d(sdir, fname, arr, sim.geometry.rmed)
                 kw[attr] = jax.numpy.zeros_like(grid)
@@ -311,7 +324,8 @@ class OutputWriter:
                 [np.asarray(p.r), np.asarray(p.phi), np.asarray(p.r_dot),
                  np.asarray(p.phi_dot), np.asarray(p.size),
                  np.asarray(p.stokes),
-                 np.asarray(p.alive, np.float64)], axis=1)
+                 np.asarray(p.alive, np.float64),
+                 np.asarray(p.timestep), np.asarray(p.facold)], axis=1)
             w(sdir / "particles.bin", arr)
 
         # config provenance per snapshot (reference src/output.cpp:249-304
@@ -329,6 +343,9 @@ class OutputWriter:
 
     def _write_1d(self, sdir: Path, name: str, field2d: np.ndarray,
                   radius: np.ndarray):
+        # global 1-D switch (reference parameters.cpp:242 DoWrite1DFiles)
+        if not self.sim.phys.do_write_1d:
+            return
         out = np.empty((field2d.shape[0], 4), np.float64)
         out[:, 0] = radius[:field2d.shape[0]]
         out[:, 1] = field2d.mean(axis=1)
@@ -432,6 +449,22 @@ class OutputWriter:
             return jnp.broadcast_to(jnp.asarray(mu), f.sigma.shape)
         if name == "Alpha":
             return jnp.full_like(f.sigma, phys.viscous_alpha)
+        if name == "AspectRatio":
+            return h * g.inv_rb
+        if name == "tau_eff":
+            # WriteVerticalOpticalDepth -> the tau_eff grid SubStep3 fills
+            # (reference src/SourceEuler.cpp:925, src/compute.cpp:41-87)
+            from .ops.energy import kappa_tau_eff
+            temp = eos.temperature(phys, constants, f.sigma, f.energy,
+                                   None, pv)
+            _, _, te = kappa_tau_eff(phys, constants, sim.units, f.sigma,
+                                     temp, h)
+            return te
+        if name == "visiblity":
+            # the reference registers VISIBILITY (with this spelling,
+            # src/data.cpp:262-263) but never fills it — zeros, as written
+            # by the reference binary
+            return jnp.zeros_like(f.sigma)
         raise KeyError(f"unknown snapshot field {name!r}")
 
     def _write_planet_torque_profiles(self, sdir: Path):
@@ -568,6 +601,37 @@ class OutputWriter:
             decc=jnp.zeros_like(acc.decc),
             dperi=jnp.zeros_like(acc.dperi)))
 
+    def _quantities_radius_limit(self) -> float:
+        """Integration radius for the Quantities.dat scalars (reference
+        src/parameters.cpp:549-556 + src/output.cpp:367-374): default
+        2*RMAX; values <= RMIN reset to the default at parse time;
+        negative means the primary's Roche lobe about the secondary."""
+        sim = self.sim
+        qrl = sim.phys.quantities_radius_limit
+        if qrl == 0.0:
+            return 2.0 * sim.geometry.rmax
+        if 0.0 < qrl <= sim.geometry.rmin:
+            return 2.0 * sim.geometry.rmax
+        if qrl < 0.0:
+            nb = sim.state.nbody
+            if nb.x.shape[0] < 2:
+                return 2.0 * sim.geometry.rmax
+            from .nbody import system as _ns
+            import jax.numpy as _jnp
+            x = np.asarray(nb.x)
+            y = np.asarray(nb.y)
+            m = np.asarray(nb.mass)
+            # primary's Roche fraction: run the L1 Newton with the roles
+            # swapped so body 1 plays the central object
+            swapped = nb.replace(
+                x=_jnp.asarray([x[1], x[0]]), y=_jnp.asarray([y[1], y[0]]),
+                vx=nb.vx[:2], vy=nb.vy[:2],
+                mass=_jnp.asarray([m[1], m[0]]))
+            frac = float(_ns.dimensionless_roche_radius(swapped)[1])
+            dist = float(np.hypot(x[1] - x[0], y[1] - y[0]))
+            return frac * dist
+        return float(qrl)
+
     def _compute_quantities(self):
         sim = self.sim
         st = sim.stepper
@@ -583,7 +647,7 @@ class OutputWriter:
             st.cell_x, st.cell_y, h, zero, zero)
         cos_phi = jnp.asarray(sim.geometry.cos_phi, st.dtype)[None, :]
         sin_phi = jnp.asarray(sim.geometry.sin_phi, st.dtype)[None, :]
-        radius_limit = 2.0 * sim.geometry.rmax
+        radius_limit = self._quantities_radius_limit()
         vals = quant.monitor_quantities(
             sim.phys, sim.constants, st.g, f.sigma, f.vrad, f.vaz, f.energy,
             pot, sim.state.qplus, sim.state.qminus, sim.state.omega_frame,
@@ -763,16 +827,22 @@ def restore_simulation(sim, outdir: str | Path, snapshot_id: str | int):
                 rof_mdot=jnp.asarray(vals[2], dt)))
     # dust particles (reference src/particles/particles.cpp:797 restart)
     if (sdir / "particles.bin").exists() and sim.state.particles is not None:
-        arr = np.fromfile(sdir / "particles.bin",
-                          np.float64).reshape(-1, 7)
+        raw = np.fromfile(sdir / "particles.bin", np.float64)
+        ncol = 9 if raw.size % 9 == 0 else 7   # 7 = pre-round-2 snapshots
+        arr = raw.reshape(-1, ncol)
         p = sim.state.particles
+        n = arr.shape[0]
         sim.state = sim.state.replace(particles=p.replace(
             r=jnp.asarray(arr[:, 0], dt), phi=jnp.asarray(arr[:, 1], dt),
             r_dot=jnp.asarray(arr[:, 2], dt),
             phi_dot=jnp.asarray(arr[:, 3], dt),
             size=jnp.asarray(arr[:, 4], dt),
             stokes=jnp.asarray(arr[:, 5], dt),
-            alive=jnp.asarray(arr[:, 6] > 0.5)))
+            alive=jnp.asarray(arr[:, 6] > 0.5),
+            timestep=jnp.asarray(arr[:, 7], dt) if ncol == 9
+            else jnp.zeros(n, dt),
+            facold=jnp.asarray(arr[:, 8], dt) if ncol == 9
+            else jnp.full(n, 1e-4, dt)))
     sim.state = sim.state.replace(
         fields=fields, nbody=nbody, qplus=qplus, qminus=qminus,
         omega_frame=jnp.asarray(misc["omega_frame"], dt),

@@ -230,7 +230,34 @@ class Physics:
 
     # monitoring / diagnostics (reference src/parameters.cpp:243-380)
     write_massflow: bool = False          # accumulate MassFlow grid
-    write_gas_torques: bool = False       # adv/visc/grav torque grids
+    write_gas_torques: bool = False
+    write_alpha_grav_mean: bool = False
+    write_alpha_reynolds_mean: bool = False
+    # scalar-quantities integration radius (reference parameters.cpp:549-556,
+    # QuantitiesRadiusLimit); 0.0 = unset -> 2*RMAX, negative -> primary
+    # Roche lobe (output.cpp:367-374)
+    quantities_radius_limit: float = 0.0
+    # fraction of total mass defining the disk radius diagnostic
+    # (reference parameters.cpp:546, Kley et al. 2008 use 0.99)
+    disk_radius_mass_fraction: float = 0.99
+    # planets gain accreted mass/momentum even without disk feedback
+    # (reference accretion.cpp:207,319,466)
+    accrete_without_disk_feedback: bool = False
+    # disk-on-planet force subtracts the axisymmetric background
+    # (reference Force.cpp:64-66; default YES when self-gravity is off,
+    # parameters.cpp:732)
+    correct_disk_selfgravity: bool = False
+    # Q+/Q- are only snapshotted when exact restarts are requested
+    # (reference output.cpp:259, parameters.cpp:342)
+    bitwise_exact_restarting: bool = False
+    # global switch for the 1-D radial profile outputs
+    # (reference parameters.cpp:242)
+    do_write_1d: bool = True
+    # runtime-log throttles (reference logging.cpp:214-235); this rebuild
+    # logs at monitor boundaries (the step loop is on-device), so these act
+    # as minimum gaps between monitor-boundary log lines
+    log_after_steps: int = 0
+    log_after_real_seconds: float = 600.0       # adv/visc/grav torque grids
     write_torques: bool = False           # per-planet torque 1D profiles
     write_lightcurves: bool = False
     lightcurves_radii: tuple = ()
@@ -453,6 +480,9 @@ def physics_from_config(cfg: Config, un: u.Units, dtype: str = "float64") -> Phy
         fld_outer_boundary=cfg.get_lowercase(
             "RadiativeDiffusionOuterBoundary", "none"),
         self_gravity=cfg.get_flag("SelfGravity", False),
+        correct_disk_selfgravity=cfg.get_flag(
+            "CorrectDiskSelfgravity",
+            not cfg.get_flag("SelfGravity", False)),
         self_gravity_mode=cfg.get_lowercase("SelfGravityMode", "besselkernel"),
         sg_kernel_update_interval=cfg.get(
             "SelfGravityStepsBetweenKernelUpdate", 20, type=int),
@@ -547,6 +577,21 @@ def physics_from_config(cfg: Config, un: u.Units, dtype: str = "float64") -> Phy
         centrifugal_balance=cfg.get_flag("CentrifugalBalance", False),
         write_massflow=cfg.get_flag("WriteMassFlow", False),
         write_gas_torques=cfg.get_flag("WriteGasTorques", False),
+        write_alpha_grav_mean=cfg.get_flag("WriteAlphaGravMean", False),
+        write_alpha_reynolds_mean=cfg.get_flag("WriteAlphaReynoldsMean",
+                                               False),
+        quantities_radius_limit=cfg.get("QuantitiesRadiusLimit", 0.0,
+                                        dim=u.DIM_LENGTH, type=float),
+        disk_radius_mass_fraction=cfg.get("DiskRadiusMassFraction", 0.99,
+                                          type=float),
+        accrete_without_disk_feedback=cfg.get_flag(
+            "AccreteWithoutDiskFeedback", False),
+        bitwise_exact_restarting=cfg.get_flag("BitwiseExactRestarting",
+                                              False),
+        do_write_1d=cfg.get_flag("DoWrite1DFiles", True),
+        log_after_steps=cfg.get("LogAfterSteps", 0, type=int),
+        log_after_real_seconds=cfg.get("LogAfterRealSeconds", 600.0,
+                                       type=float),
         write_torques=cfg.get_flag("WriteTorques", False),
         write_lightcurves=cfg.get_flag("WriteLightCurves", False),
         lightcurves_radii=_parse_lightcurve_radii(cfg),
@@ -598,6 +643,12 @@ _SNAPSHOT_FIELD_FLAGS = (
     ("WriteTauCool", ("TauCool",)),
     ("WriteAlphaGrav", ("AlphaGrav",)),
     ("WriteAlphaReynolds", ("AlphaReynolds",)),
+    ("WriteAspectratio", ("AspectRatio",)),
+    # tau_eff / visiblity match the reference grid names verbatim
+    # (src/data.cpp:250-263; 'visiblity' is the reference's own spelling
+    # and the grid is registered but never filled -> zeros)
+    ("WriteVerticalOpticalDepth", ("tau_eff",)),
+    ("WriteVisibility", ("visiblity",)),
     ("WriteViscosity", ("Viscosity",)),
     ("WriteDivV", ("DivV",)),
     ("WriteTReynolds", ("TReynolds",)),

@@ -44,6 +44,10 @@ class ParticleState:
     stokes: jax.Array     # diagnostic: tstop * Omega_K
     alive: jax.Array      # escape mask (dead particles are frozen)
     rng_key: jax.Array    # for diffusion kicks
+    # adaptive-integrator memory (reference src/particles/particle.h:5-40
+    # carries per-particle timestep/facold across hydro steps); 0 = unset
+    timestep: jax.Array = None
+    facold: jax.Array = None
 
     def replace(self, **kw) -> "ParticleState":
         from dataclasses import replace as _replace
@@ -63,6 +67,10 @@ class ParticleParams:
     disk_gravity: bool = False
     diffusion: bool = False
     integrator: str = "midpoint"  # midpoint | explicit
+    # integrate the adaptive RK45 in cartesian coordinates (reference
+    # parameters.cpp:854-932 CartesianParticles; forced off for the
+    # exponential-midpoint integrator, which is polar-only)
+    cartesian: bool = False
     min_escape_radius: float = 0.0
     max_escape_radius: float = 1e300
 
@@ -292,9 +300,9 @@ def integrate_rk45(phys: Physics, pp: ParticleParams, constants, units,
     TPU-native batched form: ONE ``lax.while_loop`` advances all particles
     together, each carrying its own adaptive sub-step, error estimate and
     Lund-stabilized step-size controller; particles that finish their dt
-    freeze until the last one converges. The controller restarts from
-    h = dt each hydro step instead of persisting per-particle (the first
-    trial self-adapts within one rejection)."""
+    freeze until the last one converges. The step size and error-history
+    factor persist per particle across hydro steps (reference
+    src/particles/particle.h timestep/facold)."""
     r0 = state.r
     # --- explicit drag kick over the full dt (reference :1428-1505) ---
     gas = sample_gas(geom_np, g, rho, temperature, vrad, vaz,
@@ -317,12 +325,28 @@ def integrate_rk45(phys: Physics, pp: ParticleParams, constants, units,
         phi_dot = phi_dot + dt * sg_t / r0
 
     # --- adaptive RK45 on the gravity-only equations of motion ---
-    def f(r, phi, rd, pd):
+    # polar state (r, phi, rdot, phidot) or, with CartesianParticles,
+    # (x, y, vx, vy) (reference particles.cpp:1680-1790: the same
+    # Cash-Karp machinery over cartesian coordinates, which has no
+    # coordinate singularity for plunging/eccentric particles)
+    def f_polar(r, phi, rd, pd):
         r_safe = jnp.maximum(r, 1e-300)
         ag_r, l_dot = gravity_derivatives(constants, bodies, n_bodies,
                                           r_safe, phi)
         return (rd, pd, r_safe * pd * pd + ag_r,
                 (-2.0 * rd * pd + l_dot / r_safe) / r_safe)
+
+    def f_cart(x, y, vx, vy):
+        r = jnp.maximum(jnp.hypot(x, y), 1e-300)
+        phi = jnp.arctan2(y, x)
+        ag_r, l_dot = gravity_derivatives(constants, bodies, n_bodies,
+                                          r, phi)
+        a_phi = l_dot / r
+        cphi, sphi = x / r, y / r
+        return (vx, vy, ag_r * cphi - a_phi * sphi,
+                ag_r * sphi + a_phi * cphi)
+
+    f = f_cart if pp.cartesian else f_polar
 
     # Cash-Karp tableau (reference :1838-1910)
     B = ((0.2,),
@@ -361,7 +385,9 @@ def integrate_rk45(phys: Physics, pp: ParticleParams, constants, units,
             return sum(cc * k[idx] for cc, k in zip(coeffs, ks) if cc != 0.0)
 
         r_new = r + ts * comb(0, C5)
-        phi_new = jnp.mod(phi + ts * comb(1, C5), 2.0 * jnp.pi)
+        phi_new = phi + ts * comb(1, C5)
+        if not pp.cartesian:
+            phi_new = jnp.mod(phi_new, 2.0 * jnp.pi)
         rd_new = rd + ts * comb(2, C5)
         pd_new = pd + ts * comb(3, C5)
 
@@ -395,11 +421,34 @@ def integrate_rk45(phys: Physics, pp: ParticleParams, constants, units,
         reject = jnp.where(done, False, ~accept)
         return (r, phi, rd, pd, t_acc, h, facold, reject, done)
 
+    if pp.cartesian:
+        cphi, sphi = jnp.cos(state.phi), jnp.sin(state.phi)
+        q0 = r0 * cphi
+        q1 = r0 * sphi
+        q2 = r_dot * cphi - r0 * phi_dot * sphi
+        q3 = r_dot * sphi + r0 * phi_dot * cphi
+    else:
+        q0, q1, q2, q3 = r0, state.phi, r_dot, phi_dot
     zero = jnp.zeros_like(r0)
-    init = (r0, state.phi, r_dot, phi_dot, zero,
-            jnp.full_like(r0, dt), jnp.full_like(r0, 1e-4),
+    # the step-size controller resumes from the persisted per-particle
+    # step (reference particle.h timestep/facold); 0 = first step ever
+    h0 = jnp.where((state.timestep > 0.0) & (state.timestep <= dt),
+                   state.timestep, dt) if state.timestep is not None \
+        else jnp.full_like(r0, dt)
+    fac0 = state.facold if state.facold is not None \
+        else jnp.full_like(r0, 1e-4)
+    init = (q0, q1, q2, q3, zero, h0, fac0,
             jnp.zeros_like(state.alive), ~state.alive)
-    r3, phi3, rd3, pd3, *_ = jax.lax.while_loop(cond, body, init)
+    q0, q1, q2, q3, _t, h3, fac3, *_ = jax.lax.while_loop(cond, body, init)
+
+    if pp.cartesian:
+        r3 = jnp.hypot(q0, q1)
+        phi3 = jnp.mod(jnp.arctan2(q1, q0), 2.0 * jnp.pi)
+        r_safe = jnp.maximum(r3, 1e-300)
+        rd3 = (q0 * q2 + q1 * q3) / r_safe
+        pd3 = (q0 * q3 - q1 * q2) / (r_safe * r_safe)
+    else:
+        r3, phi3, rd3, pd3 = q0, q1, q2, q3
 
     omega_k = jnp.sqrt(constants.G * phys.hydro_center_mass / r3 ** 3)
     alive = state.alive & (r3 > pp.min_escape_radius) \
@@ -411,7 +460,11 @@ def integrate_rk45(phys: Physics, pp: ParticleParams, constants, units,
     return state.replace(
         r=keep(r3, state.r), phi=keep(phi3, state.phi),
         r_dot=keep(rd3, state.r_dot), phi_dot=keep(pd3, state.phi_dot),
-        stokes=keep(ts_physical * omega_k, state.stokes), alive=alive)
+        stokes=keep(ts_physical * omega_k, state.stokes), alive=alive,
+        timestep=keep(h3, state.timestep) if state.timestep is not None
+        else state.timestep,
+        facold=keep(fac3, state.facold) if state.facold is not None
+        else state.facold)
 
 
 # ---------------------------------------------------------------------------
@@ -491,4 +544,6 @@ def init_particles(n: int, rmin: float, rmax: float, slope: float,
         size=jnp.asarray(sizes, dtype),
         stokes=jnp.zeros(n, dtype),
         alive=jnp.ones(n, bool),
-        rng_key=jax.random.PRNGKey(seed))
+        rng_key=jax.random.PRNGKey(seed),
+        timestep=jnp.zeros(n, dtype),
+        facold=jnp.full(n, 1e-4, dtype))

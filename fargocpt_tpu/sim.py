@@ -75,6 +75,20 @@ class Simulation:
 
         # N-body setup (reference src/nbody/planetary_system.cpp:68-134)
         self.bodies = nbody_sys.parse_bodies(cfg, self.units)
+        # deprecated global Klahr & Kley smoothing radius: applied to every
+        # non-central body whose per-body 'cubic smoothing factor' is unset
+        # (reference src/nbody/planetary_system.cpp:94-115)
+        klahr_r = cfg.get("KlahrSmoothingRadius", 0.0, type=float)
+        if klahr_r > 0.0:
+            import warnings
+            warnings.warn("KlahrSmoothingRadius is deprecated; use the "
+                          "per-body 'cubic smoothing factor'")
+            import dataclasses as _dc
+            self.bodies = [
+                _dc.replace(b, cubic_smoothing_factor=klahr_r)
+                if (b.semi_major_axis > 1e-10
+                    and b.cubic_smoothing_factor == 0.0) else b
+                for b in self.bodies]
         self.n_hydroframe = nbody_sys.hydroframe_center_count(
             cfg, len(self.bodies))
         nb_init = nbody_sys.initialize_system(self.bodies, self.constants.G,
@@ -161,12 +175,22 @@ class Simulation:
                          dim=u.DIM_LENGTH, type=float)
         rmax_p = cfg.get("ParticleMaximumRadius", self.geometry.rmax,
                          dim=u.DIM_LENGTH, type=float)
+        cartesian = cfg.get_flag("CartesianParticles", False)
+        integrator = cfg.get_lowercase("ParticleIntegrator", "midpoint")
+        if cartesian and integrator.startswith("m"):
+            # exponential midpoint is polar-only (reference
+            # parameters.cpp:927-932)
+            import warnings
+            warnings.warn("CartesianParticles is only supported by the "
+                          "adaptive integrator; disabled for midpoint")
+            cartesian = False
         pp = dust.ParticleParams(
             density=density,
+            cartesian=cartesian,
             gas_drag=cfg.get_flag("ParticleGasDragEnabled", True),
             disk_gravity=cfg.get_flag("ParticleDiskGravityEnabled", False),
             diffusion=cfg.get_flag("ParticleDustDiffusion", False),
-            integrator=cfg.get_lowercase("ParticleIntegrator", "midpoint"),
+            integrator=integrator,
             min_escape_radius=cfg.get("ParticleMinimumEscapeRadius", rmin_p,
                                       dim=u.DIM_LENGTH, type=float),
             max_escape_radius=cfg.get("ParticleMaximumEscapeRadius", rmax_p,

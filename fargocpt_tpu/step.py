@@ -45,6 +45,11 @@ class MonitorAccum:
     t_adv: jax.Array = None          # sum of advection torque * dt
     t_visc: jax.Array = None         # sum of viscous torque * dt
     t_grav: jax.Array = None         # sum of gravitational torque * dt
+    # time-averaged alpha grids: sum of alpha * dt, written divided by
+    # monitor_timestep and cleared (reference quantities.cpp:637-720,
+    # :991-996 + data.cpp:94-100 clear_after_write)
+    alpha_grav_mean: jax.Array = None
+    alpha_reynolds_mean: jax.Array = None
     # mass bookkeeping (reference src/types.h:30-60 BoundaryFlow), always
     # tracked; see MD_* indices below
     mass_delta: jax.Array = None
@@ -802,10 +807,29 @@ class HydroStep:
         Accumulates raw increments (mass; torque*dt); the writer divides by
         Nmonitor*monitor_timestep at output time."""
         phys, g = self.phys, self.g
-        if acc is None or not (phys.write_massflow or phys.write_gas_torques):
+        if acc is None or not (phys.write_massflow or phys.write_gas_torques
+                               or phys.write_alpha_grav_mean
+                               or phys.write_alpha_reynolds_mean):
             return acc
         from .ops import quantities as quant
         kw = {}
+        cs_a = None
+        if phys.write_alpha_grav_mean or phys.write_alpha_reynolds_mean:
+            cs_a, _, _ = self.derived(sigma, energy)
+        if phys.write_alpha_reynolds_mean and acc.alpha_reynolds_mean \
+                is not None:
+            t_rey = quant.reynolds_stress(g, sigma, vrad, vaz)
+            kw["alpha_reynolds_mean"] = acc.alpha_reynolds_mean \
+                + quant.alpha_from_stress(t_rey, sigma, cs_a) * dt
+        if phys.write_alpha_grav_mean and acc.alpha_grav_mean is not None:
+            if self.selfgravity is not None:
+                g_r, g_t = self.selfgravity.accelerations(sigma)
+                t_gravs = quant.gravitational_stress(
+                    phys, self.constants, g, g_r, g_t)
+            else:
+                t_gravs = jnp.zeros_like(sigma)
+            kw["alpha_grav_mean"] = acc.alpha_grav_mean \
+                + quant.alpha_from_stress(t_gravs, sigma, cs_a) * dt
         if phys.write_massflow and acc.massflow is not None:
             nr = g.nrad
             mf = acc.massflow + mass_flux[:nr]
@@ -833,6 +857,9 @@ class HydroStep:
             t_adv=z if phys.write_gas_torques else None,
             t_visc=z if phys.write_gas_torques else None,
             t_grav=z if phys.write_gas_torques else None,
+            alpha_grav_mean=z if phys.write_alpha_grav_mean else None,
+            alpha_reynolds_mean=z if phys.write_alpha_reynolds_mean
+            else None,
             mass_delta=jnp.zeros((N_MASS_DELTA,), self.dtype),
             rof_mdot=jnp.zeros((), self.dtype)
             if phys.rochelobe_overflow else None,

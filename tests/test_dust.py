@@ -220,7 +220,7 @@ def test_particle_snapshot_restart(tmp_path):
     sdir = tmp_path / "o" / "snapshots"
     snaps = [x for x in (sdir / "list.txt").read_text().split() if x]
     arr = np.fromfile(sdir / snaps[-1] / "particles.bin",
-                      np.float64).reshape(-1, 7)
+                      np.float64).reshape(-1, 9)
     assert arr.shape[0] == 5 and np.all(np.isfinite(arr))
 
     sim2 = Simulation(drift_config(orbits=1), outdir=str(tmp_path / "o2"))
@@ -229,6 +229,9 @@ def test_particle_snapshot_restart(tmp_path):
     np.testing.assert_array_equal(arr[:, 0], np.asarray(p2.r))
     np.testing.assert_array_equal(arr[:, 3], np.asarray(p2.phi_dot))
     np.testing.assert_array_equal(arr[:, 6] > 0.5, np.asarray(p2.alive))
+    # adaptive-integrator memory restores too (columns 7/8)
+    np.testing.assert_array_equal(arr[:, 7], np.asarray(p2.timestep))
+    np.testing.assert_array_equal(arr[:, 8], np.asarray(p2.facold))
 
 
 def test_particle_disk_gravity_kick():

@@ -24,6 +24,7 @@ def cfg_dict(outdir, monitors=2):
         "InnerBoundary": "outflow", "OuterBoundary": "outflow",
         "Nsnapshots": str(monitors), "Nmonitor": "1",
         "MonitorTimestep": "0.3",
+        "BitwiseExactRestarting": "yes",
         "OutputDir": str(outdir),
         "nbody": [
             {"name": "star", "semi-major axis": "0.0", "mass": "1.0"},

@@ -206,3 +206,78 @@ def test_sg_kernel_update_cadence():
     ks6 = sg.update_kernel(ks5, sigma, h3, g)
     ks7 = sg.update_kernel(ks6, sigma, h3, g)
     np.testing.assert_array_equal(np.asarray(ks7[0]), np.asarray(ks4[0]))
+
+
+# ---------------------------------------------------------------------------
+# CartesianParticles + RK45 step-size persistence
+# (reference parameters.cpp:854-932, particle.h timestep/facold)
+# ---------------------------------------------------------------------------
+
+def _particle_setup(cartesian):
+    from fargocpt_tpu.particles import dust
+    from fargocpt_tpu.ops import gravity
+    import jax.numpy as jnp
+    geom, g = _geom(64, 32, 0.4, 2.5)
+    phys = Physics(hydro_center_mass=1.0)
+    consts = Constants.shock_tube()
+    pp = dust.ParticleParams(density=1.0, gas_drag=False,
+                             integrator="explicit", cartesian=cartesian,
+                             min_escape_radius=0.1, max_escape_radius=10.0)
+    n = 4
+    r = np.array([0.8, 1.0, 1.3, 1.8])
+    vk = np.sqrt(consts.G / r)
+    # eccentric: launch at apocenter with reduced vphi
+    e = 0.3
+    vphi = vk * np.sqrt((1 - e) / (1 + e))
+    st = dust.ParticleState(
+        r=jnp.asarray(r), phi=jnp.zeros(n), r_dot=jnp.zeros(n),
+        phi_dot=jnp.asarray(vphi / r), size=jnp.full(n, 1e-10),
+        stokes=jnp.zeros(n), alive=jnp.ones(n, bool),
+        rng_key=__import__("jax").random.PRNGKey(0),
+        timestep=jnp.zeros(n), facold=jnp.full(n, 1e-4))
+    nr, naz = geom.nrad, geom.naz
+    rho = jnp.ones((nr, naz))
+    temp = jnp.full((nr, naz), 1e-8)
+    vrad = jnp.zeros((nr + 1, naz))
+    vaz = jnp.asarray(np.sqrt(1.0 / geom.rmed)[:, None]
+                      * np.ones((1, naz)))
+    from fargocpt_tpu import units as uu
+    bodies = gravity.single_star()
+    import types
+    return (phys, pp, consts, uu.shock_tube_units(), geom, g, st,
+            rho, temp, vrad, vaz, bodies)
+
+
+def test_cartesian_particles_match_polar():
+    """Gravity-only eccentric orbits integrated in cartesian vs polar
+    coordinates agree to ~1e-9 over several dynamical times."""
+    from fargocpt_tpu.particles import dust
+    out = {}
+    for cart in (False, True):
+        (phys, pp, consts, un, geom, g, st, rho, temp, vrad, vaz,
+         bodies) = _particle_setup(cart)
+        for _ in range(20):
+            st = dust.integrate_rk45(phys, pp, consts, un, geom, g, st,
+                                     rho, temp, vrad, vaz, bodies, 1,
+                                     0.0, 0.3)
+        out[cart] = (np.asarray(st.r), np.asarray(st.phi))
+    np.testing.assert_allclose(out[True][0], out[False][0],
+                               rtol=0, atol=1e-8)
+    np.testing.assert_allclose(out[True][1], out[False][1],
+                               rtol=0, atol=1e-8)
+
+
+def test_rk45_step_size_persists():
+    """The per-particle adaptive step survives across calls (reference
+    particle.h carries timestep/facold) and is re-used as the next trial."""
+    from fargocpt_tpu.particles import dust
+    (phys, pp, consts, un, geom, g, st, rho, temp, vrad, vaz,
+     bodies) = _particle_setup(False)
+    st1 = dust.integrate_rk45(phys, pp, consts, un, geom, g, st,
+                              rho, temp, vrad, vaz, bodies, 1, 0.0, 0.5)
+    h1 = np.asarray(st1.timestep)
+    assert (h1 > 0).all()
+    assert (np.asarray(st1.facold) != 1e-4).any()
+    st2 = dust.integrate_rk45(phys, pp, consts, un, geom, g, st1,
+                              rho, temp, vrad, vaz, bodies, 1, 0.0, 0.5)
+    assert (np.asarray(st2.timestep) > 0).all()
