@@ -12,9 +12,32 @@ Physics fidelity is gated by ports of the reference's analytic test suite
 (see tests/).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 import sys as _sys
+
+
+def build_info() -> str:
+    """Version + git commit/dirty stamp of the installed tree (reference
+    src/buildtime_info.cpp prints the compile-time git state; here it is
+    read live from the package's repository when available)."""
+    import subprocess as _sp
+    from pathlib import Path as _Path
+    root = _Path(__file__).resolve().parent.parent
+    commit, dirty = "unknown", ""
+    try:
+        commit = _sp.run(
+            ["git", "-C", str(root), "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=5).stdout.strip() \
+            or "unknown"
+        changed = _sp.run(
+            ["git", "-C", str(root), "diff-index", "--name-only", "HEAD"],
+            capture_output=True, text=True, timeout=5).stdout.strip()
+        if changed:
+            dirty = f" (dirty: {len(changed.splitlines())} files)"
+    except Exception:
+        pass
+    return f"fargocpt_tpu {__version__} git {commit}{dirty}"
 
 # Lowering the Pallas kernels nested inside jit(while_loop(step)) recurses
 # deeper than CPython's default 1000-frame limit (JAX traces/lowers jaxprs

@@ -82,6 +82,10 @@ def main(argv=None):
     from .sim import Simulation
     from . import output as out
 
+    # build-time info at startup (reference src/buildtime_info.cpp)
+    from . import build_info
+    print(build_info())
+
     cfg = Config.from_file(args.setup)
     sim = Simulation(cfg, outdir=args.outdir, dtype=args.dtype)
     writer = out.OutputWriter(sim)

@@ -42,9 +42,11 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
     from __graft_entry__ import _flagship
-    from fargocpt_tpu.parallel.mesh import make_mesh, shard_state
+    from fargocpt_tpu.parallel.shard_step import ShardedHydroStep
+    from fargocpt_tpu.parallel.mesh import make_mesh
 
     rows = []
     base_ms = None
@@ -54,22 +56,35 @@ def main():
             continue
         sim = _flagship(args.nrad, args.naz, "float32"
                         if jax.default_backend() == "tpu" else "float64")
-        mesh = make_mesh(n)
-        state = shard_state(sim.state, mesh)
-        st = sim.stepper
-        dt = jnp.asarray(1e-4, st.dtype)
-        t0j = jnp.asarray(0.0, st.dtype)
-        out = st._step(state, t0j, dt)
-        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+        dt0 = float(sim.stepper.cfl_dt(sim.state)) * 0.5
+        t_target = args.steps * dt0
+        if n == 1:
+            # unsharded single-device baseline
+            def advance(_):
+                return sim.stepper.advance_to(sim.state, 0.0, dt0, t_target)
+            sharded = None
+        else:
+            mesh = make_mesh(n)
+            # explicit shard_map/ppermute execution (one stacked
+            # bidirectional halo exchange per step, pmin for dt) — the
+            # analog of the reference's test/scaling MPI sweep
+            ss = ShardedHydroStep(sim.stepper, mesh)
+            sharded = ss.shard_state(sim.state)
+
+            def advance(sh):
+                return ss.advance_to(sh, 0.0, dt0, t_target)
+
+        out = advance(sharded)          # compile + warmup
+        n_steps = int(out[3])
+        jax.block_until_ready(jax.tree_util.tree_leaves(out[0])[0])
         t0 = time.perf_counter()
-        for _ in range(args.steps):
-            out = st._step(out, t0j, dt)
-        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
-        ms = (time.perf_counter() - t0) / args.steps * 1e3
+        out = advance(sharded)
+        jax.block_until_ready(jax.tree_util.tree_leaves(out[0])[0])
+        ms = (time.perf_counter() - t0) / max(n_steps, 1) * 1e3
         if base_ms is None:
             base_ms = ms
         rows.append((n, ms, base_ms / ms))
-        print(f"n_devices={n:3d}  {ms:9.3f} ms/step  "
+        print(f"n_devices={n:3d}  {ms:9.3f} ms/step  ({n_steps} steps)  "
               f"speedup={base_ms / ms:6.2f}  "
               f"({args.nrad * args.naz / ms / 1e3:.1f} Mcell/s)")
 
