@@ -873,6 +873,293 @@ def make_cfl_cols(g, cs_iso, hfac, dtype):
     return cols
 
 
+# ---------------------------------------------------------------------------
+# Fused viscous kick: compression heating + SN artificial viscosity +
+# Navier-Stokes viscosity (stress tensor + velocity update) + SubStep3
+# (viscous heating, simple beta cooling, radiative correction factor) in
+# ONE radially-tiled kernel.
+#
+# The XLA chain for these substeps is dominated by fusion breaks at the
+# stencil shifts (each azimuthal roll is a concat-of-slices that ends a
+# fusion cluster), costing ~15 HBM passes over the fields per step. This
+# kernel reads sigma/vrad/vaz/energy once (plus a 4-row radial halo per
+# tile, built as thin gather arrays — ~12% extra at tile=32) and writes
+# vrad/vaz/energy/Q+/Q- once. Azimuthal neighbors are in-register lane
+# rolls; radial neighbors are sublane shifts of the extended tile.
+#
+# Re-derives, in order (all masked to the reference's row ranges):
+#   compression heating   src/SourceEuler.cpp:459-493 (optional — only
+#                         when the fused sources kernel left it to us)
+#   SN artificial visc.   src/viscosity/artificial_viscosity.cpp:148-250
+#   temperature clamp     src/SourceEuler.cpp:136-202
+#   nu = alpha cs H       src/viscosity/viscosity.cpp:31-137
+#   stress tensor         src/viscosity/viscosity.cpp:139-254
+#   velocity update       src/viscosity/viscosity.cpp:355-426
+#   viscous heating Q+    src/SourceEuler.cpp:496-536
+#   beta cooling Q-       src/SourceEuler.cpp:632-654 (plain local beta)
+#   radiative alpha, near-floor equilibrium, energy update + clamp
+#                         src/SourceEuler.cpp:1018-1051
+#
+# Known ghost-row deviation vs the jnp path (documented, test-pinned):
+# Q+ at ring NR-1 uses tau_rp(row NR) = 0 instead of the jnp path's
+# harmless radial wrap to row 0; both values are ghost-ring garbage and
+# neither feeds the CFL (rows 1..NR-2) or the energy update (rows
+# 1..NR-2).
+# ---------------------------------------------------------------------------
+
+_VK_COLS = dict(inv_diff_rsup=0, inv_rb=1, rb=2, invdrm=3, ra=4, inv_ra=5,
+                inv_diff_rsup_rb=6, two_diff_ra_sq=7, omega_k=8, hfac=9)
+_N_VK_COLS = 16
+
+
+def make_viscous_prep(phys, constants, g, dtype, tile: int):
+    """Windowed geometry-column tensor (n_tiles, tile+4, C): row p of the
+    window for tile i holds the columns of global ring/face index
+    i*tile - 2 + p (clipped; out-of-range rows are masked in-kernel)."""
+    nr = g.nrad
+    n_tiles = nr // tile
+    omega_k = jnp.sqrt(constants.G * phys.hydro_center_mass / g.rb ** 3)
+    gam = phys.adiabatic_index
+    hfac = 1.0 / (jnp.sqrt(gam) * omega_k) if phys.is_adiabatic \
+        else 1.0 / omega_k
+    cols = jnp.zeros((nr + 1, _N_VK_COLS), dtype)
+
+    def put(name, arr):
+        a = jnp.asarray(arr, dtype)[:, 0]
+        cols_rows = a.shape[0]
+        return cols.at[:cols_rows, _VK_COLS[name]].set(a)
+
+    cols = put("inv_diff_rsup", g.inv_diff_rsup)
+    cols = put("inv_rb", g.inv_rb)
+    cols = put("rb", g.rb)
+    cols = put("invdrm", g.inv_diff_rmed)
+    cols = put("ra", g.ra)
+    cols = put("inv_ra", g.inv_ra)
+    cols = put("inv_diff_rsup_rb", g.inv_diff_rsup_rb)
+    cols = put("two_diff_ra_sq", g.two_diff_ra_sq)
+    cols = put("omega_k", omega_k)
+    cols = put("hfac", hfac)
+    idx = jnp.clip(jnp.arange(-2, tile + 2)[None, :]
+                   + (jnp.arange(n_tiles) * tile)[:, None], 0, nr)
+    return cols[idx]                               # (n_tiles, tile+4, C)
+
+
+def _viscous_kick_kernel(scal_ref, cols_ref,
+                         sig_ref, sig_t, sig_b, vr_ref, vr_t, vr_b,
+                         va_ref, va_t, va_b, e_ref, e_t, e_b,
+                         vr_out, va_out, e_out, qp_out, qm_out, *,
+                         nr: int, tile: int, gamma: float, alpha: float,
+                         const_nu: float, c2: float, artvisc: bool,
+                         dissipation: bool, compress: bool, heating: bool,
+                         heat_factor: float, rvf: float, beta_on: bool,
+                         tmin: float, tmax: float, rs: float,
+                         rad_fac: float, mu_fac: float, sig_nf: float,
+                         invdphi: float):
+    """One radial tile (rows [i*tile, i*tile+tile), extended by a 2-row
+    halo each side) of the fused viscous kick. Static scalars:
+    rs = R/(mu (gamma-1)); rad_fac = 8 sigma_sb / c;
+    mu_fac = (mu (gamma-1) / R)^4; sig_nf = 10 Sigma0 SigmaFloor."""
+    dt = scal_ref[0]
+    beta_inv = scal_ref[1]
+
+    ext = lambda m, t, b: jnp.concatenate([t[0], m[:], b[0]], axis=0)
+    sig = ext(sig_ref, sig_t, sig_b)               # cells g = R0-2..R0+T+1
+    vr = ext(vr_ref, vr_t, vr_b)                   # faces, same indices
+    va = ext(va_ref, va_t, va_b)
+    en = ext(e_ref, e_t, e_b)
+    cols = cols_ref[0]                             # (tile+4, C)
+    col = lambda name: cols[:, _VK_COLS[name]:_VK_COLS[name] + 1]
+
+    i = pl.program_id(0)
+    gidx = i * tile - 2 + jax.lax.broadcasted_iota(
+        jnp.int32, (tile + 4, 1), 0)
+    m_int = (gidx >= 1) & (gidx <= nr - 2)         # interior rings
+    m_face = (gidx >= 2) & (gidx <= nr - 2)        # interior vrad faces
+    m_rp = (gidx >= 1) & (gidx <= nr - 1)          # tau_rp rows
+
+    up = lambda x: jnp.concatenate([x[1:], x[-1:]], axis=0)   # row p+1
+    dn = lambda x: jnp.concatenate([x[:1], x[:-1]], axis=0)   # row p-1
+
+    inv_rb = col("inv_rb")
+    invdxtheta = inv_rb * invdphi
+
+    def div_of(vrx, vax):
+        radial = (up(vrx) * up(col("ra")) - vrx * col("ra")) \
+            * col("inv_diff_rsup_rb")
+        return radial + (_roll(vax, -1) - vax) * invdxtheta
+
+    # --- compression heating (post-sources velocities) -----------------
+    if compress:
+        e_c = en * jnp.exp(-(gamma - 1.0) * dt * div_of(vr, va))
+        en = jnp.where((gidx >= 0) & (gidx <= nr - 2), e_c, en)
+
+    # --- SN artificial viscosity ---------------------------------------
+    if artvisc:
+        dv_r = up(vr) - vr
+        dv_phi = _roll(va, -1) - va
+        q_r = jnp.where(dv_r < 0.0, c2 * sig * dv_r * dv_r, 0.0)
+        q_phi = jnp.where(dv_phi < 0.0, c2 * sig * dv_phi * dv_phi, 0.0)
+        if dissipation:
+            e1 = en - dt * q_r * dv_r * col("inv_diff_rsup") \
+                - dt * q_phi * dv_phi * invdxtheta
+            en = jnp.where(m_int, e1, en)
+        dvr_av = -dt * 2.0 / (sig + dn(sig)) * (q_r - dn(q_r)) \
+            * col("invdrm")
+        vr = vr + jnp.where(m_face, dvr_av, 0.0)
+        dvaz_av = -dt * 2.0 / (sig + _roll(sig, 1)) \
+            * (q_phi - _roll(q_phi, 1)) * invdxtheta
+        va = va + jnp.where(m_int, dvaz_av, 0.0)
+    # static clamp factors, kept finite in the working dtype (the raw
+    # tmax*rs product can exceed float32 max and would warn on cast)
+    big = float(jnp.finfo(sig.dtype).max)
+    emin_fac = min(tmin * rs, big)
+    emax_fac = min(tmax * rs, big)
+    if dissipation:
+        # the step driver clamps after the artvisc stage whenever
+        # dissipation is configured, even with artvisc "none"
+        en = jnp.clip(en, emin_fac * sig, emax_fac * sig)
+
+    # --- nu = alpha cs H (recalculate_viscosity) -----------------------
+    cs2 = gamma * (gamma - 1.0) * en / sig
+    hfac = col("hfac")
+    h = jnp.sqrt(cs2) * hfac                       # cs / sqrt(gamma) / Om_K
+    if alpha > 0.0:
+        nu = alpha * cs2 * hfac
+    else:
+        nu = jnp.full_like(sig, const_nu)
+
+    # --- viscous stress tensor -----------------------------------------
+    div_v = div_of(vr, va)
+    drr = (up(vr) - vr) * col("inv_diff_rsup")
+    tau_rr = 2.0 * nu * sig * (drr - div_v / 3.0)
+    dpp = (_roll(va, -1) - va) * invdphi * inv_rb \
+        + 0.5 * (up(vr) + vr) * inv_rb
+    tau_pp = 2.0 * nu * sig * (dpp - div_v / 3.0)
+    va_ir = va * inv_rb
+    dvazirdr = (va_ir - dn(va_ir)) * col("invdrm")
+    dvrdphi = (vr - _roll(vr, 1)) * invdphi
+    drp = col("ra") * dvazirdr + dvrdphi * col("inv_ra")
+    nu4 = 0.25 * (nu + dn(nu) + _roll(nu, 1) + _roll(dn(nu), 1))
+    sig4 = 0.25 * (sig + dn(sig) + _roll(sig, 1) + _roll(dn(sig), 1))
+    tau_rp = jnp.where(m_rp, nu4 * sig4 * drp, 0.0)
+
+    # --- velocity update from the stress divergence --------------------
+    sig_avg_phi = 0.5 * (sig + _roll(sig, 1))
+    ra_cell = col("ra")                            # row p = Ra[face p]
+    trp_rsq = ra_cell * ra_cell * tau_rp
+    dvp = dt * inv_rb / sig_avg_phi * (
+        col("two_diff_ra_sq") * (up(trp_rsq) - trp_rsq)
+        + (tau_pp - _roll(tau_pp, 1)) * invdphi)
+    va = va + jnp.where(m_int, dvp, 0.0)
+
+    rb = col("rb")
+    sig_avg_r = 0.5 * (sig + dn(sig))
+    dvr = dt / sig_avg_r * rvf * 2.0 / (rb + dn(rb)) * (
+        (rb * tau_rr - dn(rb) * dn(tau_rr)) * col("invdrm")
+        + (_roll(tau_rp, -1) - tau_rp) * invdphi
+        - 0.5 * (tau_pp + dn(tau_pp)))
+    vr = vr + jnp.where(m_face, dvr, 0.0)
+
+    # --- SubStep3: Q+/Q-, radiative alpha, energy update ---------------
+    trp_up = up(tau_rp)
+    trp4 = 0.25 * (tau_rp + trp_up + _roll(tau_rp, -1) + _roll(trp_up, -1))
+    nu_sig = nu * sig
+    if heating:
+        safe = jnp.where(nu_sig != 0.0, 2.0 * nu_sig, 1.0)
+        qp = (tau_rr * tau_rr + 2.0 * trp4 * trp4 + tau_pp * tau_pp) / safe
+        qp = qp + (2.0 / 9.0) * nu_sig * div_v * div_v
+        qp = jnp.where(nu != 0.0, qp * heat_factor, 0.0)
+    else:
+        qp = jnp.zeros_like(sig)
+    if beta_on:
+        qm = en * col("omega_k") * beta_inv
+    else:
+        qm = jnp.zeros_like(sig)
+    inv_sig = 1.0 / sig
+    inv_pow4 = mu_fac * (inv_sig * inv_sig) * (inv_sig * inv_sig)
+    alpha_rad = 1.0 + rad_fac * h * inv_pow4 * (en * en * en)
+    qp = qp / alpha_rad
+    qm = qm / alpha_rad
+    e_new = en + dt * (qp - qm)
+    near_floor = sig < sig_nf
+    e_new = jnp.where(near_floor, 0.0, e_new)      # eq. energy w/ tau_eff=0
+    qm = jnp.where(near_floor, qp, qm)
+    en = jnp.where(m_int, e_new, en)
+    en = jnp.clip(en, emin_fac * sig, emax_fac * sig)
+
+    w = slice(2, tile + 2)
+    vr_out[...] = vr[w]
+    va_out[...] = va[w]
+    e_out[...] = en[w]
+    qp_out[...] = qp[w]
+    qm_out[...] = qm[w]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "tile", "gamma", "alpha", "const_nu", "c2", "artvisc", "dissipation",
+    "compress", "heating", "heat_factor", "rvf", "beta_on", "tmin", "tmax",
+    "rs", "rad_fac", "mu_fac", "sig_nf", "invdphi"))
+def viscous_kick_pallas(sigma, vrad, vaz, energy, win_cols, dt, beta_inv,
+                        tile: int, gamma: float, alpha: float,
+                        const_nu: float, c2: float, artvisc: bool,
+                        dissipation: bool, compress: bool, heating: bool,
+                        heat_factor: float, rvf: float, beta_on: bool,
+                        tmin: float, tmax: float, rs: float, rad_fac: float,
+                        mu_fac: float, sig_nf: float, invdphi: float):
+    """Fused viscous kick. Returns (vrad, vaz, energy, qplus, qminus) —
+    the post-substep3 state of the gated configuration."""
+    nr, naz = sigma.shape
+    n_tiles = nr // tile
+    base = jnp.arange(n_tiles) * tile
+
+    def halos(arr):
+        nrows = arr.shape[0]
+        top = arr[jnp.clip(base[:, None] + jnp.arange(-2, 0)[None, :],
+                           0, nrows - 1)]
+        bot = arr[jnp.clip(base[:, None]
+                           + jnp.arange(tile, tile + 2)[None, :],
+                           0, nrows - 1)]
+        return top, bot                            # (n_tiles, 2, naz)
+
+    sig_t, sig_b = halos(sigma)
+    vr_t, vr_b = halos(vrad)
+    va_t, va_b = halos(vaz)
+    e_t, e_b = halos(energy)
+    vr_main = vrad[:nr]
+
+    kernel = functools.partial(
+        _viscous_kick_kernel, nr=nr, tile=tile, gamma=gamma, alpha=alpha,
+        const_nu=const_nu, c2=c2, artvisc=artvisc, dissipation=dissipation,
+        compress=compress, heating=heating, heat_factor=heat_factor,
+        rvf=rvf, beta_on=beta_on, tmin=tmin, tmax=tmax, rs=rs,
+        rad_fac=rad_fac, mu_fac=mu_fac, sig_nf=sig_nf, invdphi=invdphi)
+    scal = jnp.stack([jnp.asarray(dt, sigma.dtype),
+                      jnp.asarray(beta_inv, sigma.dtype)])
+    main = lambda i: (i, 0)
+    halo = lambda i: (i, 0, 0)
+    mspec = pl.BlockSpec((tile, naz), main, memory_space=pltpu.VMEM)
+    hspec = pl.BlockSpec((1, 2, naz), halo, memory_space=pltpu.VMEM)
+    vr_new, va_new, e_new, qp, qm = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((2,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tile + 4, _N_VK_COLS), halo,
+                         memory_space=pltpu.VMEM),
+            mspec, hspec, hspec,                   # sigma
+            mspec, hspec, hspec,                   # vrad[:nr] + full halos
+            mspec, hspec, hspec,                   # vaz
+            mspec, hspec, hspec,                   # energy
+        ],
+        out_specs=(mspec, mspec, mspec, mspec, mspec),
+        out_shape=tuple(jax.ShapeDtypeStruct((nr, naz), sigma.dtype)
+                        for _ in range(5)),
+    )(scal, win_cols, sigma, sig_t, sig_b, vr_main, vr_t, vr_b,
+      vaz, va_t, va_b, energy, e_t, e_b)
+    vrad_out = jnp.concatenate([vr_new, vrad[nr:]], axis=0)
+    return vrad_out, va_new, e_new, qp, qm
+
+
 def use_pallas(dtype=None) -> bool:
     """Fused kernels are the float32/bfloat16 production path; float64 runs
     (emulated on TPU) fall back to the pure-jnp implementation — Mosaic's

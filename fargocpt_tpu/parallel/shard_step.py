@@ -195,6 +195,9 @@ class ShardedHydroStep:
             ctx["src_cols"] = ws._src_cols
         if ws._artvisc_cols is not None:
             ctx["artvisc_cols"] = ws._artvisc_cols
+        if getattr(ws, "_fuse_visc", False):
+            ctx["vk_cols"] = ws._vk_cols
+            self._vk_tile_ws = ws._vk_tile
         return ctx
 
     def _localize(self, ctx):
@@ -220,6 +223,12 @@ class ShardedHydroStep:
             st._src_cols = ctx["src_cols"]
         if "artvisc_cols" in ctx:
             st._artvisc_cols = ctx["artvisc_cols"]
+        # the fused viscous kick follows the WINDOW stepper's gate (its
+        # row masks and column windows are built for the local Lx rows)
+        st._fuse_visc = "vk_cols" in ctx
+        if st._fuse_visc:
+            st._vk_cols = ctx["vk_cols"]
+            st._vk_tile = self._vk_tile_ws
         st._axis_name = AXIS
         st._own_col = ctx["own"]
         st._own_int_col = ctx["own_int"]

@@ -246,6 +246,31 @@ class HydroStep:
         else:
             self._artvisc_cols = None
 
+        # fused viscous-kick kernel (compression heating + SN artvisc +
+        # viscosity chain + SubStep3 in one radially-tiled Pallas pass);
+        # static gate mirrors the configuration space the kernel re-derives
+        self._vk_tile = 32 if geometry.nrad % 32 == 0 else 16
+        self._fuse_visc = (
+            pk.use_pallas(dtype) and geometry.naz % 128 == 0
+            and geometry.nrad % self._vk_tile == 0
+            and phys.is_adiabatic and not phys.variable_gamma
+            and phys.aspectratio_mode == 0 and phys.alpha_mode == 0
+            and phys.stabilize_viscosity == 0
+            and phys.artificial_viscosity in (_SN, "none")
+            and not phys.heating_star and not phys.cooling_surface_enabled
+            and not phys.cooling_scurve_enabled
+            and phys.cooling_beta_method == "no"
+            and not phys.cooling_beta_reference
+            and not phys.cooling_beta_model and not phys.cooling_beta_floor
+            and not phys.write_ecc_changes
+            and not (phys.self_gravity
+                     and phys.self_gravity_mode == "besselkernel"))
+        if self._fuse_visc:
+            self._vk_cols = pk.make_viscous_prep(phys, constants, self.g,
+                                                 dtype, self._vk_tile)
+        else:
+            self._vk_cols = None
+
         # fused Pallas CFL kernel gate + packed geometry columns
         self._fuse_cfl = (
             pk.use_pallas(dtype) and geometry.naz % 128 == 0
@@ -507,8 +532,11 @@ class HydroStep:
             self._sin_row, scal, n_bodies=self.n_bodies,
             adiabatic=phys.is_adiabatic, gamma=phys.adiabatic_index,
             eps=phys.thickness_smoothing, smooth_modes=self._smooth_modes)
-        energy = sources.compression_heating(phys, self.g, energy, vrad,
-                                             vaz, dt)
+        if not self._fuse_visc:
+            # with the fused viscous kick active, compression heating is
+            # folded into that kernel's first stage instead
+            energy = sources.compression_heating(phys, self.g, energy, vrad,
+                                                 vaz, dt)
         return vrad, vaz, energy
 
     def _substeps(self, sigma, vrad, vaz, energy, indirect, time, dt,
@@ -543,7 +571,8 @@ class HydroStep:
             g_r, g_t = self.selfgravity.accelerations(sigma, spectra=spectra)
             vrad, vaz = self.selfgravity.kick(g, vrad, vaz, g_r, g_t, dt)
 
-        if self._fuse_sources and pv is None:
+        used_fused_sources = self._fuse_sources and pv is None
+        if used_fused_sources:
             vrad, vaz, energy = self._sources_fused(
                 sigma, vrad, vaz, energy, bodies, indirect, omega_frame, dt)
         else:
@@ -556,6 +585,41 @@ class HydroStep:
         vrad, vaz, energy = jax.lax.optimization_barrier((vrad, vaz, energy))
         if track_ecc:
             mark = ecc_mark(mark)        # source-term delta
+
+        if self._fuse_visc:
+            # compression + artvisc + viscosity + SubStep3 in one kernel
+            from .ops import pallas_kernels as pk
+            from .params import ARTVISC_SN as _SN
+            beta_inv = jnp.asarray(1.0 / phys.cooling_beta, self.dtype)
+            if phys.cooling_beta_ramp_up > 0.0:
+                ramp = 1.0 - jnp.exp(
+                    -(2.0 * time / phys.cooling_beta_ramp_up) ** 2)
+                beta_inv = beta_inv * ramp
+            gam = phys.adiabatic_index
+            vrad, vaz, energy, qplus, qminus = pk.viscous_kick_pallas(
+                sigma, vrad, vaz, energy, self._vk_cols, dt, beta_inv,
+                tile=self._vk_tile, gamma=gam,
+                alpha=phys.viscous_alpha, const_nu=phys.constant_viscosity,
+                c2=phys.artificial_viscosity_factor ** 2,
+                artvisc=phys.artificial_viscosity == _SN,
+                dissipation=phys.artificial_viscosity_dissipation,
+                compress=used_fused_sources,
+                heating=phys.heating_viscous,
+                heat_factor=phys.heating_viscous_factor,
+                rvf=phys.radial_viscosity_factor,
+                beta_on=phys.cooling_beta_enabled,
+                tmin=phys.minimum_temperature,
+                tmax=eos.finite_in(phys.maximum_temperature, self.dtype),
+                rs=constants.R / (phys.mu * (gam - 1.0)),
+                rad_fac=(8.0 * constants.sigma_sb / constants.c)
+                if constants.c else 0.0,
+                mu_fac=(phys.mu * (gam - 1.0) / constants.R) ** 4,
+                sig_nf=10.0 * phys.sigma0 * phys.sigma_floor,
+                invdphi=g.invdphi)
+            vrad, vaz, energy = jax.lax.optimization_barrier(
+                (vrad, vaz, energy))
+            return (sigma, vrad, vaz, energy, qplus, qminus, None,
+                    sg_kernel)
 
         if self._fuse_artvisc:
             from .ops import pallas_kernels as pk

@@ -299,3 +299,84 @@ def test_artvisc_fused_parity(setup, dissipation):
                                rtol=1e-12, atol=1e-15)
     np.testing.assert_allclose(np.asarray(e), np.asarray(e_ref),
                                rtol=1e-12, atol=1e-15)
+
+
+@pytest.mark.parametrize("compress", [True, False])
+@pytest.mark.parametrize("artvisc_on", [True, False])
+def test_viscous_kick_fused_parity(setup, compress, artvisc_on):
+    """The fused viscous-kick kernel (compression heating + SN artvisc +
+    viscosity chain + SubStep3) matches the composed jnp substeps."""
+    from fargocpt_tpu.constants import Constants
+    from fargocpt_tpu.ops import artvisc, eos, sources
+    from fargocpt_tpu.ops import energy as energy_ops
+    from fargocpt_tpu.ops import viscosity as visc
+
+    g, _, _, _ = setup
+    phys = Physics(
+        eos="adiabatic", adiabatic_index=1.4, viscous_alpha=1e-3,
+        aspectratio_ref=0.05, flaring_index=0.25,
+        artificial_viscosity="sn" if artvisc_on else "none",
+        artificial_viscosity_dissipation=True,
+        heating_viscous=True, cooling_beta_enabled=True, cooling_beta=10.0,
+        minimum_temperature=1e-6, sigma0=1.0, sigma_floor=1e-6)
+    from fargocpt_tpu.units import Units
+    constants = Constants.from_units(Units())
+    rng = np.random.default_rng(11)
+    sigma = jnp.asarray(rng.random((64, 256)) + 0.5)
+    # a few near-floor cells to exercise the equilibrium branch
+    sigma = sigma.at[20, 3:7].set(5e-6)
+    energy = jnp.asarray(rng.random((64, 256)) * 1e-3 + 1e-3)
+    vaz = jnp.asarray((rng.random((64, 256)) - 0.5) * 0.1 + 1.0)
+    vrad = jnp.asarray((rng.random((65, 256)) - 0.5) * 0.05)
+    dt = jnp.float64(0.003)
+
+    # --- composed jnp reference chain (the _substeps sequence) ---
+    en = energy
+    if compress:
+        en = sources.compression_heating(phys, g, en, vrad, vaz, dt)
+    vr1, va1, e1 = artvisc.update_with_artificial_viscosity(
+        phys, g, sigma, vrad, vaz, en, dt)
+    e1 = eos.energy_floor_ceiling(phys, constants, sigma, e1)
+    cs = eos.sound_speed(phys, constants, g, sigma, e1, None)
+    h = eos.scale_height(phys, constants, g, cs)
+    nu = visc.kinematic_viscosity(phys, g, cs, h)
+    trr, tpp, trp, divv = visc.viscous_stress_tensor(
+        phys, g, sigma, vr1, va1, nu)
+    vr2, va2 = visc.update_velocities_with_viscosity(
+        phys, g, sigma, vr1, va1, trr, tpp, trp, dt, nu=nu)
+    e2, qp_ref, qm_ref = energy_ops.substep3(
+        phys, constants, g, sigma, e1, vr2, va2, nu, trr, tpp, trp, divv,
+        h, sigma, e1, jnp.zeros_like(sigma), 0.0, dt)
+
+    # --- fused kernel ---
+    gam = phys.adiabatic_index
+    cols = pk.make_viscous_prep(phys, constants, g, jnp.float64, 16)
+    with _interpret():
+        vr, va, e, qp, qm = pk.viscous_kick_pallas(
+            sigma, vrad, vaz, energy, cols, dt,
+            jnp.float64(1.0 / phys.cooling_beta),
+            tile=16, gamma=gam, alpha=phys.viscous_alpha,
+            const_nu=phys.constant_viscosity,
+            c2=phys.artificial_viscosity_factor ** 2,
+            artvisc=artvisc_on, dissipation=True, compress=compress,
+            heating=True, heat_factor=phys.heating_viscous_factor,
+            rvf=phys.radial_viscosity_factor, beta_on=True,
+            tmin=phys.minimum_temperature,
+            tmax=eos.finite_in(phys.maximum_temperature, jnp.float64),
+            rs=constants.R / (phys.mu * (gam - 1.0)),
+            rad_fac=8.0 * constants.sigma_sb / constants.c,
+            mu_fac=(phys.mu * (gam - 1.0) / constants.R) ** 4,
+            sig_nf=10.0 * phys.sigma0 * phys.sigma_floor,
+            invdphi=g.invdphi)
+    np.testing.assert_allclose(np.asarray(vr), np.asarray(vr2),
+                               rtol=1e-10, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(va), np.asarray(va2),
+                               rtol=1e-10, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(e), np.asarray(e2),
+                               rtol=1e-10, atol=1e-16)
+    # Q+ ring NR-1 deviates by design (no radial wrap of tau_rp); all
+    # rings that feed the CFL and the energy update match
+    np.testing.assert_allclose(np.asarray(qp)[:63], np.asarray(qp_ref)[:63],
+                               rtol=1e-10, atol=1e-18)
+    np.testing.assert_allclose(np.asarray(qm)[:63], np.asarray(qm_ref)[:63],
+                               rtol=1e-10, atol=1e-18)
