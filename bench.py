@@ -29,10 +29,9 @@ BENCH_STEPS = int(os.environ.get("BENCH_STEPS", 100))
 TARGET_MCELLS = 1000.0  # 1 Gcell-update/s/chip
 
 
-def main():
+def run_bench(dtype: str, steps: int):
     from __graft_entry__ import _flagship
 
-    dtype = "float32"
     sim = _flagship(NRAD, NAZ, dtype)
     stepper = sim.stepper
     state = sim.state
@@ -55,16 +54,16 @@ def main():
 
     # warmup + compile (same static length as the timed run so the timed
     # region never compiles)
-    carry = advance(carry, BENCH_STEPS)
+    carry = advance(carry, steps)
     jax.block_until_ready(carry[0].fields.sigma)
 
     t0 = time.perf_counter()
-    carry = advance(carry, BENCH_STEPS)
+    carry = advance(carry, steps)
     jax.block_until_ready(carry[0].fields.sigma)
     elapsed = time.perf_counter() - t0
 
     cells = NRAD * NAZ
-    mcups = cells * BENCH_STEPS / elapsed / 1e6
+    mcups = cells * steps / elapsed / 1e6
     result = {
         "metric": f"Mcell-updates/s/chip at {NRAD}x{NAZ} polar grid "
                   f"(full-physics step incl. CFL, {dtype})",
@@ -74,6 +73,16 @@ def main():
     }
     print(json.dumps(result))
     return result
+
+
+def main():
+    # secondary float64 number (the reference is all-double; the rebuild's
+    # f64 production path is the validated unfused jnp graph — Mosaic
+    # cannot lower the fused kernels' dynamic lane rolls in emulated f64).
+    # Printed FIRST; the official f32 metric-of-record line is LAST.
+    if os.environ.get("BENCH_SKIP_F64", "") != "1":
+        run_bench("float64", int(os.environ.get("BENCH_F64_STEPS", 30)))
+    return run_bench("float32", BENCH_STEPS)
 
 
 if __name__ == "__main__":

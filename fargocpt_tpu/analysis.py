@@ -29,15 +29,19 @@ class GasVars:
     def __init__(self, loader: "Loader"):
         self._l = loader
 
-    def get(self, name: str, N: int | str = "last", grid: bool = True):
+    def get(self, name: str, N: int | str = "last", grid: bool = True,
+            cgs: bool = False):
         """2-D field of snapshot N. Returns (R, PHI, data) cell-center
-        meshes when ``grid`` else just the data array."""
+        meshes when ``grid`` else just the data array; ``cgs`` applies the
+        info2D.yml code->cgs factor."""
         l = self._l
         sid = l.resolve_snapshot(N)
         path = l.outdir / "snapshots" / sid / f"{name}.dat"
         data = np.fromfile(path, np.float64)
         nrad = data.size // l.naz
         data = data.reshape(nrad, l.naz)
+        if cgs:
+            data = data * self.cgs_factor(name)
         if not grid:
             return data
         if nrad == l.nrad + 1:        # radial-face field
@@ -68,6 +72,118 @@ class GasVars:
             / f"{name}1D.dat", np.float64).reshape(-1, 4)
         return raw[:, 0], raw[:, 2], raw[:, 3]
 
+    def var_names(self, N: int | str = "last") -> list[str]:
+        """2-D field names present in snapshot N."""
+        l = self._l
+        sdir = l.outdir / "snapshots" / l.resolve_snapshot(N)
+        return sorted(p.stem for p in sdir.glob("*.dat")
+                      if not p.stem.endswith("1D")
+                      and p.stem not in ("used_rad",))
+
+    def cgs_factor(self, name: str) -> float:
+        """code->cgs factor of a 2-D field from info2D.yml (1.0 when the
+        field has no registered unit)."""
+        spec = self._l.info2d.get(name, {})
+        return float(spec.get("code_to_cgs_factor", 1.0))
+
+
+class ParticleVars:
+    """Reader of the per-snapshot ``particles.bin`` records, described by
+    ``infoParticles.yml`` (reference python_module/fargocpt/data.py
+    ``Particles``: per-variable access, derived cartesian coordinates,
+    multi-snapshot timeseries)."""
+
+    _DERIVED = ("x", "y", "vx", "vy")
+
+    def __init__(self, loader: "Loader"):
+        self._l = loader
+        self.columns: list[str] = []
+        self.factors: dict[str, float] = {}
+        info = loader.outdir / "infoParticles.yml"
+        if info.exists():
+            spec = yaml.safe_load(info.read_text()) or {}
+            for col in (spec.get("particles", {}) or {}).get("columns", []):
+                self.columns.append(str(col["name"]))
+                self.factors[str(col["name"])] = float(col.get("factor", 1.0))
+
+    @property
+    def var_names(self) -> list[str]:
+        return self.columns + [n for n in self._DERIVED if self.columns]
+
+    def _raw(self, N):
+        path = self._l.outdir / "snapshots" \
+            / self._l.resolve_snapshot(N) / "particles.bin"
+        raw = np.fromfile(path, np.float64)
+        ncols = len(self.columns) or 9
+        if raw.size % ncols:                      # older 7-column records
+            ncols = 7
+        return raw.reshape(-1, ncols)
+
+    def get(self, varname: str, N: int | str = "last", cgs: bool = False):
+        """One column (or derived cartesian variable) for snapshot N."""
+        arr = self._raw(N)
+        cols = self.columns or ["r", "phi", "r dot", "phi dot", "size",
+                                "stokes", "alive", "timestep", "facold"]
+        if varname in self._DERIVED:
+            r, phi = arr[:, cols.index("r")], arr[:, cols.index("phi")]
+            if varname == "x":
+                out = r * np.cos(phi)
+            elif varname == "y":
+                out = r * np.sin(phi)
+            else:
+                rd = arr[:, cols.index("r dot")]
+                pd = arr[:, cols.index("phi dot")]
+                if varname == "vx":
+                    out = rd * np.cos(phi) - r * pd * np.sin(phi)
+                else:
+                    out = rd * np.sin(phi) + r * pd * np.cos(phi)
+            fac = self.factors.get("r", 1.0)
+            if varname in ("vx", "vy"):
+                fac = self.factors.get("r dot", 1.0)
+            return out * fac if cgs else out
+        idx = cols.index(varname)
+        if idx >= arr.shape[1]:
+            raise KeyError(f"column {varname!r} absent from this snapshot")
+        out = arr[:, idx]
+        return out * self.factors.get(varname, 1.0) if cgs else out
+
+    def timeseries(self, varnames, snapshots=None, cgs: bool = False):
+        """dict of (n_snapshots, n_particles) arrays over the requested
+        snapshots (default: all registered)."""
+        if isinstance(varnames, str):
+            varnames = [varnames]
+        sids = snapshots if snapshots is not None else self._l.snapshots
+        return {v: np.stack([self.get(v, sid, cgs=cgs) for sid in sids])
+                for v in varnames}
+
+
+class Params:
+    """Config provenance of a snapshot (the copied ``config.yml``),
+    dict-like (reference python_module/fargocpt/data.py ``Params``)."""
+
+    def __init__(self, loader: "Loader", N: int | str = "last"):
+        path = loader.outdir / "snapshots" / loader.resolve_snapshot(N) \
+            / "config.yml"
+        if not path.exists():                      # fall back to the run copy
+            path = loader.outdir / "parameters" / "setup.yml"
+        self._data = yaml.safe_load(path.read_text()) or {}
+
+    def __getitem__(self, key):
+        for k, v in self._data.items():
+            if str(k).lower() == str(key).lower():
+                return v
+        raise KeyError(key)
+
+    def __contains__(self, key):
+        try:
+            self[key]
+            return True
+        except KeyError:
+            return False
+
+    def keys(self):
+        return self._data.keys()
+
 
 class Loader:
     """Units-aware reader of a simulation output directory."""
@@ -91,7 +207,14 @@ class Loader:
         const_file = self.outdir / "constants.yml"
         self.constants = yaml.safe_load(const_file.read_text()) \
             if const_file.exists() else {}
+        info2d_file = self.outdir / "info2D.yml"
+        self.info2d = yaml.safe_load(info2d_file.read_text()) \
+            if info2d_file.exists() else {}
         self.gas = GasVars(self)
+        self.particles = ParticleVars(self)
+
+    def params(self, N: int | str = "last") -> Params:
+        return Params(self, N)
 
     # -- snapshots -----------------------------------------------------
     @property

@@ -91,6 +91,17 @@ class OutputWriter:
         self._write_info1d()
         if self.sim.state.particles is not None:
             self._write_info_particles()
+        # config provenance: library-constructed runs dump the raw config
+        # dict; the CLI overwrites this with a copy of the actual setup
+        # file (reference src/output.cpp:249-304 always saves its config)
+        setup = self.outdir / "parameters" / "setup.yml"
+        if not setup.exists():
+            cfg = getattr(self.sim, "cfg", None)
+            if cfg is not None and getattr(cfg, "_raw", None) is not None:
+                import yaml as _yaml
+                setup.write_text(_yaml.safe_dump(
+                    {cfg._orig_case[k]: v for k, v in cfg._raw.items()},
+                    sort_keys=False, default_flow_style=False))
 
     def _write_dimensions(self):
         g = self.sim.geometry
@@ -192,7 +203,8 @@ class OutputWriter:
                 ("r dot", "cm s^-1", un.velocity),
                 ("phi dot", "s^-1", 1.0 / un.time),
                 ("size", "cm", un.length), ("stokes", "1", 1.0),
-                ("alive", "1", 1.0)]
+                ("alive", "1", 1.0),
+                ("timestep", "s", un.time), ("facold", "1", 1.0)]
         lines = ["# particle output description", "# version 0.1",
                  "particles:", "  filename: particles.bin",
                  f"  record: {len(cols)} float64 per particle",

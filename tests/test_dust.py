@@ -233,6 +233,32 @@ def test_particle_snapshot_restart(tmp_path):
     np.testing.assert_array_equal(arr[:, 7], np.asarray(p2.timestep))
     np.testing.assert_array_equal(arr[:, 8], np.asarray(p2.facold))
 
+    # analysis Loader particle API (reference
+    # python_module/fargocpt/data.py Particles)
+    from fargocpt_tpu.analysis import Loader
+    ld = Loader(tmp_path / "o")
+    assert ld.particles.columns[:2] == ["r", "phi"]
+    np.testing.assert_array_equal(ld.particles.get("r", snaps[-1]),
+                                  arr[:, 0])
+    x = ld.particles.get("x", snaps[-1])
+    np.testing.assert_allclose(x, arr[:, 0] * np.cos(arr[:, 1]),
+                               rtol=1e-14)
+    r_cgs = ld.particles.get("r", snaps[-1], cgs=True)
+    fac = ld.particles.factors["r"]
+    np.testing.assert_allclose(r_cgs, arr[:, 0] * fac, rtol=1e-14)
+    ts = ld.particles.timeseries(["r", "vx"])
+    assert ts["r"].shape == (len(ld.snapshots), arr.shape[0])
+    # snapshot config provenance
+    pr = ld.params()
+    assert "Nrad" in pr
+    # cgs factor application on a 2-D field
+    sig_code = ld.gas.get("Sigma", snaps[-1], grid=False)
+    sig_cgs = ld.gas.get("Sigma", snaps[-1], grid=False, cgs=True)
+    np.testing.assert_allclose(
+        sig_cgs, sig_code * ld.gas.cgs_factor("Sigma"), rtol=1e-14)
+    assert ld.gas.cgs_factor("Sigma") > 1.0
+    assert "Sigma" in ld.gas.var_names(snaps[-1])
+
 
 def test_particle_disk_gravity_kick():
     """ParticleDiskGravityEnabled: the SG acceleration field pulls
