@@ -41,6 +41,9 @@ class Config:
         self._raw: dict[str, Any] = {}
         self._orig_case: dict[str, str] = {}
         self._visited: set[str] = set()
+        # key -> value-or-default actually used, for WriteDefaultValues
+        # (reference src/config.cpp write_default)
+        self._consulted: dict[str, Any] = {}
         self.units = units or u.Units()
         if data:
             for k, v in data.items():
@@ -87,21 +90,28 @@ class Config:
             val = self._fetch(key)
         else:
             val = default
+        self._consulted.setdefault(key, val)
         if val is None:
             return None
         return _coerce(val, default, dim, type, self.units)
 
     def get_flag(self, key: str, default=False) -> bool:
         if self.contains(key):
-            return parse_flag(self._fetch(key))
-        if isinstance(default, str):
-            return parse_flag(default)
-        return bool(default)
+            out = parse_flag(self._fetch(key))
+        elif isinstance(default, str):
+            out = parse_flag(default)
+        else:
+            out = bool(default)
+        self._consulted.setdefault(key, "yes" if out else "no")
+        return out
 
     def get_lowercase(self, key: str, default: str = "") -> str:
         if self.contains(key):
-            return str(self._fetch(key)).strip().lower()
-        return str(default).strip().lower()
+            out = str(self._fetch(key)).strip().lower()
+        else:
+            out = str(default).strip().lower()
+        self._consulted.setdefault(key, out)
+        return out
 
     def get_raw(self, key: str, default=None):
         if self.contains(key):
@@ -119,6 +129,11 @@ class Config:
     def get_subconfigs(self, key: str) -> list["Config"]:
         """List of sub-mappings (e.g. the 'nbody' planet list)."""
         return [Config(d, units=self.units) for d in self.get_list(key)]
+
+    def consulted_values(self) -> dict:
+        """Every key the run consulted mapped to the value (or default)
+        it actually used — the WriteDefaultValues dump."""
+        return dict(sorted(self._consulted.items()))
 
     # -- key bookkeeping ------------------------------------------------------
     def unknown_keys(self) -> list[str]:

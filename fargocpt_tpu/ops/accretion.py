@@ -123,7 +123,17 @@ def accrete_onto_planets(phys: Physics, constants, g: Geom, nb, bodies,
                 continue
             facc = dt * 3.0 * jnp.pi * accretion_efficiency[k]
             dist_max = phys.accretion_radius_fraction * r_hill
-            f_const = 3.0 / jnp.pi / dist_max ** 2
+            if phys.visc_accret_massflow_test:
+                # ViscAccretMassflowTest normalization (reference
+                # src/accretion.cpp:360-371, replicated verbatim incl. the
+                # d^2/6 first term); RMIN = Ra[1] by grid convention
+                rmin = g.ra[1, 0]
+                area = 2.0 * jnp.pi * (
+                    (0.5 * dist_max ** 2 - dist_max ** 2 / 3.0)
+                    - (0.5 * rmin ** 2 - rmin ** 3 / (3.0 * dist_max)))
+                f_const = 1.0 / area
+            else:
+                f_const = 3.0 / jnp.pi / dist_max ** 2
             spread = f_const * (1.0 - dist / dist_max)
             zone = dist < dist_max
             f1 = jnp.where(zone,

@@ -33,8 +33,10 @@ class DampingZones:
         GM = constants.G * phys.hydro_center_mass
         tau_in = phys.damping_time_factor * 2.0 * np.pi \
             / np.sqrt(GM / rmin ** 3)
+        r_tau_out = phys.damping_time_radius_outer \
+            if phys.damping_time_radius_outer > 0.0 else rmax
         tau_out = phys.damping_time_factor * 2.0 * np.pi \
-            / np.sqrt(GM / rmax ** 3)
+            / np.sqrt(GM / r_tau_out ** 3)
 
         def cols(radius):
             r_in = rmin * phys.damping_inner_limit

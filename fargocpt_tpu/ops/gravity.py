@@ -101,6 +101,11 @@ def disk_on_body_accel(phys: Physics, constants, g: Geom,
     if axis_name is not None:
         ax = jax.lax.psum(ax, axis_name)
         ay = jax.lax.psum(ay, axis_name)
+    if phys.planet_orbit_disk_test and n_bodies > 0:
+        # test mode: body 0 orbits in a fixed potential, feeling no disk
+        # (reference src/Pframeforce.cpp:218-221)
+        ax = ax.at[0].set(0.0)
+        ay = ay.at[0].set(0.0)
     return ax, ay
 
 

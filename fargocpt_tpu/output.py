@@ -76,6 +76,15 @@ class OutputWriter:
             for name, arr in (("Sigma", rv.sigma0), ("energy", rv.energy0),
                               ("vrad", rv.vrad0), ("vazi", rv.vaz0)):
                 np.asarray(arr, np.float64).tofile(refdir / f"{name}.dat")
+        # WriteDefaultValues: dump every config key the run consulted,
+        # including the defaults it fell back to (reference
+        # src/Interpret.cpp:695-697 cfg.write_default)
+        if sim.phys.write_default_values:
+            defaults = getattr(getattr(sim, "cfg", None),
+                               "consulted_values", lambda: {})()
+            (self.outdir / "default_config.yml").write_text(
+                yaml.safe_dump(defaults, sort_keys=True,
+                               default_flow_style=False))
         # hook into the simulation
         sim.monitor_hooks.append(self._on_monitor)
         sim.snapshot_hooks.append(self._on_snapshot)
@@ -237,10 +246,15 @@ class OutputWriter:
 
         f = sim.fields
         w = self._awriter.write
-        w(sdir / "Sigma.dat", np.asarray(f.sigma))
-        w(sdir / "vrad.dat", np.asarray(f.vrad))
-        w(sdir / "vazi.dat", np.asarray(f.vaz))
-        w(sdir / "energy.dat", np.asarray(f.energy))
+        # prognostic gates (reference src/parameters.cpp:243-250
+        # WriteDensity/WriteVelocity/WriteEnergy, default on)
+        if sim.phys.write_density:
+            w(sdir / "Sigma.dat", np.asarray(f.sigma))
+        if sim.phys.write_velocity:
+            w(sdir / "vrad.dat", np.asarray(f.vrad))
+            w(sdir / "vazi.dat", np.asarray(f.vaz))
+        if sim.phys.write_energy:
+            w(sdir / "energy.dat", np.asarray(f.energy))
         if sim.phys.is_adiabatic:
             gam = sim.phys.adiabatic_index
             temp = sim.phys.mu / sim.constants.R * (gam - 1.0) \
@@ -249,18 +263,45 @@ class OutputWriter:
         # Q grids for bitwise-exact restart (reference src/restart.cpp:73-90,
         # written only when BitwiseExactRestarting is on and the run is not
         # locally isothermal, src/output.cpp:259)
-        if sim.phys.bitwise_exact_restarting and sim.phys.is_adiabatic:
+        if (sim.phys.bitwise_exact_restarting or sim.phys.write_qplus) \
+                and sim.phys.is_adiabatic:
             w(sdir / "Qplus.dat", np.asarray(sim.state.qplus))
+        if (sim.phys.bitwise_exact_restarting or sim.phys.write_qminus) \
+                and sim.phys.is_adiabatic:
             w(sdir / "Qminus.dat", np.asarray(sim.state.qminus))
 
         # 1-D radial profiles: interleaved [radius, azi-avg, min, max]
         # per ring (reference src/polargrid.cpp:187-260 write1D)
-        self._write_1d(sdir, "Sigma", np.asarray(f.sigma),
-                       sim.geometry.rmed)
-        self._write_1d(sdir, "vrad", np.asarray(f.vrad), sim.geometry.ra)
-        self._write_1d(sdir, "vazi", np.asarray(f.vaz), sim.geometry.rmed)
-        self._write_1d(sdir, "energy", np.asarray(f.energy),
-                       sim.geometry.rmed)
+        if sim.phys.write_density:
+            self._write_1d(sdir, "Sigma", np.asarray(f.sigma),
+                           sim.geometry.rmed)
+        if sim.phys.write_velocity:
+            self._write_1d(sdir, "vrad", np.asarray(f.vrad),
+                           sim.geometry.ra)
+            self._write_1d(sdir, "vazi", np.asarray(f.vaz),
+                           sim.geometry.rmed)
+        if sim.phys.write_energy:
+            self._write_1d(sdir, "energy", np.asarray(f.energy),
+                           sim.geometry.rmed)
+        if sim.phys.write_radial_luminosity or \
+                sim.phys.write_radial_dissipation:
+            # ring-integrated Q-/Q+ (reference src/quantities.cpp:720-770
+            # calculate_radial_luminosity/dissipation: sum_phi Q Rmed dr
+            # dphi), written in the common 1-D [radius, v, v, v] layout
+            g2 = sim.stepper.g
+            dr = np.asarray(g2.rsup - g2.rinf)[:, 0]
+            dphi = sim.geometry.dphi
+            rmed = sim.geometry.rmed
+            if sim.phys.write_radial_luminosity:
+                lum = np.asarray(sim.state.qminus).sum(axis=1) \
+                    * rmed * dr * dphi
+                self._write_1d(sdir, "Luminosity",
+                               np.repeat(lum[:, None], 1, axis=1), rmed)
+            if sim.phys.write_radial_dissipation:
+                dis = np.asarray(sim.state.qplus).sum(axis=1) \
+                    * rmed * dr * dphi
+                self._write_1d(sdir, "Dissipation",
+                               np.repeat(dis[:, None], 1, axis=1), rmed)
         if sim.phys.is_adiabatic:
             gam = sim.phys.adiabatic_index
             temp = sim.phys.mu / sim.constants.R * (gam - 1.0) \
@@ -463,6 +504,22 @@ class OutputWriter:
             return jnp.full_like(f.sigma, phys.viscous_alpha)
         if name == "AspectRatio":
             return h * g.inv_rb
+        if name == "Tau":
+            # vertical optical depth (reference src/compute.cpp:41-87
+            # midplane tau = tau_factor/density_factor * kappa * Sigma)
+            from .ops.energy import kappa_tau_eff
+            temp = eos.temperature(phys, constants, f.sigma, f.energy,
+                                   press, pv)
+            _k, tau, _te = kappa_tau_eff(phys, constants, sim.units,
+                                         f.sigma, temp, h)
+            return tau
+        if name in ("SGAccelRad", "SGAccelAzi"):
+            # self-gravity acceleration grids (reference src/data.cpp
+            # SG_ACCEL_RAD/AZI, filled by selfgravity.cpp)
+            if st.selfgravity is None:
+                return jnp.zeros_like(f.sigma)
+            g_r, g_t = st.selfgravity.accelerations(f.sigma)
+            return g_r if name == "SGAccelRad" else g_t
         if name == "tau_eff":
             # WriteVerticalOpticalDepth -> the tau_eff grid SubStep3 fills
             # (reference src/SourceEuler.cpp:925, src/compute.cpp:41-87)
@@ -773,7 +830,8 @@ class OutputWriter:
 
     # hooks ---------------------------------------------------------------
     def _on_monitor(self, sim):
-        self.write_quantities()
+        if sim.phys.write_disk_quantities:
+            self.write_quantities()
         self.write_timestep_log()
         self.write_nbody_monitor()
         if sim.phys.write_lightcurves:

@@ -136,6 +136,15 @@ class Physics:
     corotation_reference_body: int = 1
     indirect_term_mode: int = 0
     indirect_term_disk_on_disk: bool = False
+    # disk-accel on body 0 zeroed: orbit-in-fixed-potential test mode
+    # (reference src/parameters.cpp:790, Pframeforce.cpp:218-221)
+    planet_orbit_disk_test: bool = False
+    # alternate f=1-r/R normalization of the viscous accretion stencil
+    # (reference src/parameters.cpp:844, accretion.cpp:360-377)
+    visc_accret_massflow_test: bool = False
+    # snap planet semi-major axes to cell-center radii at init
+    # (reference src/Interpret.cpp:583, nbody/planetary_system.cpp:198-204)
+    cic_planet: bool = False
     disk_feedback: bool = True
 
     # initialization
@@ -165,8 +174,9 @@ class Physics:
     bc_vaz_outer: str = "keplerian"
     keplerian_azimuthal_inner_factor: float = 1.0
     keplerian_azimuthal_outer_factor: float = 1.0
-    keplerian_radial_inner_factor: float = 1.0
-    keplerian_radial_outer_factor: float = 1.0
+    # reference default 0.1 (src/boundary_conditions/config.cpp:221,:255)
+    keplerian_radial_inner_factor: float = 0.1
+    keplerian_radial_outer_factor: float = 0.1
     viscous_outflow_speed: float = 1.0
     domegadr_zero: bool = False
 
@@ -175,6 +185,9 @@ class Physics:
     damping_inner_limit: float = 1.05
     damping_outer_limit: float = 0.95
     damping_time_factor: float = 1.0
+    # radius whose Omega_K sets the OUTER damping timescale (reference
+    # src/boundary_conditions/damping.cpp:199-205); 0.0 = unset -> RMAX
+    damping_time_radius_outer: float = 0.0
     damping_energy_inner: str = "none"
     damping_vradial_inner: str = "none"
     damping_vazimuthal_inner: str = "none"
@@ -253,6 +266,19 @@ class Physics:
     # global switch for the 1-D radial profile outputs
     # (reference parameters.cpp:242)
     do_write_1d: bool = True
+    # prognostic-field output gates (reference src/parameters.cpp:243-250)
+    write_density: bool = True
+    write_velocity: bool = True
+    write_energy: bool = True
+    write_qplus: bool = False
+    write_qminus: bool = False
+    write_tau: bool = False
+    write_sg_accel_rad: bool = False
+    write_sg_accel_azi: bool = False
+    write_radial_luminosity: bool = False
+    write_radial_dissipation: bool = False
+    write_disk_quantities: bool = True
+    write_default_values: bool = False
     # runtime-log throttles (reference logging.cpp:214-235); this rebuild
     # logs at monitor boundaries (the step loop is on-device), so these act
     # as minimum gaps between monitor-boundary log lines
@@ -383,6 +409,29 @@ def physics_from_config(cfg: Config, un: u.Units, dtype: str = "float64") -> Phy
     eos, gamma = _parse_eos(cfg)
     bcs = _parse_bcs(cfg)
 
+    # hard errors on removed/renamed keys, matching the reference's die()
+    # calls (src/parameters.cpp:689, src/boundary_conditions/damping.cpp:259)
+    if cfg.contains("cvnr"):
+        raise ValueError(
+            "Parameter CVNR has been renamed to ArtificialViscosityFactor")
+    for dep in ("DampingEnergy", "DampingSurfaceDensity", "DampingVRadial",
+                "DampingVAzimuthal"):
+        if cfg.contains(dep.lower()):
+            raise ValueError(
+                f"{dep} is deprecated: use {dep}Inner and {dep}Outer")
+
+    self_gravity = cfg.get_flag("SelfGravity", False)
+    it_dod = cfg.get_lowercase("IndirectTermDiskOnDisk", "auto")
+    if it_dod == "auto":       # reference src/parameters.cpp:809-824
+        indirect_disk_on_disk = self_gravity
+    elif it_dod in ("yes", "true", "1"):
+        indirect_disk_on_disk = True
+    elif it_dod in ("no", "false", "0"):
+        indirect_disk_on_disk = False
+    else:
+        raise ValueError(
+            f"invalid IndirectTermDiskOnDisk choice {it_dod!r}")
+
     surface_cooling = cfg.get_lowercase("SurfaceCooling", "No")
     cooling_surface_enabled = surface_cooling in ("yes", "thermal")
     cooling_scurve_enabled = surface_cooling == "scurve"
@@ -479,10 +528,10 @@ def physics_from_config(cfg: Config, un: u.Units, dtype: str = "float64") -> Phy
             "RadiativeDiffusionInnerBoundary", "none"),
         fld_outer_boundary=cfg.get_lowercase(
             "RadiativeDiffusionOuterBoundary", "none"),
-        self_gravity=cfg.get_flag("SelfGravity", False),
+        self_gravity=self_gravity,
+        indirect_term_disk_on_disk=indirect_disk_on_disk,
         correct_disk_selfgravity=cfg.get_flag(
-            "CorrectDiskSelfgravity",
-            not cfg.get_flag("SelfGravity", False)),
+            "CorrectDiskSelfgravity", not self_gravity),
         self_gravity_mode=cfg.get_lowercase("SelfGravityMode", "besselkernel"),
         sg_kernel_update_interval=cfg.get(
             "SelfGravityStepsBetweenKernelUpdate", 20, type=int),
@@ -532,6 +581,8 @@ def physics_from_config(cfg: Config, un: u.Units, dtype: str = "float64") -> Phy
         damping_inner_limit=cfg.get("DampingInnerLimit", 1.05, type=float),
         damping_outer_limit=cfg.get("DampingOuterLimit", 0.95, type=float),
         damping_time_factor=cfg.get("DampingTimeFactor", 1.0, type=float),
+        damping_time_radius_outer=cfg.get(
+            "DampingTimeRadiusOuter", 0.0, dim=u.DIM_LENGTH, type=float),
         damping_energy_inner=cfg.get_lowercase("DampingEnergyInner", "none"),
         damping_vradial_inner=cfg.get_lowercase("DampingVRadialInner", "none"),
         damping_vazimuthal_inner=cfg.get_lowercase("DampingVAzimuthalInner", "none"),
@@ -589,6 +640,32 @@ def physics_from_config(cfg: Config, un: u.Units, dtype: str = "float64") -> Phy
         bitwise_exact_restarting=cfg.get_flag("BitwiseExactRestarting",
                                               False),
         do_write_1d=cfg.get_flag("DoWrite1DFiles", True),
+        write_density=cfg.get_flag("WriteDensity", True),
+        write_velocity=cfg.get_flag("WriteVelocity", True),
+        write_energy=cfg.get_flag("WriteEnergy", True),
+        write_qplus=cfg.get_flag("WriteQPlus", False),
+        write_qminus=cfg.get_flag("WriteQMinus", False),
+        write_tau=cfg.get_flag("WriteTau", False),
+        write_sg_accel_rad=cfg.get_flag("WriteSGAccelRad", False),
+        write_sg_accel_azi=cfg.get_flag("WriteSGAccelAzi", False),
+        write_radial_luminosity=cfg.get_flag("WriteRadialLuminosity",
+                                             False),
+        write_radial_dissipation=cfg.get_flag("WriteRadialDissipation",
+                                              False),
+        write_disk_quantities=cfg.get_flag("WriteDiskQuantities", True),
+        write_default_values=cfg.get_flag("WriteDefaultValues", False),
+        planet_orbit_disk_test=cfg.get_flag("PlanetOrbitDiskTest", False),
+        visc_accret_massflow_test=cfg.get_flag("ViscAccretMassflowTest",
+                                               False),
+        cic_planet=cfg.get_flag("CICPLANET", False),
+        keplerian_azimuthal_inner_factor=cfg.get(
+            "InnerBoundaryVaziKeplerianFactor", 1.0, type=float),
+        keplerian_azimuthal_outer_factor=cfg.get(
+            "OuterBoundaryVaziKeplerianFactor", 1.0, type=float),
+        keplerian_radial_inner_factor=cfg.get(
+            "InnerBoundaryVradKeplerianFactor", 0.1, type=float),
+        keplerian_radial_outer_factor=cfg.get(
+            "OuterBoundaryVradKeplerianFactor", 0.1, type=float),
         log_after_steps=cfg.get("LogAfterSteps", 0, type=int),
         log_after_real_seconds=cfg.get("LogAfterRealSeconds", 600.0,
                                        type=float),
@@ -659,6 +736,9 @@ _SNAPSHOT_FIELD_FLAGS = (
     ("WriteAlpha", ("Alpha",)),
     ("WriteScaleHeight", ("ScaleHeight",)),
     ("WritepDV", ("PdivV",)),
+    ("WriteTau", ("Tau",)),
+    ("WriteSGAccelRad", ("SGAccelRad",)),
+    ("WriteSGAccelAzi", ("SGAccelAzi",)),
 )
 
 

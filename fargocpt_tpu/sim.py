@@ -89,6 +89,25 @@ class Simulation:
                 if (b.semi_major_axis > 1e-10
                     and b.cubic_smoothing_factor == 0.0) else b
                 for b in self.bodies]
+        if self.phys.cic_planet:
+            # CICPLANET: planets start centered in a cell — snap the
+            # semi-major axis to the nearest cell-center radius (reference
+            # src/nbody/planetary_system.cpp:198-204)
+            import dataclasses as _dc
+            geom_cic = Geometry.from_config(cfg)
+            snapped = []
+            for b in self.bodies:
+                if b.semi_major_axis > 1e-10:
+                    if b.eccentricity > 0.0:
+                        raise ValueError(
+                            "CICPLANET with eccentricity > 0 is not "
+                            "supported (matches reference)")
+                    a = geom_cic.rmed[
+                        int(np.argmin(np.abs(geom_cic.rmed
+                                             - b.semi_major_axis)))]
+                    b = _dc.replace(b, semi_major_axis=float(a))
+                snapped.append(b)
+            self.bodies = snapped
         self.n_hydroframe = nbody_sys.hydroframe_center_count(
             cfg, len(self.bodies))
         nb_init = nbody_sys.initialize_system(self.bodies, self.constants.G,
