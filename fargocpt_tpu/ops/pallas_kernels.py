@@ -874,6 +874,269 @@ def make_cfl_cols(g, cs_iso, hfac, dtype):
 
 
 # ---------------------------------------------------------------------------
+# Fused FARGO transport: ONE row-tiled kernel for the complete transport
+# substep — momenta construction, radial van Leer sweep, both azimuthal
+# sweeps (residual + uniform), the per-ring integer-cell roll, and the
+# velocity reconstruction (reference src/TransportEuler.cpp:112-685).
+#
+# The (K, NR, NAZ) advected-quantity batch exists only in VMEM scratch:
+# the staged pipeline (radial kernel -> HBM batch -> theta kernel -> HBM
+# batch -> XLA reconstruction) becomes one read of sigma/vrad/vaz/energy
+# (+ a 3-row radial halo per tile) and one write of the four updated
+# fields plus the monitoring mass flux. Azimuthal neighbors are
+# in-register lane rolls; radial neighbors are sublane shifts of the
+# extended tile; the FARGO integer shift is a per-ring dynamic lane roll
+# with the shift vector in SMEM.
+# ---------------------------------------------------------------------------
+
+_TR_COLS = dict(rb=0, inv_rb=1, ra=2, invdrm=3, cm=4, cp=5, inv_surf=6,
+                coef=7, inv_dxtheta=8)
+_N_TR_COLS = 16
+_TR_HALO = 3
+
+
+def make_transport_prep(g, dtype, tile: int):
+    """Windowed static geometry columns (n_tiles, tile+6, C); window row p
+    of tile i holds global ring/face index i*tile - 3 + p (clipped)."""
+    nr = g.nrad
+    n_tiles = nr // tile
+    rme = g.rmed_ext
+    zc = jnp.zeros((1, 1), rme.dtype)
+    cm = jnp.concatenate([zc, rme[1:] - rme[:-1]], axis=0)   # (NR+1,1)
+    cp = jnp.concatenate([rme[1:] - rme[:-1], zc], axis=0)
+    cols = jnp.zeros((nr + 1, _N_TR_COLS), dtype)
+    named = {
+        "rb": g.rb, "inv_rb": g.inv_rb, "ra": g.ra,
+        "invdrm": g.inv_diff_rmed, "cm": cm, "cp": cp,
+        "inv_surf": g.inv_surf, "coef": g.rsup - g.rinf,
+        "inv_dxtheta": g.inv_rb * (1.0 / g.dphi),
+    }
+    for name, arr in named.items():
+        a = jnp.asarray(arr, dtype)[:, 0]
+        cols = cols.at[:a.shape[0], _TR_COLS[name]].set(a)
+    idx = jnp.clip(jnp.arange(-_TR_HALO, tile + _TR_HALO)[None, :]
+                   + (jnp.arange(n_tiles) * tile)[:, None], 0, nr)
+    return cols[idx]
+
+
+def _transport_kernel(scal_ref, shift_ref, cols_ref, vm_ref, vc_ref,
+                      sig_ref, sig_t, sig_b, vr_ref, vr_t, vr_b,
+                      va_ref, va_t, va_b, e_ref, e_t, e_b,
+                      sig_out, e_out, vr_out, va_out, flux_out,
+                      batch_ref, *,
+                      nr: int, tile: int, adiabatic: bool, limiter: int,
+                      fast: bool, dphi: float):
+    """One radial tile (rows [i*tile, i*tile+tile), 3-row halos) of the
+    fused transport. vm/vc are the per-ring azimuthal-mean and residual
+    uniform velocities (windowed columns computed by the wrapper);
+    shift_ref holds the per-ring integer shifts in SMEM."""
+    dt = scal_ref[0]
+    omega = scal_ref[1]
+    H = _TR_HALO
+    P = tile + 2 * H
+
+    ext = lambda m, t, b: jnp.concatenate([t[0], m[:], b[0]], axis=0)
+    sig = ext(sig_ref, sig_t, sig_b)
+    vr = ext(vr_ref, vr_t, vr_b)                   # face rows
+    va = ext(va_ref, va_t, va_b)
+    en = ext(e_ref, e_t, e_b)
+    cols = cols_ref[0]
+    col = lambda name: cols[:, _TR_COLS[name]:_TR_COLS[name] + 1]
+    vmean = vm_ref[0]                              # (P, 1)
+    vconst = vc_ref[0]
+
+    i = pl.program_id(0)
+    gidx = i * tile - H + jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+
+    up = lambda x: jnp.concatenate([x[1:], x[-1:]], axis=0)
+    dn = lambda x: jnp.concatenate([x[:1], x[:-1]], axis=0)
+    lim = _mc if limiter == 1 else _van_leer
+
+    # ---- radial van Leer sweep with in-register momenta ---------------
+    # (reference src/TransportEuler.cpp:138-167 + :349-406 + :471-493)
+    invdrm = col("invdrm")
+    m_dq = (gidx >= 1) & (gidx <= nr - 2)
+    m_star = (gidx >= 1) & (gidx <= nr - 1)
+
+    def star_radial(work):
+        dqm = (work - dn(work)) * invdrm
+        dqp = (up(work) - work) * up(invdrm)
+        dq = jnp.where(m_dq, lim(dqp, dqm), 0.0)
+        upv = dn(work) + (col("cm") - vr * dt) * 0.5 * dn(dq)
+        dnv = work - (col("cp") + vr * dt) * 0.5 * dq
+        return jnp.where(m_star, jnp.where(vr > 0.0, upv, dnv), 0.0)
+
+    dens_star = star_radial(sig)
+    base = (dt * dphi) * col("ra") * dens_star * vr      # sigma flux, faces
+    rb = col("rb")
+    corot = rb * omega
+    works = [up(vr), vr, (_roll(va, -1) + corot) * rb, (va + corot) * rb]
+    if adiabatic:
+        works.append(en / sig)
+    works.append(jnp.ones_like(sig))
+    k_quant = len(works)
+
+    inv_surf = col("inv_surf")
+    swept = []
+    for k, work in enumerate(works):
+        if k == k_quant - 1:
+            fl = base
+        else:
+            fl = star_radial(work) * base
+        q = work * sig
+        swept.append(q + (fl - up(fl)) * inv_surf)
+
+    # ---- azimuthal sweeps (residual + uniform) ------------------------
+    # (reference src/TransportEuler.cpp:171-235 + :416-466 + :630-664)
+    dxtheta = dphi * rb
+    inv_dxtheta = col("inv_dxtheta")
+    coef = col("coef") * dt
+
+    def star_theta(q, ksi):
+        qm = _roll(q, 1)
+        dq = 0.5 * lim(_roll(q, -1) - q, q - qm) * inv_dxtheta
+        upv = qm + (dxtheta - ksi) * _roll(dq, 1)
+        dnv = q - (dxtheta + ksi) * dq
+        return jnp.where(ksi > 0.0, upv, dnv)
+
+    def sweep(fields, v):
+        ksi = v * dt
+        s = fields[k_quant - 1]
+        ds = star_theta(s, ksi)
+        inv_s = 1.0 / s
+        b = ds * v * coef
+        outs = []
+        for k in range(k_quant):
+            f = b if k == k_quant - 1 else star_theta(fields[k] * inv_s,
+                                                      ksi) * b
+            outs.append(fields[k] + (f - _roll(f, -1)) * inv_surf)
+        return outs
+
+    vres = va - vmean
+    if fast:
+        swept = sweep(swept, vres)
+        swept = sweep(swept, jnp.broadcast_to(vconst, vres.shape))
+    else:
+        swept = sweep(swept, vres + vconst)
+
+    # ---- per-ring integer-cell roll (AdvectSHIFT, :238-268) -----------
+    # Mosaic's dynamic lane rotate, row by row on the VMEM-resident batch
+    # (measured FASTER than a row-vectorized 12-bit static-roll+select
+    # decomposition: 1427 vs 1344 Mcell/s full-step at 1024x3072)
+    for k in range(k_quant):
+        batch_ref[k] = swept[k]
+
+    def body(p, carry):
+        sft = shift_ref[jnp.clip(i * tile - H + p, 0, nr - 1)]
+        batch_ref[:, p, :] = pltpu.roll(batch_ref[:, p, :], sft, axis=1)
+        return carry
+
+    # rows needed post-shift: output rows + one halo ring above for the
+    # vrad reconstruction (face f uses ring f-1)
+    jax.lax.fori_loop(H - 1, tile + H, body, 0)
+
+    rp = batch_ref[0]
+    rm = batch_ref[1]
+    ap = batch_ref[2]
+    am = batch_ref[3]
+    e_new = batch_ref[4] if adiabatic else en
+    s_new = batch_ref[k_quant - 1]
+
+    # ---- velocity reconstruction (:498-535) ---------------------------
+    vr_mid = (dn(rp) + rm) / (dn(s_new) + s_new)         # face f
+    vr_new = jnp.where((gidx >= 1) & (gidx <= nr - 1), vr_mid, 0.0)
+    va_new = (_roll(ap, 1) + am) / (_roll(s_new, 1) + s_new) \
+        * col("inv_rb") - rb * omega
+
+    w = slice(H, tile + H)
+    sig_out[...] = s_new[w]
+    e_out[...] = e_new[w]
+    vr_out[...] = vr_new[w]
+    va_out[...] = va_new[w]
+    flux_out[...] = base[w]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "tile", "adiabatic", "limiter", "fast", "dphi"))
+def transport_fused_pallas(sigma, vrad, vaz, energy, win_cols, nshift,
+                           vmean, vconst, dt, omega_frame, tile: int,
+                           adiabatic: bool, limiter: int, fast: bool,
+                           dphi: float):
+    """Complete fused FARGO transport. Returns
+    (sigma, vrad, vaz, energy, mass_flux) — vrad and mass_flux carry the
+    (NR+1)-th face row appended by the caller-visible contract (row NR of
+    vrad keeps its previous value; flux row NR is zero)."""
+    nr, naz = sigma.shape
+    H = _TR_HALO
+    n_tiles = nr // tile
+    k_quant = 6 if adiabatic else 5
+    base_rows = jnp.arange(n_tiles) * tile
+
+    def halos(arr):
+        nrows = arr.shape[0]
+        top = arr[jnp.clip(base_rows[:, None] + jnp.arange(-H, 0)[None, :],
+                           0, nrows - 1)]
+        bot = arr[jnp.clip(base_rows[:, None]
+                           + jnp.arange(tile, tile + H)[None, :],
+                           0, nrows - 1)]
+        return top, bot
+
+    def wincol(colarr):                            # (NR,1) -> windows
+        idx = jnp.clip(base_rows[:, None]
+                       + jnp.arange(-H, tile + H)[None, :], 0,
+                       colarr.shape[0] - 1)
+        return colarr[idx]                         # (n_tiles, P, 1)
+
+    sig_t, sig_b = halos(sigma)
+    vr_t, vr_b = halos(vrad)
+    va_t, va_b = halos(vaz)
+    e_t, e_b = halos(energy)
+    scal = jnp.stack([jnp.asarray(dt, sigma.dtype),
+                      jnp.asarray(omega_frame, sigma.dtype)])
+    shifts = jnp.mod(nshift, naz).astype(jnp.int32)
+
+    kernel = functools.partial(
+        _transport_kernel, nr=nr, tile=tile, adiabatic=adiabatic,
+        limiter=limiter, fast=fast, dphi=dphi)
+    main = lambda i: (i, 0)
+    halo = lambda i: (i, 0, 0)
+    P = tile + 2 * H
+    mspec = pl.BlockSpec((tile, naz), main, memory_space=pltpu.VMEM)
+    hspec = pl.BlockSpec((1, H, naz), halo, memory_space=pltpu.VMEM)
+    cspec = lambda c: pl.BlockSpec((1, P, c), halo, memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((2,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nr,), lambda i: (0,), memory_space=pltpu.SMEM),
+            cspec(_N_TR_COLS),
+            cspec(1), cspec(1),
+            mspec, hspec, hspec,                   # sigma
+            mspec, hspec, hspec,                   # vrad[:nr]
+            mspec, hspec, hspec,                   # vaz
+            mspec, hspec, hspec,                   # energy
+        ],
+        out_specs=(mspec, mspec, mspec, mspec, mspec),
+        out_shape=tuple(jax.ShapeDtypeStruct((nr, naz), sigma.dtype)
+                        for _ in range(5)),
+        scratch_shapes=[pltpu.VMEM((k_quant, P, naz), sigma.dtype)],
+        # large tiles at NAZ=3072 exceed the default 16 MB scoped-VMEM
+        # ceiling with double-buffered blocks; raise it
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(scal, shifts, win_cols, wincol(vmean),
+      wincol(vconst),
+      sigma, sig_t, sig_b, vrad[:nr], vr_t, vr_b,
+      vaz, va_t, va_b, energy, e_t, e_b)
+    sig_new, e_new, vr_new, va_new, flux = outs
+    vrad_out = jnp.concatenate([vr_new, vrad[nr:]], axis=0)
+    zrow = jnp.zeros((1, naz), sigma.dtype)
+    mass_flux = jnp.concatenate([flux, zrow], axis=0)
+    return sig_new, vrad_out, va_new, e_new, mass_flux
+
+
+# ---------------------------------------------------------------------------
 # Fused viscous kick: compression heating + SN artificial viscosity +
 # Navier-Stokes viscosity (stress tensor + velocity update) + SubStep3
 # (viscous heating, simple beta cooling, radiative correction factor) in

@@ -149,6 +149,18 @@ def velocities_from_momenta(g: Geom, sigma, rp, rm, ap, am, vrad_old,
     return vrad, vaz
 
 
+_TR_COLS_CACHE: dict = {}
+
+
+def _transport_cols(pk, g: Geom, dtype, tile: int):
+    """Memoized windowed geometry columns of the fused transport kernel
+    (static per geometry/dtype/tile — keep them out of the traced graph)."""
+    key = (id(g), jnp.dtype(dtype).name, tile)
+    if key not in _TR_COLS_CACHE:
+        _TR_COLS_CACHE[key] = pk.make_transport_prep(g, dtype, tile)
+    return _TR_COLS_CACHE[key]
+
+
 def transport(phys: Physics, g: Geom, sigma, vrad, vaz, energy,
               omega_frame, dt):
     """Full FARGO transport substep (reference src/TransportEuler.cpp:112-136
@@ -166,6 +178,22 @@ def transport(phys: Physics, g: Geom, sigma, vrad, vaz, energy,
     fuse = pk.use_pallas(sigma.dtype) and sigma.ndim == 2 \
         and sigma.shape[-1] % 128 == 0
     fuse_radial = fuse
+
+    # ---- fully-fused path: the whole transport in one kernel ----
+    # tile=32 measured ~7% faster than 16 at 1024x3072 (smaller halo share)
+    mega_tile = 32 if g.nrad % 32 == 0 else 16
+    if fuse and g.nrad % mega_tile == 0:
+        vmean = jnp.mean(vaz, axis=-1, keepdims=True)        # (NR,1)
+        ntilde = vmean * g.inv_rb * dt * g.invdphi
+        nround = jnp.floor(ntilde + 0.5)
+        nshift = nround.astype(jnp.int32)[:, 0]
+        vconst = (ntilde - nround) * g.rb * g.dphi / dt
+        cols = _transport_cols(pk, g, sigma.dtype, mega_tile)
+        return pk.transport_fused_pallas(
+            sigma, vrad, vaz, energy, cols, nshift, vmean, vconst, dt,
+            omega_frame, tile=mega_tile, adiabatic=adiabatic,
+            limiter=phys.flux_limiter_type, fast=phys.fast_transport,
+            dphi=g.dphi)
 
     # ---- radial sweep (OneWindRad, reference :138-167) ----
     density_star = star_radial(phys, g, sigma, vrad, dt)

@@ -380,3 +380,47 @@ def test_viscous_kick_fused_parity(setup, compress, artvisc_on):
                                rtol=1e-10, atol=1e-18)
     np.testing.assert_allclose(np.asarray(qm)[:63], np.asarray(qm_ref)[:63],
                                rtol=1e-10, atol=1e-18)
+
+
+@pytest.mark.parametrize("fast", [True, False])
+@pytest.mark.parametrize("adiabatic", [True, False])
+def test_transport_fused_parity(setup, adiabatic, fast):
+    """The single-kernel fused transport (momenta + radial sweep + both
+    azimuthal sweeps + FARGO roll + velocity reconstruction) matches the
+    composed jnp transport path."""
+    g, _, _, _ = setup
+    phys = Physics(eos="adiabatic" if adiabatic else "isothermal",
+                   adiabatic_index=1.4, aspectratio_ref=0.05,
+                   fast_transport=fast)
+    rng = np.random.default_rng(13)
+    sigma = jnp.asarray(rng.random((64, 256)) + 0.5)
+    energy = jnp.asarray(rng.random((64, 256)) * 1e-3 + 1e-3)
+    vaz = jnp.asarray((rng.random((64, 256)) - 0.5) * 0.1 + 1.0)
+    vrad = jnp.asarray((rng.random((65, 256)) - 0.5) * 0.05)
+    dt = jnp.float64(0.01)
+    omega = jnp.float64(0.3)
+
+    s_ref, vr_ref, va_ref, e_ref, mf_ref = transport.transport(
+        phys, g, sigma, vrad, vaz, energy, omega, dt)
+
+    vmean = jnp.mean(vaz, axis=-1, keepdims=True)
+    ntilde = vmean * g.inv_rb * dt * g.invdphi
+    nround = jnp.floor(ntilde + 0.5)
+    nshift = nround.astype(jnp.int32)[:, 0]
+    vconst = (ntilde - nround) * g.rb * g.dphi / dt
+    cols = pk.make_transport_prep(g, jnp.float64, 16)
+    with _interpret():
+        s, vr, va, e, mf = pk.transport_fused_pallas(
+            sigma, vrad, vaz, energy, cols, nshift, vmean, vconst, dt,
+            omega, tile=16, adiabatic=adiabatic,
+            limiter=phys.flux_limiter_type, fast=fast, dphi=g.dphi)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref),
+                               rtol=1e-11, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(e), np.asarray(e_ref),
+                               rtol=1e-11, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(vr), np.asarray(vr_ref),
+                               rtol=1e-11, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(va), np.asarray(va_ref),
+                               rtol=1e-11, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(mf), np.asarray(mf_ref),
+                               rtol=1e-11, atol=1e-15)
