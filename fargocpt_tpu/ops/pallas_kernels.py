@@ -1171,7 +1171,8 @@ def transport_fused_pallas(sigma, vrad, vaz, energy, win_cols, nshift,
 # ---------------------------------------------------------------------------
 
 _VK_COLS = dict(inv_diff_rsup=0, inv_rb=1, rb=2, invdrm=3, ra=4, inv_ra=5,
-                inv_diff_rsup_rb=6, two_diff_ra_sq=7, omega_k=8, hfac=9)
+                inv_diff_rsup_rb=6, two_diff_ra_sq=7, omega_k=8, hfac=9,
+                cs_iso=10)
 _N_VK_COLS = 16
 
 
@@ -1202,6 +1203,10 @@ def make_viscous_prep(phys, constants, g, dtype, tile: int):
     cols = put("two_diff_ra_sq", g.two_diff_ra_sq)
     cols = put("omega_k", omega_k)
     cols = put("hfac", hfac)
+    if not phys.is_adiabatic:
+        from . import eos as _eos
+        cols = put("cs_iso", _eos.sound_speed_iso_profile(
+            phys, constants, g.rb))
     idx = jnp.clip(jnp.arange(-2, tile + 2)[None, :]
                    + (jnp.arange(n_tiles) * tile)[:, None], 0, nr)
     return cols[idx]                               # (n_tiles, tile+4, C)
@@ -1211,7 +1216,8 @@ def _viscous_kick_kernel(scal_ref, cols_ref,
                          sig_ref, sig_t, sig_b, vr_ref, vr_t, vr_b,
                          va_ref, va_t, va_b, e_ref, e_t, e_b,
                          vr_out, va_out, e_out, qp_out, qm_out, *,
-                         nr: int, tile: int, gamma: float, alpha: float,
+                         nr: int, tile: int, adiabatic: bool, gamma: float,
+                         alpha: float,
                          const_nu: float, c2: float, artvisc: bool,
                          dissipation: bool, compress: bool, heating: bool,
                          heat_factor: float, rvf: float, beta_on: bool,
@@ -1252,7 +1258,7 @@ def _viscous_kick_kernel(scal_ref, cols_ref,
         return radial + (_roll(vax, -1) - vax) * invdxtheta
 
     # --- compression heating (post-sources velocities) -----------------
-    if compress:
+    if compress and adiabatic:
         e_c = en * jnp.exp(-(gamma - 1.0) * dt * div_of(vr, va))
         en = jnp.where((gidx >= 0) & (gidx <= nr - 2), e_c, en)
 
@@ -1262,7 +1268,7 @@ def _viscous_kick_kernel(scal_ref, cols_ref,
         dv_phi = _roll(va, -1) - va
         q_r = jnp.where(dv_r < 0.0, c2 * sig * dv_r * dv_r, 0.0)
         q_phi = jnp.where(dv_phi < 0.0, c2 * sig * dv_phi * dv_phi, 0.0)
-        if dissipation:
+        if dissipation and adiabatic:
             e1 = en - dt * q_r * dv_r * col("inv_diff_rsup") \
                 - dt * q_phi * dv_phi * invdxtheta
             en = jnp.where(m_int, e1, en)
@@ -1277,19 +1283,28 @@ def _viscous_kick_kernel(scal_ref, cols_ref,
     big = float(jnp.finfo(sig.dtype).max)
     emin_fac = min(tmin * rs, big)
     emax_fac = min(tmax * rs, big)
-    if dissipation:
+    if dissipation and adiabatic:
         # the step driver clamps after the artvisc stage whenever
         # dissipation is configured, even with artvisc "none"
         en = jnp.clip(en, emin_fac * sig, emax_fac * sig)
 
     # --- nu = alpha cs H (recalculate_viscosity) -----------------------
-    cs2 = gamma * (gamma - 1.0) * en / sig
     hfac = col("hfac")
-    h = jnp.sqrt(cs2) * hfac                       # cs / sqrt(gamma) / Om_K
-    if alpha > 0.0:
-        nu = alpha * cs2 * hfac
+    if adiabatic:
+        cs2 = gamma * (gamma - 1.0) * en / sig
+        h = jnp.sqrt(cs2) * hfac                   # cs / sqrt(gamma) / Om_K
+        nu_col = None
+        if alpha > 0.0:
+            nu = alpha * cs2 * hfac
+        else:
+            nu = jnp.full_like(sig, const_nu)
     else:
-        nu = jnp.full_like(sig, const_nu)
+        # locally isothermal mode 0: cs/H/nu are static ring columns
+        cs_iso = col("cs_iso")
+        h = cs_iso * hfac
+        nu_col = alpha * cs_iso * h if alpha > 0.0 \
+            else jnp.full_like(cs_iso, const_nu)
+        nu = jnp.broadcast_to(nu_col, sig.shape)
 
     # --- viscous stress tensor -----------------------------------------
     div_v = div_of(vr, va)
@@ -1324,6 +1339,16 @@ def _viscous_kick_kernel(scal_ref, cols_ref,
     vr = vr + jnp.where(m_face, dvr, 0.0)
 
     # --- SubStep3: Q+/Q-, radiative alpha, energy update ---------------
+    w = slice(2, tile + 2)
+    if not adiabatic:
+        # locally isothermal: no energy equation; Q grids stay zero
+        vr_out[...] = vr[w]
+        va_out[...] = va[w]
+        e_out[...] = en[w]
+        qp_out[...] = jnp.zeros_like(sig[w])
+        qm_out[...] = jnp.zeros_like(sig[w])
+        return
+
     trp_up = up(tau_rp)
     trp4 = 0.25 * (tau_rp + trp_up + _roll(tau_rp, -1) + _roll(trp_up, -1))
     nu_sig = nu * sig
@@ -1350,7 +1375,6 @@ def _viscous_kick_kernel(scal_ref, cols_ref,
     en = jnp.where(m_int, e_new, en)
     en = jnp.clip(en, emin_fac * sig, emax_fac * sig)
 
-    w = slice(2, tile + 2)
     vr_out[...] = vr[w]
     va_out[...] = va[w]
     e_out[...] = en[w]
@@ -1359,11 +1383,13 @@ def _viscous_kick_kernel(scal_ref, cols_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "tile", "gamma", "alpha", "const_nu", "c2", "artvisc", "dissipation",
+    "tile", "adiabatic", "gamma", "alpha", "const_nu", "c2", "artvisc",
+    "dissipation",
     "compress", "heating", "heat_factor", "rvf", "beta_on", "tmin", "tmax",
     "rs", "rad_fac", "mu_fac", "sig_nf", "invdphi"))
 def viscous_kick_pallas(sigma, vrad, vaz, energy, win_cols, dt, beta_inv,
-                        tile: int, gamma: float, alpha: float,
+                        tile: int, adiabatic: bool, gamma: float,
+                        alpha: float,
                         const_nu: float, c2: float, artvisc: bool,
                         dissipation: bool, compress: bool, heating: bool,
                         heat_factor: float, rvf: float, beta_on: bool,
@@ -1391,7 +1417,8 @@ def viscous_kick_pallas(sigma, vrad, vaz, energy, win_cols, dt, beta_inv,
     vr_main = vrad[:nr]
 
     kernel = functools.partial(
-        _viscous_kick_kernel, nr=nr, tile=tile, gamma=gamma, alpha=alpha,
+        _viscous_kick_kernel, nr=nr, tile=tile, adiabatic=adiabatic,
+        gamma=gamma, alpha=alpha,
         const_nu=const_nu, c2=c2, artvisc=artvisc, dissipation=dissipation,
         compress=compress, heating=heating, heat_factor=heat_factor,
         rvf=rvf, beta_on=beta_on, tmin=tmin, tmax=tmax, rs=rs,

@@ -253,7 +253,8 @@ class HydroStep:
         self._fuse_visc = (
             pk.use_pallas(dtype) and geometry.naz % 128 == 0
             and geometry.nrad % self._vk_tile == 0
-            and phys.is_adiabatic and not phys.variable_gamma
+            and (phys.is_adiabatic or phys.is_isothermal)
+            and not phys.variable_gamma
             and phys.aspectratio_mode == 0 and phys.alpha_mode == 0
             and phys.stabilize_viscosity == 0
             and phys.artificial_viscosity in (_SN, "none")
@@ -598,7 +599,7 @@ class HydroStep:
             gam = phys.adiabatic_index
             vrad, vaz, energy, qplus, qminus = pk.viscous_kick_pallas(
                 sigma, vrad, vaz, energy, self._vk_cols, dt, beta_inv,
-                tile=self._vk_tile, gamma=gam,
+                tile=self._vk_tile, adiabatic=phys.is_adiabatic, gamma=gam,
                 alpha=phys.viscous_alpha, const_nu=phys.constant_viscosity,
                 c2=phys.artificial_viscosity_factor ** 2,
                 artvisc=phys.artificial_viscosity == _SN,

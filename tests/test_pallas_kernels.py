@@ -303,9 +303,11 @@ def test_artvisc_fused_parity(setup, dissipation):
 
 @pytest.mark.parametrize("compress", [True, False])
 @pytest.mark.parametrize("artvisc_on", [True, False])
-def test_viscous_kick_fused_parity(setup, compress, artvisc_on):
+@pytest.mark.parametrize("adiabatic", [True, False])
+def test_viscous_kick_fused_parity(setup, compress, artvisc_on, adiabatic):
     """The fused viscous-kick kernel (compression heating + SN artvisc +
-    viscosity chain + SubStep3) matches the composed jnp substeps."""
+    viscosity chain + SubStep3; velocity-only for locally-isothermal)
+    matches the composed jnp substeps."""
     from fargocpt_tpu.constants import Constants
     from fargocpt_tpu.ops import artvisc, eos, sources
     from fargocpt_tpu.ops import energy as energy_ops
@@ -313,7 +315,8 @@ def test_viscous_kick_fused_parity(setup, compress, artvisc_on):
 
     g, _, _, _ = setup
     phys = Physics(
-        eos="adiabatic", adiabatic_index=1.4, viscous_alpha=1e-3,
+        eos="adiabatic" if adiabatic else "isothermal",
+        adiabatic_index=1.4, viscous_alpha=1e-3,
         aspectratio_ref=0.05, flaring_index=0.25,
         artificial_viscosity="sn" if artvisc_on else "none",
         artificial_viscosity_dissipation=True,
@@ -336,17 +339,24 @@ def test_viscous_kick_fused_parity(setup, compress, artvisc_on):
         en = sources.compression_heating(phys, g, en, vrad, vaz, dt)
     vr1, va1, e1 = artvisc.update_with_artificial_viscosity(
         phys, g, sigma, vrad, vaz, en, dt)
-    e1 = eos.energy_floor_ceiling(phys, constants, sigma, e1)
-    cs = eos.sound_speed(phys, constants, g, sigma, e1, None)
+    if adiabatic:
+        e1 = eos.energy_floor_ceiling(phys, constants, sigma, e1)
+    cs_iso = eos.sound_speed_iso_profile(phys, constants, g.rb)
+    cs = eos.sound_speed(phys, constants, g, sigma, e1, cs_iso)
     h = eos.scale_height(phys, constants, g, cs)
     nu = visc.kinematic_viscosity(phys, g, cs, h)
     trr, tpp, trp, divv = visc.viscous_stress_tensor(
         phys, g, sigma, vr1, va1, nu)
     vr2, va2 = visc.update_velocities_with_viscosity(
         phys, g, sigma, vr1, va1, trr, tpp, trp, dt, nu=nu)
-    e2, qp_ref, qm_ref = energy_ops.substep3(
-        phys, constants, g, sigma, e1, vr2, va2, nu, trr, tpp, trp, divv,
-        h, sigma, e1, jnp.zeros_like(sigma), 0.0, dt)
+    if adiabatic:
+        e2, qp_ref, qm_ref = energy_ops.substep3(
+            phys, constants, g, sigma, e1, vr2, va2, nu, trr, tpp, trp,
+            divv, h, sigma, e1, jnp.zeros_like(sigma), 0.0, dt)
+    else:
+        e2 = e1
+        qp_ref = jnp.zeros_like(sigma)
+        qm_ref = jnp.zeros_like(sigma)
 
     # --- fused kernel ---
     gam = phys.adiabatic_index
@@ -355,7 +365,8 @@ def test_viscous_kick_fused_parity(setup, compress, artvisc_on):
         vr, va, e, qp, qm = pk.viscous_kick_pallas(
             sigma, vrad, vaz, energy, cols, dt,
             jnp.float64(1.0 / phys.cooling_beta),
-            tile=16, gamma=gam, alpha=phys.viscous_alpha,
+            tile=16, adiabatic=adiabatic, gamma=gam,
+            alpha=phys.viscous_alpha,
             const_nu=phys.constant_viscosity,
             c2=phys.artificial_viscosity_factor ** 2,
             artvisc=artvisc_on, dissipation=True, compress=compress,
