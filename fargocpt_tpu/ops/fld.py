@@ -166,13 +166,26 @@ class FLDSolver:
         omega = jnp.clip(omega, 1.0, 1.99)
         return jnp.stack([omega, direction, it])
 
-    def solve(self, T, Told, A, B, C, D, E, omega=None):
+    def solve(self, T, Told, A, B, C, D, E, omega=None, halo_fn=None,
+              reduce_fn=None, red=None, active=None, n_cells=None):
         """Red-black SOR with the reference's convergence criterion
         (change of the cell-averaged update norm < tolerance,
-        src/fld.cpp:694-790)."""
+        src/fld.cpp:694-790).
+
+        The explicit shard_map path supplies ``halo_fn`` (per-iteration
+        ghost-ring refresh, the analog of the reference's per-iteration
+        1-ring exchange src/fld.cpp:596-656), ``reduce_fn`` (cross-shard
+        psum of the norm, the MPI_Allreduce :748) and window-aligned
+        ``red``/``active`` masks + the global ``n_cells``."""
         cfg = self.config
         if omega is None:
             omega = cfg.omega
+        if red is None:
+            red = self.red
+        if active is None:
+            active = self.active
+        if n_cells is None:
+            n_cells = self.n_cells
         nr = self.geometry.nrad
         tol = cfg.tolerance
         dtype = T.dtype
@@ -194,11 +207,16 @@ class FLDSolver:
 
         def body(carry):
             T, it, last_avg, _change = carry
+            if halo_fn is not None:
+                T = halo_fn(T)
             T_old_iter = T
-            T = half_sweep(T, self.red)
-            T = half_sweep(T, ~self.red)
-            diff2 = jnp.where(self.active, (T - T_old_iter) ** 2, 0.0)
-            avg = jnp.sqrt(jnp.sum(diff2)) / self.n_cells
+            T = half_sweep(T, red)
+            T = half_sweep(T, ~red)
+            diff2 = jnp.where(active, (T - T_old_iter) ** 2, 0.0)
+            ssum = jnp.sum(diff2)
+            if reduce_fn is not None:
+                ssum = reduce_fn(ssum)
+            avg = jnp.sqrt(ssum) / n_cells
             change = jnp.abs(avg - last_avg)
             return (T, it + 1, avg, change)
 
@@ -209,11 +227,15 @@ class FLDSolver:
         big = jnp.asarray(jnp.finfo(dtype).max, dtype)
         init = (T, jnp.zeros((), jnp.int32), jnp.zeros((), dtype), big)
         T, n_iter, _, _ = jax.lax.while_loop(cond, body, init)
+        if halo_fn is not None:
+            # leave the ghost rings holding the neighbors' final owned
+            # values (the in-loop refresh precedes the last half-sweeps)
+            T = halo_fn(T)
         return T, n_iter
 
     # ------------------------------------------------------------------
     def radiative_diffusion(self, g: Geom, sigma, energy, scale_height, dt,
-                            sor_state=None):
+                            sor_state=None, halo_fn=None, shard_ctx=None):
         """Full FLD substep on the energy field
         (reference src/fld.cpp:965-1019). With ``sor_state`` (auto-omega
         enabled) the SOR relaxation factor is taken from and walked in the
@@ -229,7 +251,13 @@ class FLDSolver:
         ka, kb = self.diffusion_coefficients(g, rho, T)
         A, B, C, D, E = self.matrix_elements(g, rho, ka, kb, dt)
         omega = sor_state[0] if sor_state is not None else None
-        T_new, n_iter = self.solve(T, T, A, B, C, D, E, omega=omega)
+        kw = {}
+        if shard_ctx is not None:
+            kw = dict(red=shard_ctx["red"], active=shard_ctx["active"],
+                      n_cells=shard_ctx["n_cells"],
+                      reduce_fn=shard_ctx["reduce"])
+        T_new, n_iter = self.solve(T, T, A, B, C, D, E, omega=omega,
+                                   halo_fn=halo_fn, **kw)
         if sor_state is not None:
             sor_state = self.adapt_omega(sor_state, n_iter)
 

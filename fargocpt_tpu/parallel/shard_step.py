@@ -30,12 +30,18 @@ default ``halo=10`` (validated to 1e-13 against the single-device step by
 tests/test_shard_map.py; the reference uses CPUOVERLAP=7 with narrower
 per-substep loop bounds).
 
+FLD radiative diffusion runs with a per-SOR-iteration ghost refresh
+(one ppermute per iteration, the analog of src/fld.cpp:596-656) and a
+psum'd convergence norm (:748) over globally-colored red-black masks.
+Lagrangian particles stay replicated: each step all_gathers the owned
+gas slabs and integrates the swarm on the global fields (the reference
+migrates particles between radial MPI domains instead,
+src/particles/particles.cpp:259-420).
+
 Not yet covered by this explicit path (falls back to the GSPMD path in
-parallel/mesh.py, which supports everything): FLD radiative diffusion
-(needs a per-SOR-iteration 1-ring exchange, src/fld.cpp:596), FFT
-self-gravity (needs an all_gather of Sigma), Lagrangian particles, and
-the Roche-lobe-overflow / center-of-mass composite BCs (read N-body state
-at window-global rows).
+parallel/mesh.py, which supports everything): FFT self-gravity (needs an
+all_gather of Sigma each kick) and the Roche-lobe-overflow /
+center-of-mass composite BCs (read N-body state at window-global rows).
 """
 
 from __future__ import annotations
@@ -86,18 +92,10 @@ class ShardedHydroStep:
 
     def __init__(self, stepper, mesh: Mesh, halo: int = 10):
         phys = stepper.phys
-        if stepper.fld is not None:
-            raise NotImplementedError(
-                "explicit shard_map path: FLD needs per-iteration halo "
-                "exchange; use the GSPMD path (parallel/mesh.py)")
         if stepper.selfgravity is not None:
             raise NotImplementedError(
                 "explicit shard_map path: self-gravity needs a radial "
                 "all_gather; use the GSPMD path (parallel/mesh.py)")
-        if phys.integrate_particles:
-            raise NotImplementedError(
-                "explicit shard_map path: particles not sharded yet; use "
-                "the GSPMD path (parallel/mesh.py)")
         if phys.rochelobe_overflow or "centerofmass" in (
                 phys.composite_inner, phys.composite_outer):
             raise NotImplementedError(
@@ -185,6 +183,18 @@ class ShardedHydroStep:
             "outer_w": np.asarray(
                 1.0 if win + Lx == NR else 0.0, dtype),
         }
+        if ws.fld is not None:
+            # FLD needs window-aligned red-black parity (colored by the
+            # GLOBAL ring index) and an owned-rows-only norm mask so the
+            # psum'd convergence criterion equals the single-device one
+            ii = win + np.arange(Lx)[:, None]
+            jj = np.arange(self.NAZ)[None, :]
+            ctx["fld_red"] = np.broadcast_to(
+                (ii + jj) % 2 == 0, (Lx, self.NAZ)).copy()
+            act = ((ii > 1) & (ii < NR - 2)
+                   & (ii >= k * L) & (ii < (k + 1) * L))
+            ctx["fld_active"] = np.broadcast_to(
+                act, (Lx, self.NAZ)).copy()
         if ws.damping is not None:
             d = ws.damping
             ctx["damping"] = (d.rate_b, d.in_b, d.out_b,
@@ -229,6 +239,16 @@ class ShardedHydroStep:
         if st._fuse_visc:
             st._vk_cols = ctx["vk_cols"]
             st._vk_tile = self._vk_tile_ws
+        if "fld_red" in ctx:
+            st._fld_halo_fn = lambda T: self._refresh_cell_array(T, ctx)
+            st._fld_shard_ctx = {
+                "red": ctx["fld_red"], "active": ctx["fld_active"],
+                "n_cells": self.NR * self.NAZ,
+                "reduce": lambda x: jax.lax.psum(x, AXIS)}
+        if self.stepper.phys.integrate_particles:
+            st._particle_gather = \
+                lambda sg, vr, va, e: self._gather_fields(sg, vr, va, e, ctx)
+            st._global_stepper = self.stepper
         st._axis_name = AXIS
         st._own_col = ctx["own"]
         st._own_int_col = ctx["own_int"]
@@ -237,6 +257,34 @@ class ShardedHydroStep:
         st._outer_face = (ctx["outer_idx"], ctx["outer_w"])
         st._halo_refresh = lambda s: self._refresh_state(s, ctx)
         return st
+
+    def _refresh_cell_array(self, x, ctx):
+        """Refresh the halo rings of ONE cell-centered (Lx, NAZ) array
+        from the owning neighbors (one bidirectional ppermute) — the FLD
+        per-SOR-iteration exchange (reference src/fld.cpp:596-656)."""
+        n, L, Lx, S = self.n, self.L, self.Lx, self.S
+        own = jax.lax.dynamic_slice_in_dim(x, ctx["own_off"], L, axis=0)
+        fwd = [(i, i + 1) for i in range(n - 1)]
+        bwd = [(i + 1, i) for i in range(n - 1)]
+        prev_top = jax.lax.ppermute(own[L - S:], AXIS, fwd)
+        next_bot = jax.lax.ppermute(own[:S], AXIS, bwd)
+        avail = jnp.concatenate([prev_top, own, next_bot], axis=0)
+        return jax.lax.dynamic_slice_in_dim(avail, ctx["off_avail"], Lx,
+                                            axis=0)
+
+    def _gather_fields(self, sigma, vrad, vaz, energy, ctx):
+        """Window fields -> replicated GLOBAL fields (all_gather of the
+        owned slabs) for the replicated particle swarm."""
+        L, Lx = self.L, self.Lx
+        off = ctx["own_off"]
+
+        def ag(x):
+            own = jax.lax.dynamic_slice_in_dim(x, off, L, axis=0)
+            return jax.lax.all_gather(own, AXIS, axis=0, tiled=True)
+
+        vrad_top = jax.lax.psum(vrad[Lx] * ctx["is_top"], AXIS)[None, :]
+        return (ag(sigma), jnp.concatenate([ag(vrad), vrad_top], axis=0),
+                ag(vaz), ag(energy))
 
     # --- halo exchange -------------------------------------------------
     _XNAMES = ("sigma", "vrad", "vaz", "energy", "qplus", "qminus")

@@ -306,6 +306,15 @@ class HydroStep:
         self._inner_face = (1, 1.0)
         self._outer_face = (geometry.nrad - 1, 1.0)
         self._halo_refresh = None
+        #   _fld_halo_fn   per-SOR-iteration ghost refresh (FLD)
+        #   _fld_shard_ctx window-aligned masks + psum for the FLD norm
+        #   _particle_gather  (sigma, vrad, vaz, energy) -> global fields
+        #   _global_stepper   the unlocalized stepper (particle work runs
+        #                     replicated on gathered global fields)
+        self._fld_halo_fn = None
+        self._fld_shard_ctx = None
+        self._particle_gather = None
+        self._global_stepper = None
 
         self._step = jax.jit(self._step_impl)
         self._cfl = jax.jit(self._cfl_impl)
@@ -712,7 +721,8 @@ class HydroStep:
         if self.fld is not None:
             _, _, h_now = self.derived(sigma, energy)
             energy, _n_iter, sor = self.fld.radiative_diffusion(
-                g, sigma, energy, h_now, dt, sor_state=sor)
+                g, sigma, energy, h_now, dt, sor_state=sor,
+                halo_fn=self._fld_halo_fn, shard_ctx=self._fld_shard_ctx)
             energy = eos.energy_floor_ceiling(phys, constants, sigma, energy)
         return sigma, vrad, vaz, energy, qplus, qminus, sor, sg_kernel
 
@@ -961,6 +971,17 @@ class HydroStep:
 
     def _integrate_particles(self, sigma, vrad, vaz, energy, nb, particles,
                              omega_frame, dt, time):
+        if self._particle_gather is not None:
+            # explicit shard_map path: the replicated swarm integrates on
+            # all-gathered global fields with the global stepper (the
+            # SURVEY-sanctioned replicated-particle substitution; the
+            # reference migrates particles between radial MPI domains,
+            # src/particles/particles.cpp:259-420)
+            sigma, vrad, vaz, energy = self._particle_gather(
+                sigma, vrad, vaz, energy)
+            return self._global_stepper._integrate_particles(
+                sigma, vrad, vaz, energy, nb, particles, omega_frame, dt,
+                time)
         from .particles import dust
         phys, constants, g = self.phys, self.constants, self.g
         pp = self.particle_params or dust.ParticleParams()
@@ -1046,28 +1067,9 @@ class HydroStep:
         sor = state.fld_sor
         particles = state.particles
         if phys.integrate_particles and particles is not None:
-            from .particles import dust
-            pp = self.particle_params or dust.ParticleParams()
-            gam = phys.adiabatic_index
-            if phys.is_adiabatic:
-                temp = phys.mu / constants.R * (gam - 1.0) * energy / sigma
-            else:
-                temp = phys.mu / constants.R * \
-                    eos.pressure(phys, constants, sigma, energy, cs0) / sigma
-            rho_mid = sigma / (phys.density_factor * h0)
-            integ = dust.integrate_rk45 if pp.integrator.startswith(
-                ("e", "a", "r")) else dust.integrate_expmid
-            sg_accel = None
-            if pp.disk_gravity and self.selfgravity is not None:
-                sg_accel = self.selfgravity.accelerations(sigma)
-            particles = integ(
-                phys, pp, constants, self.units, self.geometry, g, particles,
-                rho_mid, temp, vrad, vaz, bodies, self.n_bodies,
-                omega_frame, dt, sg_accel=sg_accel)
-            if pp.diffusion:
-                particles = dust.diffuse_dust(
-                    phys, constants, self.geometry, g, particles, rho_mid,
-                    cs0, h0, dt)
+            particles = self._integrate_particles(
+                sigma, vrad, vaz, energy, nb, particles, omega_frame, dt,
+                time)
 
         # --- frame rotation (reference :186 handle_corotation) ---
         if phys.corotating:
@@ -1098,7 +1100,9 @@ class HydroStep:
             if self.fld is not None:
                 _, _, h_now = self.derived(sigma, energy)
                 energy, _n_iter, sor = self.fld.radiative_diffusion(
-                    g, sigma, energy, h_now, dt, sor_state=sor)
+                    g, sigma, energy, h_now, dt, sor_state=sor,
+                    halo_fn=self._fld_halo_fn,
+                    shard_ctx=self._fld_shard_ctx)
                 energy = eos.energy_floor_ceiling(phys, constants, sigma,
                                                   energy)
 

@@ -153,6 +153,59 @@ def test_sharded_damping_massdelta_matches():
     assert d < 1e-12, f"mass_delta rel diff {d:.3e}"
 
 
+def test_sharded_fld_matches_single_device():
+    """FLD radiative diffusion under the explicit path: per-SOR-iteration
+    ppermute ghost refresh + psum'd convergence norm must reproduce the
+    single-device solve (iteration count and fields)."""
+    cfg = flagship_config(extra={
+        "Sigma0": "2000 g/cm2",
+        "CoolingBetaLocal": "No",
+        "SurfaceCooling": "thermal",
+        "RadiativeDiffusion": "Yes",
+        "RadiativeDiffusionMaxIterations": "300",
+        "RadiativeDiffusionAutoOmega": "Yes",
+    })
+    sim = Simulation(cfg)
+    mesh = make_mesh(8)
+    ss = ShardedHydroStep(sim.stepper, mesh)
+    pair = ss.shard_state(sim.state)
+
+    s1 = sim.state
+    for i in range(3):
+        s1 = sim.stepper.step(s1, i * 1e-4, 1e-4)
+        pair = ss.step(pair, i * 1e-4, 1e-4)
+    s2 = ss.gather(pair)
+    _compare_states(s1, s2, 5e-12)
+    # the auto-omega walk saw the same iteration counts
+    np.testing.assert_allclose(np.asarray(s1.fld_sor),
+                               np.asarray(s2.fld_sor), rtol=1e-12)
+
+
+def test_sharded_particles_match_single_device():
+    """Replicated dust swarm under the explicit path: drag + diffusion on
+    all-gathered global fields reproduces the single-device integration
+    bit-for-bit-level."""
+    cfg = flagship_config(extra={
+        "IntegrateParticles": "yes", "NumberOfParticles": "32",
+        "ParticleRadius": "1 cm", "ParticleSpeciesNumber": "2",
+        "ParticleDiffusion": "yes",
+    })
+    sim = Simulation(cfg)
+    mesh = make_mesh(8)
+    ss = ShardedHydroStep(sim.stepper, mesh)
+    pair = ss.shard_state(sim.state)
+
+    s1 = sim.state
+    for i in range(3):
+        s1 = sim.stepper.step(s1, i * 1e-4, 1e-4)
+        pair = ss.step(pair, i * 1e-4, 1e-4)
+    s2 = ss.gather(pair)
+    _compare_states(s1, s2, 1e-13)
+    for name in ("r", "phi", "r_dot", "phi_dot", "timestep"):
+        d = _rel(getattr(s1.particles, name), getattr(s2.particles, name))
+        assert d < 1e-13, f"particles.{name}: rel diff {d:.3e}"
+
+
 def test_sharded_rejects_unsupported():
     sim = Simulation(flagship_config(extra={"SelfGravity": "Yes"}))
     with pytest.raises(NotImplementedError):
