@@ -38,9 +38,13 @@ gas slabs and integrates the swarm on the global fields (the reference
 migrates particles between radial MPI domains instead,
 src/particles/particles.cpp:259-420).
 
+FFT self-gravity runs replicated on the all-gathered Sigma (the
+reference parallelizes the FFT radially via FFTW-MPI,
+src/selfgravity.cpp:251-320) with the kernel-refresh mass average
+psum'd over ownership rows.
+
 Not yet covered by this explicit path (falls back to the GSPMD path in
-parallel/mesh.py, which supports everything): FFT self-gravity (needs an
-all_gather of Sigma each kick) and the Roche-lobe-overflow /
+parallel/mesh.py, which supports everything): the Roche-lobe-overflow /
 center-of-mass composite BCs (read N-body state at window-global rows).
 """
 
@@ -92,10 +96,6 @@ class ShardedHydroStep:
 
     def __init__(self, stepper, mesh: Mesh, halo: int = 10):
         phys = stepper.phys
-        if stepper.selfgravity is not None:
-            raise NotImplementedError(
-                "explicit shard_map path: self-gravity needs a radial "
-                "all_gather; use the GSPMD path (parallel/mesh.py)")
         if phys.rochelobe_overflow or "centerofmass" in (
                 phys.composite_inner, phys.composite_outer):
             raise NotImplementedError(
@@ -176,6 +176,7 @@ class ShardedHydroStep:
             "own_act": own_act[:, None],
             "own_off": np.int32(k * L - win),
             "off_avail": np.int32(win - k * L + self.S),
+            "win": np.int32(win),
             "is_top": np.asarray(1.0 if k == n - 1 else 0.0, dtype),
             "inner_idx": np.int32(max(1 - win, 0)),
             "inner_w": np.asarray(1.0 if win == 0 else 0.0, dtype),
@@ -245,6 +246,14 @@ class ShardedHydroStep:
                 "red": ctx["fld_red"], "active": ctx["fld_active"],
                 "n_cells": self.NR * self.NAZ,
                 "reduce": lambda x: jax.lax.psum(x, AXIS)}
+        if self.stepper.selfgravity is not None:
+            def _ag_one(x, off=None):
+                own = jax.lax.dynamic_slice_in_dim(
+                    x, ctx["own_off"], self.L, axis=0)
+                return jax.lax.all_gather(own, AXIS, axis=0, tiled=True)
+            st._sg_gather = _ag_one
+            st._sg_window = lambda x: jax.lax.dynamic_slice_in_dim(
+                x, ctx["win"], self.Lx, axis=0)
         if self.stepper.phys.integrate_particles:
             st._particle_gather = \
                 lambda sg, vr, va, e: self._gather_fields(sg, vr, va, e, ctx)

@@ -315,6 +315,10 @@ class HydroStep:
         self._fld_shard_ctx = None
         self._particle_gather = None
         self._global_stepper = None
+        #   _sg_gather / _sg_window  localized self-gravity: all_gather
+        #   sigma to global, slice the accelerations back to the window
+        self._sg_gather = None
+        self._sg_window = None
 
         self._step = jax.jit(self._step_impl)
         self._cfl = jax.jit(self._cfl_impl)
@@ -575,10 +579,10 @@ class HydroStep:
             spectra = None
             if sg_kernel is not None:
                 sg_kernel = self.selfgravity.update_kernel(
-                    sg_kernel, sigma, h, g, row_w=self._own_int_col,
+                    sg_kernel, sigma, h, g, row_w=self._own_col,
                     axis_name=self._axis_name)
                 spectra = (sg_kernel[0], sg_kernel[1])
-            g_r, g_t = self.selfgravity.accelerations(sigma, spectra=spectra)
+            g_r, g_t = self._sg_accels(sigma, spectra=spectra)
             vrad, vaz = self.selfgravity.kick(g, vrad, vaz, g_r, g_t, dt)
 
         used_fused_sources = self._fuse_sources and pv is None
@@ -673,6 +677,18 @@ class HydroStep:
                 pvte_vals=self.pvte_vals(sigma, energy))
         return (sigma, vrad, vaz, energy, qplus, qminus,
                 ecc_deltas if track_ecc else None, sg_kernel)
+
+    def _sg_accels(self, sigma, spectra=None):
+        """Self-gravity accelerations; under the explicit shard_map path
+        the FFT convolution runs replicated on the all-gathered global
+        Sigma (the reference parallelizes its FFT radially via FFTW-MPI,
+        src/selfgravity.cpp:251-320; an all_gather + replicated transform
+        is the TPU-native equivalent at these grid sizes)."""
+        if self._sg_gather is None:
+            return self.selfgravity.accelerations(sigma, spectra=spectra)
+        g_r, g_t = self.selfgravity.accelerations(self._sg_gather(sigma),
+                                                  spectra=spectra)
+        return self._sg_window(g_r), self._sg_window(g_t)
 
     def _nbody_feedback_kicks(self, sigma, h, nb, time, dt,
                               nb_indirect=None):
@@ -898,7 +914,7 @@ class HydroStep:
                 + quant.alpha_from_stress(t_rey, sigma, cs_a) * dt
         if phys.write_alpha_grav_mean and acc.alpha_grav_mean is not None:
             if self.selfgravity is not None:
-                g_r, g_t = self.selfgravity.accelerations(sigma)
+                g_r, g_t = self._sg_accels(sigma)
                 t_gravs = quant.gravitational_stress(
                     phys, self.constants, g, g_r, g_t)
             else:

@@ -206,8 +206,43 @@ def test_sharded_particles_match_single_device():
         assert d < 1e-13, f"particles.{name}: rel diff {d:.3e}"
 
 
+def test_sharded_selfgravity_matches_single_device():
+    """FFT self-gravity under the explicit path: the convolution runs
+    replicated on the all-gathered Sigma; the kick, the kernel-refresh
+    cadence state, and the alpha-grav monitor must match."""
+    cfg = flagship_config(extra={
+        "Sigma0": "5000 g/cm2",
+        "SelfGravity": "Yes", "SelfGravityMode": "symmetric",
+        "WriteAlphaGravMean": "Yes",
+    })
+    sim = Simulation(cfg)
+    mesh = make_mesh(8)
+    ss = ShardedHydroStep(sim.stepper, mesh)
+    pair = ss.shard_state(sim.state)
+
+    s1 = sim.state
+    for i in range(3):
+        s1 = sim.stepper.step(s1, i * 1e-4, 1e-4)
+        pair = ss.step(pair, i * 1e-4, 1e-4)
+    s2 = ss.gather(pair)
+    _compare_states(s1, s2, 5e-12)
+    # the alpha-grav accumulator is ~1e-21 here (weak SG) and its
+    # g_r*g_t products amplify roundoff near zero crossings; a window
+    # misalignment in the gather hook would show up at O(1)
+    d = _rel(s1.monitor_acc.alpha_grav_mean, s2.monitor_acc.alpha_grav_mean)
+    assert d < 1e-3, f"alpha_grav_mean rel diff {d:.3e}"
+    if s1.sg_kernel is not None:
+        for a, b in zip(s1.sg_kernel, s2.sg_kernel):
+            assert _rel(a, b) < 1e-12
+
+
 def test_sharded_rejects_unsupported():
-    sim = Simulation(flagship_config(extra={"SelfGravity": "Yes"}))
+    sim = Simulation(flagship_config(extra={
+        "RocheLobeOverflow": "Yes", "ROFValue": "1e-9",
+        "nbody": [
+            {"name": "star", "semi-major axis": "0.0", "mass": "1.0"},
+            {"name": "donor", "semi-major axis": "1.0", "mass": "0.5"},
+        ]}))
     with pytest.raises(NotImplementedError):
         ShardedHydroStep(sim.stepper, make_mesh(8))
 
