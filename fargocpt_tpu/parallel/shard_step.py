@@ -43,9 +43,10 @@ reference parallelizes the FFT radially via FFTW-MPI,
 src/selfgravity.cpp:251-320) with the kernel-refresh mass average
 psum'd over ownership rows.
 
-Not yet covered by this explicit path (falls back to the GSPMD path in
-parallel/mesh.py, which supports everything): the Roche-lobe-overflow /
-center-of-mass composite BCs (read N-body state at window-global rows).
+The Roche-lobe-overflow and center-of-mass composite boundaries need no
+special handling: they write local edge rows from the replicated N-body
+state, so the skewed-window contract covers them like every other BC.
+The GSPMD path (parallel/mesh.py) remains available for everything.
 """
 
 from __future__ import annotations
@@ -96,10 +97,6 @@ class ShardedHydroStep:
 
     def __init__(self, stepper, mesh: Mesh, halo: int = 10):
         phys = stepper.phys
-        if phys.rochelobe_overflow or "centerofmass" in (
-                phys.composite_inner, phys.composite_outer):
-            raise NotImplementedError(
-                "explicit shard_map path: composite BCs not supported yet")
 
         self.stepper = stepper
         self.mesh = mesh

@@ -236,15 +236,31 @@ def test_sharded_selfgravity_matches_single_device():
             assert _rel(a, b) < 1e-12
 
 
-def test_sharded_rejects_unsupported():
-    sim = Simulation(flagship_config(extra={
-        "RocheLobeOverflow": "Yes", "ROFValue": "1e-9",
+def test_sharded_composite_bcs_match_single_device():
+    """Roche-lobe-overflow stream + center-of-mass outer boundary under
+    the explicit path: both write local edge rows from replicated N-body
+    state — the skewed-window contract must reproduce them exactly."""
+    cfg = flagship_config(extra={
+        "RocheLobeOverflow": "Yes", "ROFValue": "1e-9 solMass/yr",
+        "ROFPlanet": "1", "ROFTemperature": "4000",
+        "OuterBoundary": "centerofmass",
         "nbody": [
             {"name": "star", "semi-major axis": "0.0", "mass": "1.0"},
             {"name": "donor", "semi-major axis": "1.0", "mass": "0.5"},
-        ]}))
-    with pytest.raises(NotImplementedError):
-        ShardedHydroStep(sim.stepper, make_mesh(8))
+        ]})
+    sim = Simulation(cfg)
+    mesh = make_mesh(8)
+    ss = ShardedHydroStep(sim.stepper, mesh)
+    pair = ss.shard_state(sim.state)
+
+    s1 = sim.state
+    for i in range(3):
+        s1 = sim.stepper.step(s1, i * 1e-4, 1e-4)
+        pair = ss.step(pair, i * 1e-4, 1e-4)
+    s2 = ss.gather(pair)
+    _compare_states(s1, s2, 1e-12)
+    d = _rel(s1.monitor_acc.rof_mdot, s2.monitor_acc.rof_mdot)
+    assert d < 1e-12, f"rof_mdot rel diff {d:.3e}"
 
 
 def test_sharded_rejects_indivisible():
