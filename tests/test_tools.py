@@ -6,6 +6,7 @@ import subprocess
 import sys
 from pathlib import Path
 
+import pytest
 import yaml
 
 TOOLS = Path(__file__).resolve().parent.parent / "tools"
@@ -91,3 +92,53 @@ def test_chprm_yaml_and_ini(tmp_path):
     r = subprocess.run([sys.executable, str(TOOLS / "chprm.py"), str(yml),
                         "Missing", "3"], capture_output=True, text=True)
     assert r.returncode != 0
+
+
+def test_clone_snapshot_restartable(tmp_path):
+    """tools/clone_snapshot.py: branch a new output dir off snapshot 1 and
+    continue it — the continued run must reproduce the original run's
+    final state exactly (restart is bitwise; reference
+    Tools/clone_at_timestep.py use case). Driven in-process so the jitted
+    step compiles once."""
+    import importlib.util
+    import numpy as np
+    from fargocpt_tpu.config import Config
+    from fargocpt_tpu.sim import Simulation
+    from fargocpt_tpu import output as out
+
+    cfg_dict = {
+        "EquationOfState": "Isothermal", "AspectRatio": "0.05",
+        "ViscousAlpha": "0.001", "Sigma0": "200 g/cm2",
+        "SigmaSlope": "0.5", "Nrad": "48", "Naz": "16",
+        "Rmin": "0.4", "Rmax": "2.5",
+        "InnerBoundary": "outflow", "OuterBoundary": "outflow",
+        "Nsnapshots": "2", "Nmonitor": "1", "MonitorTimestep": "0.4",
+    }
+    out_a = tmp_path / "a"
+    sim = Simulation(Config.from_dict(cfg_dict), outdir=str(out_a))
+    out.OutputWriter(sim)
+    sim.run()
+
+    spec = importlib.util.spec_from_file_location(
+        "clone_snapshot", TOOLS / "clone_snapshot.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out_b = tmp_path / "b"
+    sid = mod.clone(out_a, out_b, "1")
+    assert sid == "1"
+    assert (out_b / "snapshots" / "1").exists()
+    assert not (out_b / "snapshots" / "2").exists()
+    assert (out_b / "snapshots" / "list.txt").read_text().split() == ["1"]
+    # monitor truncated to t <= t(snapshot 1)
+    rows = lambda d: [l for l in (d / "monitor" / "Quantities.dat")
+                      .read_text().splitlines() if not l.startswith("#")]
+    assert 0 < len(rows(out_b)) < len(rows(out_a))
+
+    # continue the clone: must reproduce the original final state
+    sim2 = Simulation(Config.from_dict(cfg_dict), outdir=str(out_b))
+    out.restore_simulation(sim2, out_b, "1")
+    out.OutputWriter(sim2)
+    sim2.run()
+    a = np.fromfile(out_a / "snapshots" / "2" / "Sigma.dat", np.float64)
+    b = np.fromfile(out_b / "snapshots" / "2" / "Sigma.dat", np.float64)
+    np.testing.assert_array_equal(a, b)
