@@ -188,7 +188,7 @@ def test_sharded_particles_match_single_device():
     cfg = flagship_config(extra={
         "IntegrateParticles": "yes", "NumberOfParticles": "32",
         "ParticleRadius": "1 cm", "ParticleSpeciesNumber": "2",
-        "ParticleDiffusion": "yes",
+        "ParticleDustDiffusion": "yes",
     })
     sim = Simulation(cfg)
     mesh = make_mesh(8)

@@ -79,7 +79,7 @@ def test_sharded_full_physics_matches_single_device():
             "ArtificialViscosity": "SN",
             "IntegrateParticles": "yes", "NumberOfParticles": "64",
             "ParticleRadius": "1 cm", "ParticleSpeciesNumber": "2",
-            "ParticleIntegrator": "exponential_midpoint",
+            "ParticleIntegrator": "midpoint",
             "Nrad": "64", "Naz": "32", "Rmin": "0.4", "Rmax": "2.5",
             "RadialSpacing": "Log",
             "InnerBoundary": "outflow", "OuterBoundary": "outflow",
