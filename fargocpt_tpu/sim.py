@@ -179,6 +179,10 @@ class Simulation:
         self.snapshot_hooks = []    # callables (sim) run at snapshot boundaries
         self.monitor_stats: dict = {}
 
+        # every config key has been consulted by now; a leftover key is a
+        # typo — die like the reference does at startup (src/main.cpp:110)
+        cfg.exit_on_unknown_key()
+
     def _setup_particles(self, cfg: Config, dtype: str):
         """Parse the particle configuration and build the initial swarm
         (reference src/parameters.cpp particle section + particles.cpp:516)."""
