@@ -44,6 +44,7 @@ class Config:
         # key -> value-or-default actually used, for WriteDefaultValues
         # (reference src/config.cpp write_default)
         self._consulted: dict[str, Any] = {}
+        self._children: list[tuple[str, "Config"]] = []
         self.units = units or u.Units()
         if data:
             for k, v in data.items():
@@ -127,8 +128,11 @@ class Config:
         return []
 
     def get_subconfigs(self, key: str) -> list["Config"]:
-        """List of sub-mappings (e.g. the 'nbody' planet list)."""
-        return [Config(d, units=self.units) for d in self.get_list(key)]
+        """List of sub-mappings (e.g. the 'nbody' planet list); the
+        children participate in unknown-key checking."""
+        subs = [Config(d, units=self.units) for d in self.get_list(key)]
+        self._children.extend((f"{key}[{i}]", c) for i, c in enumerate(subs))
+        return subs
 
     def consulted_values(self) -> dict:
         """Every key the run consulted mapped to the value (or default)
@@ -142,6 +146,8 @@ class Config:
 
     def exit_on_unknown_key(self):
         unknown = self.unknown_keys()
+        for name, child in self._children:
+            unknown += [f"{name}.{k}" for k in child.unknown_keys()]
         if unknown:
             raise KeyError(
                 "Unknown config keys (possible typos): " + ", ".join(unknown))
