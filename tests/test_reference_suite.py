@@ -1,10 +1,9 @@
 """Ports of reference test-suite cases not covered elsewhere:
 test/TemperatureTest (viscous-heating / simple-opacity radiative
-equilibrium vs the D'Angelo analytic profile) and
-test/planet_orbiting_disk (massless planet in a live heavy disk with
-PlanetOrbitDiskTest, Euler vs Leapfrog coupling)."""
-
-import dataclasses
+equilibrium vs the D'Angelo analytic profile), test/planet_orbiting_disk
+(massless planet in a live heavy disk with PlanetOrbitDiskTest, Euler vs
+Leapfrog coupling), and test/cold_disk (a passive disk must not heat up
+numerically)."""
 
 import numpy as np
 import pytest
@@ -108,3 +107,35 @@ def test_planet_orbiting_disk():
     d = np.hypot(pos["Euler"][0] - pos["Leapfrog"][0],
                  pos["Euler"][1] - pos["Leapfrog"][1])
     assert d < 0.1, f"Euler vs Leapfrog positions diverged by {d:.3f}"
+
+
+@pytest.mark.slow
+def test_cold_disk_stays_cold():
+    """reference test/cold_disk: a passive inviscid adiabatic disk (no
+    heating, no cooling, no viscosity) must not heat up numerically —
+    the azimuthally-averaged temperature profile stays within a few
+    permille of the initial one over 5 orbits (reference bar: 10% over
+    20 orbits, calc_deviation.py:30-34)."""
+    cfg = Config.from_dict({
+        "EquationOfState": "Ideal", "AdiabaticIndex": "1.4",
+        "Sigma0": "0.005743125733951172", "SigmaSlope": "1.0",
+        "SigmaFloor": "1e-7",
+        "AspectRatio": "0.05", "FlaringIndex": "0.2857142857142857",
+        "ViscousAlpha": "0.0", "ArtificialViscosity": "No",
+        "ArtificialViscosityDissipation": "No", "HeatingViscous": "No",
+        "Nrad": "64", "Naz": "128", "Rmin": "0.4", "Rmax": "2.5",
+        "RadialSpacing": "Logarithmic",
+        "InnerBoundary": "reflecting", "OuterBoundary": "reflecting",
+        "Damping": "Yes", "DampingInnerLimit": "1.10",
+        "DampingOuterLimit": "0.90",
+        "Transport": "FARGO",
+        "Nsnapshots": "1", "Nmonitor": "1", "MonitorTimestep": "31.4",
+    })
+    sim = Simulation(cfg)
+    t_init = (np.asarray(sim.fields.energy)
+              / np.asarray(sim.fields.sigma)).mean(axis=1)
+    state, *_ = sim.stepper.advance_to(sim.state, 0.0, 1e-1, 31.4)
+    t_end = (np.asarray(state.fields.energy)
+             / np.asarray(state.fields.sigma)).mean(axis=1)
+    dev = np.abs(t_end / t_init - 1.0).max()
+    assert dev < 0.02, f"cold disk heated: max T deviation {dev:.4f}"
