@@ -37,13 +37,17 @@ class RunSettings:
 
     @classmethod
     def from_config(cls, cfg: Config, outdir: str | None = None) -> "RunSettings":
+        # always consult OutputDir so an explicit outdir= override doesn't
+        # leave the key flagged as unknown
+        cfg_outdir = cfg.get("OutputDir", "output/out", type=str)
+        outdir = outdir or cfg_outdir
         return cls(
             n_snapshots=cfg.get("Nsnapshots", 1000, type=int),
             n_monitor=cfg.get("Nmonitor", 10, type=int),
             monitor_timestep=cfg.get("MonitorTimestep", 1.0, dim=u.DIM_TIME,
                                      type=float),
             first_dt=cfg.get("FirstDT", 1e-9, dim=u.DIM_TIME, type=float),
-            outdir=outdir or cfg.get("OutputDir", "output/out", type=str),
+            outdir=outdir,
             write_at_every_timestep=cfg.get_flag("WriteAtEveryTimestep", True),
         )
 

@@ -25,18 +25,23 @@ Dim = tuple[float, float, float, float]
 
 DIMLESS: Dim = (0.0, 0.0, 0.0, 0.0)
 
-# NIST / IAU values matching the reference's LLNL-units constants.
-CGS_AU = 1.495978706909999952e13  # cm (reference README: 149597870691 m)
-CGS_SOLMASS = 1.98892e33          # g  (reference: 1.98892e30 kg)
-CGS_G = 6.6743e-8                 # cm^3 g^-1 s^-2 (CODATA 2018/NIST 2019)
+# The values the reference CODE actually uses: LLNL-units CODATA-2019
+# physical constants (src/units/units.hpp:2030-2063, selected by the
+# default non-PLUTO build, src/constants.cpp:48-86) and the LLNL astro
+# units (src/units.cpp:113-119). Note solMass = 1.98847e33 g — NOT the
+# 1.98892e30 kg some reference yml comments quote; the golden-fidelity
+# gates (<1e-6) pin these against the reference binary.
+CGS_AU = 1.495978707e13           # cm (units.cpp:115, IAU 2012)
+CGS_SOLMASS = 1.98847e33          # g  (units.cpp:113)
+CGS_G = 6.6743e-8                 # cm^3 g^-1 s^-2 (units.hpp:2034)
 CGS_YEAR = 3.15576e7              # Julian year in s
-CGS_SOLRADIUS = 6.957e10          # cm (IAU nominal)
-CGS_EARTHMASS = 5.9722e27         # g
-CGS_EARTHRADIUS = 6.3781e8        # cm
-CGS_KB = 1.380649e-16             # erg/K (exact, SI 2019)
-CGS_AMU = 1.66053906660e-24       # g
+CGS_SOLRADIUS = 6.957e10          # cm (units.cpp:114)
+CGS_EARTHMASS = 5.97217e27        # g  (units.cpp:118)
+CGS_EARTHRADIUS = 6.371e8         # cm (units.cpp:119)
+CGS_KB = 1.380649e-16             # erg/K (units.hpp:2063, SI exact)
+CGS_AMU = 1.66053906660e-24       # g (units.hpp:2053)
 CGS_RGAS = CGS_KB / CGS_AMU       # erg/(g K) — specific gas constant per amu
-CGS_SIGMA_SB = 5.670374419e-5     # erg cm^-2 s^-1 K^-4 (exact-derived)
+CGS_SIGMA_SB = 5.670374419e-5     # erg cm^-2 s^-1 K^-4 (2 pi^5 k^4 / (15 h^3 c^2))
 CGS_C = 2.99792458e10             # cm/s
 CGS_H_PLANCK = 6.62607015e-27     # erg s
 

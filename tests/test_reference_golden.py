@@ -38,6 +38,9 @@ GOLDENS = Path(__file__).parent / "goldens"
 @pytest.mark.parametrize("name,tol", [
     ("spreading_ring", 1e-9),
     ("planet_torque", 1e-6),
+    # adiabatic energy equation: viscous heating (constant nu) +
+    # simple-opacity surface cooling + LeapFrog, 240 steps to t=8
+    ("temperature_test", 1e-6),
 ])
 def test_fields_match_reference_binary(name, tol, tmp_path):
     golden = GOLDENS / name
@@ -54,8 +57,11 @@ def test_fields_match_reference_binary(name, tol, tmp_path):
     np.testing.assert_allclose(sim.geometry.radii[:nr + 1], ref_rad,
                                rtol=1e-12)
 
+    fields = [("Sigma", nr), ("vrad", nr + 1), ("vazi", nr)]
+    if (golden / "snapshots" / "1" / "energy.dat").exists():
+        fields.append(("energy", nr))
     for snap in ("1", "2"):
-        for field, rows in (("Sigma", nr), ("vrad", nr + 1), ("vazi", nr)):
+        for field, rows in fields:
             g = np.fromfile(golden / "snapshots" / snap / f"{field}.dat")
             m = np.fromfile(tmp_path / "out" / "snapshots" / snap /
                             f"{field}.dat")

@@ -41,6 +41,8 @@ text = setkey(text, "Nsnapshots", "2")
 text = setkey(text, "Nmonitor", "1")
 if "spreading_ring" in outdir:
     text = setkey(text, "MonitorTimestep", "2.0")
+elif "temperature_test" in outdir:
+    text = setkey(text, "MonitorTimestep", "4.0")
 else:
     text = setkey(text, "MonitorTimestep", "0.6283185307179586")
 open(path, "w").write(text)
@@ -57,10 +59,16 @@ EOF
     # is unused in these isothermal setups
     find "$dst" -name 'rebound.bin' -delete
     find "$dst" -name '*1D.dat' -delete
-    find "$dst" -name 'energy.dat' -delete
+    # energy matters only for the adiabatic golden
+    if [ "$name" != temperature_test ]; then
+        find "$dst" -name 'energy.dat' -delete
+    fi
     echo "golden '$name' written to $dst"
     grep "Total Hydrosteps" "$dir/run.log" || true
 }
 
 run_golden spreading_ring "$REF/test/spreading_ring/setup.yml"
 run_golden planet_torque "$REF/test/planet_torque/torque_test.yml"
+# adiabatic energy-equation golden: viscous heating + simple-opacity
+# surface cooling + LeapFrog (test/TemperatureTest)
+run_golden temperature_test "$REF/test/TemperatureTest/angelo.yml"
