@@ -207,7 +207,10 @@ class HydroStep:
             from .ops.fld import FLDSolver, FLDConfig
             self.fld = FLDSolver(
                 phys, constants, self.units, geometry,
-                FLDConfig(tolerance=phys.fld_tolerance,
+                # the reference scales the relative tolerance by the
+                # temperature floor (src/fld.cpp:235-237)
+                FLDConfig(tolerance=phys.fld_tolerance
+                          * phys.minimum_temperature,
                           max_iterations=phys.fld_max_iterations,
                           omega=phys.fld_omega,
                           auto_omega=phys.fld_auto_omega,

@@ -41,6 +41,11 @@ GOLDENS = Path(__file__).parent / "goldens"
     # adiabatic energy equation: viscous heating (constant nu) +
     # simple-opacity surface cooling + LeapFrog, 240 steps to t=8
     ("temperature_test", 1e-6),
+    # + implicit FLD radiative diffusion: red-black vs lexicographic SOR
+    # converge the same linear system to the reference's effective
+    # tolerance reltol*MinimumTemperature (src/fld.cpp:235-237) —
+    # observed agreement ~9e-10
+    ("temperature_fld", 1e-6),
 ])
 def test_fields_match_reference_binary(name, tol, tmp_path):
     golden = GOLDENS / name

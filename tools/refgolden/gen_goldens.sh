@@ -41,7 +41,7 @@ text = setkey(text, "Nsnapshots", "2")
 text = setkey(text, "Nmonitor", "1")
 if "spreading_ring" in outdir:
     text = setkey(text, "MonitorTimestep", "2.0")
-elif "temperature_test" in outdir:
+elif "temperature" in outdir:
     text = setkey(text, "MonitorTimestep", "4.0")
 else:
     text = setkey(text, "MonitorTimestep", "0.6283185307179586")
@@ -60,9 +60,9 @@ EOF
     find "$dst" -name 'rebound.bin' -delete
     find "$dst" -name '*1D.dat' -delete
     # energy matters only for the adiabatic golden
-    if [ "$name" != temperature_test ]; then
-        find "$dst" -name 'energy.dat' -delete
-    fi
+    case "$name" in temperature_test|temperature_fld) : ;; *)
+        find "$dst" -name 'energy.dat' -delete ;;
+    esac
     echo "golden '$name' written to $dst"
     grep "Total Hydrosteps" "$dir/run.log" || true
 }
@@ -72,3 +72,7 @@ run_golden planet_torque "$REF/test/planet_torque/torque_test.yml"
 # adiabatic energy-equation golden: viscous heating + simple-opacity
 # surface cooling + LeapFrog (test/TemperatureTest)
 run_golden temperature_test "$REF/test/TemperatureTest/angelo.yml"
+# FLD golden: same setup with implicit radiative diffusion enabled (our
+# red-black SOR vs the reference's lexicographic SOR — both converge the
+# same linear system to 1e-10 per step)
+run_golden temperature_fld "$HERE/configs/temperature_fld.yml"
