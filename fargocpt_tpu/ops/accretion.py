@@ -21,16 +21,24 @@ from ..params import Physics
 from .common import Geom, azim_next
 
 
-def orbital_period(constants, phys: Physics, x, y, vx, vy):
-    """Osculating orbital period about the hydro center
-    (used for the accretion normalization)."""
-    GM = constants.G * phys.hydro_center_mass
+def orbital_period(constants, nb, k: int):
+    """Osculating orbital period of body k about the primary with
+    mu = G (sum of inner masses + own mass), matching the reference's
+    orbital elements (src/nbody/planet.cpp:488-566
+    ``calculate_orbital_elements``; the vis-viva a equals the
+    Laplace-Runge-Lenz a for the same mu)."""
+    mu = constants.G * jnp.sum(jnp.where(jnp.arange(nb.mass.shape[0]) <= k,
+                                         nb.mass, 0.0))
+    x = nb.x[k] - nb.x[0]
+    y = nb.y[k] - nb.y[0]
+    vx = nb.vx[k] - nb.vx[0]
+    vy = nb.vy[k] - nb.vy[0]
     r = jnp.sqrt(x * x + y * y)
     v2 = vx * vx + vy * vy
     # specific orbital energy -> semi-major axis
-    eps = 0.5 * v2 - GM / r
-    a = jnp.where(eps < 0.0, -GM / (2.0 * eps), r)
-    return 2.0 * jnp.pi * jnp.sqrt(a ** 3 / GM)
+    eps = 0.5 * v2 - mu / r
+    a = jnp.where(eps < 0.0, -mu / (2.0 * eps), r)
+    return 2.0 * jnp.pi * jnp.sqrt(a ** 3 / mu)
 
 
 def accrete_onto_planets(phys: Physics, constants, g: Geom, nb, bodies,
@@ -79,8 +87,7 @@ def accrete_onto_planets(phys: Physics, constants, g: Geom, nb, bodies,
         facc_max = 1.0 - floor / sigma
 
         if acc_type == "kley":
-            period = orbital_period(constants, phys, nb.x[k], nb.y[k],
-                                    nb.vx[k], nb.vy[k])
+            period = orbital_period(constants, nb, k)
             facc = dt * accretion_efficiency[k] / period * jnp.log(2.0)
             facc1 = facc / 3.0
             facc2 = 2.0 * facc / 3.0
@@ -106,8 +113,7 @@ def accrete_onto_planets(phys: Physics, constants, g: Geom, nb, bodies,
             dm = dm1 + dm2
         elif acc_type == "sinkhole":
             # single-zone variant (reference :223-335 SinkHoleSinglePlanet)
-            period = orbital_period(constants, phys, nb.x[k], nb.y[k],
-                                    nb.vx[k], nb.vy[k])
+            period = orbital_period(constants, nb, k)
             facc = dt * accretion_efficiency[k] / period * jnp.log(2.0)
             zone = dist < phys.accretion_radius_fraction * r_hill
             f1 = jnp.where(zone, jnp.minimum(facc, facc_max), 0.0)

@@ -119,6 +119,17 @@ class Simulation:
         hydro_center_mass = float(
             nb_init["mass"][:self.n_hydroframe].sum())
         self.phys = self.phys.with_(hydro_center_mass=hydro_center_mass)
+        if self.phys.corotating and len(self.bodies) > 1:
+            # the frame rotates with the reference body from t=0, so the
+            # initial fields must be built in the rotating frame
+            # (reference src/init.cpp:259-263 sets OmegaFrame BEFORE the
+            # field initialization)
+            k = min(self.phys.corotation_reference_body,
+                    len(self.bodies) - 1)
+            x, y = float(nb_init["x"][k]), float(nb_init["y"][k])
+            vx, vy = float(nb_init["vx"][k]), float(nb_init["vy"][k])
+            omega0 = (x * vy - y * vx) / max(x * x + y * y, 1e-300)
+            self.phys = self.phys.with_(omega_frame=omega0)
         # reference src/nbody/planetary_system.cpp:137-146 derive_config:
         # stellar heating is on iff any body irradiates
         if any(b.irradiate for b in self.bodies):

@@ -693,6 +693,41 @@ class HydroStep:
                                                   spectra=spectra)
         return self._sg_window(g_r), self._sg_window(g_t)
 
+    def _nbody_feedback_compute(self, sigma, h, nb, time, dt,
+                                nb_indirect=None):
+        """Disk-on-body accelerations + indirect terms WITHOUT applying
+        them (the leapfrog evaluates forces before accretion and kicks
+        after, reference src/simulation.cpp:295-308, :355-410)."""
+        phys, constants, g = self.phys, self.constants, self.g
+        zero = jnp.zeros((), self.dtype)
+        bodies = self.bodies_on_grid(nb, time)
+        dax = day = None
+        it_disk_x = it_disk_y = zero
+        if phys.disk_feedback and phys.calculate_disk:
+            dax, day = gravity.disk_on_body_accel(
+                phys, constants, g, bodies, self.n_bodies,
+                self.cell_x, self.cell_y, h, sigma,
+                row_w=self._own_int_col, axis_name=self._axis_name)
+            it_disk_x, it_disk_y = gravity.indirect_term_disk(
+                phys, bodies, self.n_hydroframe, dax, day)
+        nb_it = nb if nb_indirect is None else nb_indirect
+        if phys.indirect_term_mode == 0:
+            it_nb_x, it_nb_y = gravity.indirect_term_nbody_predictor(
+                constants, nb_it, self.n_hydroframe, self.n_bodies, dt)
+        else:
+            bodies_it = bodies if nb_indirect is None else \
+                self.bodies_on_grid(nb_it, time)
+            it_nb_x, it_nb_y = gravity.indirect_term_nbody(
+                constants, bodies_it, self.n_hydroframe, self.n_bodies)
+        return dax, day, (it_disk_x, it_disk_y), (it_nb_x, it_nb_y)
+
+    def _nbody_apply_kicks(self, nb, dax, day, it_disk, it_nb, dt):
+        if dax is not None:
+            nb = nbody_sys.kick(nb, dax, day, dt)
+        nb = nbody_sys.kick(nb, it_disk[0] + it_nb[0],
+                            it_disk[1] + it_nb[1], dt)
+        return nb
+
     def _nbody_feedback_kicks(self, sigma, h, nb, time, dt,
                               nb_indirect=None):
         """Disk force on the bodies + indirect terms; returns the kicked
@@ -765,7 +800,12 @@ class HydroStep:
         nb = nbody_sys.move_to_hydro_frame_center(nb, self.n_hydroframe)
 
         _, _, h0 = self.derived(sigma, energy)
-        # accretion (half step) + N-body kick 1/2
+        # disk force + indirect terms are evaluated on the PRE-accretion
+        # Sigma and applied AFTER accretion (reference
+        # src/simulation.cpp:295-308: ComputeDiskOnNbodyAccel ->
+        # AccreteOntoPlanets -> UpdatePlanetVelocitiesWithDiskForce)
+        dax, day, it_disk, it_nb = self._nbody_feedback_compute(
+            sigma, h0, nb, time, hdt, nb_indirect=nb_pre_drift)
         if phys.calculate_disk and self.any_accretion:
             from .ops import accretion as accretion_ops
             bodies = self.bodies_on_grid(nb, time)
@@ -776,13 +816,16 @@ class HydroStep:
                 omega_frame, hdt, nu_grid=self._accretion_nu(sigma, energy),
                 row_w=self._own_act_col, axis_name=self._axis_name)
             sigma = eos.apply_sigma_floor(phys, sigma)
-        nb, it_disk, it_nb = self._nbody_feedback_kicks(
-            sigma, h0, nb, time, hdt, nb_indirect=nb_pre_drift)
+        nb = self._nbody_apply_kicks(nb, dax, day, it_disk, it_nb, hdt)
 
-        # frame rotation (half step)
+        # frame rotation (half step); the swept angle is measured over
+        # THIS half-drift (reference re-inits the corotation reference
+        # right before the drift, src/simulation.cpp:289)
         if phys.corotating:
+            kc = phys.corotation_reference_body
             omega_frame, vaz = self._corotation_update(
-                state, nb, vaz, omega_frame, hdt)
+                state, nb, vaz, omega_frame, hdt,
+                ref_xy=(nb_pre_drift.x[kc], nb_pre_drift.y[kc]))
         nb = nbody_sys.rotate(nb, omega_frame * hdt)
         frame_angle = state.frame_angle + omega_frame * hdt
         indirect = it_nb if not phys.indirect_term_disk_on_disk else \
@@ -813,8 +856,11 @@ class HydroStep:
                 energy = eos.energy_floor_ceiling(phys, constants, sigma,
                                                   energy)
 
-            # gas kick 2/2 (bodies still at x_{i+1/2})
-            nb, it_disk, it_nb = self._nbody_feedback_kicks(
+            # gas kick 2/2 (bodies still at x_{i+1/2}); the disk force
+            # and indirect terms are computed here, BEFORE the gas kick
+            # and the second accretion, and applied to the bodies after
+            # (reference src/simulation.cpp:355-410)
+            dax, day, it_disk, it_nb = self._nbody_feedback_compute(
                 sigma, h0, nb, mid_time, hdt)
             indirect = it_nb if not phys.indirect_term_disk_on_disk else \
                 (it_disk[0] + it_nb[0], it_disk[1] + it_nb[1])
@@ -832,8 +878,8 @@ class HydroStep:
                 sigma, vrad, vaz, energy, nb, particles, omega_frame, hdt,
                 mid_time)
 
-        # accretion (second half) handled inside kick 2 region in the
-        # reference; N-body drift 2/2
+        # accretion (second half), then the stored disk/indirect kicks,
+        # then N-body drift 2/2 (reference src/simulation.cpp:403-417)
         if phys.calculate_disk and self.any_accretion:
             from .ops import accretion as accretion_ops
             bodies = self.bodies_on_grid(nb, mid_time)
@@ -844,11 +890,16 @@ class HydroStep:
                 omega_frame, hdt, nu_grid=self._accretion_nu(sigma, energy),
                 row_w=self._own_act_col, axis_name=self._axis_name)
             sigma = eos.apply_sigma_floor(phys, sigma)
+        if phys.calculate_disk:
+            nb = self._nbody_apply_kicks(nb, dax, day, it_disk, it_nb, hdt)
+        nb_pre_drift2 = nb
         nb = nbody_sys.integrate(nb, constants.G, hdt)
         nb = nbody_sys.move_to_hydro_frame_center(nb, self.n_hydroframe)
         if phys.corotating:
+            kc = phys.corotation_reference_body
             omega_frame, vaz = self._corotation_update(
-                state, nb, vaz, omega_frame, hdt)
+                state, nb, vaz, omega_frame, hdt,
+                ref_xy=(nb_pre_drift2.x[kc], nb_pre_drift2.y[kc]))
         nb = nbody_sys.rotate(nb, omega_frame * hdt)
         frame_angle = frame_angle + omega_frame * hdt
         if phys.integrate_particles and particles is not None:
@@ -973,14 +1024,22 @@ class HydroStep:
             2.0 * self.geometry.rmax,
             row_w=self._own_int_col, axis_name=self._axis_name)
 
-    def _corotation_update(self, state, nb, vaz, omega_frame, dt):
+    def _corotation_update(self, state, nb, vaz, omega_frame, dt,
+                           ref_xy=None):
         """Corotating frame: measure the reference body's swept angle since
-        the stored init position, update Omega and correct v_az
-        (reference src/frame_of_reference.cpp:30-52 ``handle_corotation``)."""
+        the stored reference position, update Omega and correct v_az
+        (reference src/frame_of_reference.cpp:30-52 ``handle_corotation``).
+        The Euler step measures against the position stored at init (the
+        reference calls init_corotation only in sim::init); the leapfrog
+        re-inits before each half-drift (src/simulation.cpp:289, :413) and
+        passes that position via ``ref_xy``."""
         k = self.phys.corotation_reference_body
         x, y = nb.x[k], nb.y[k]
         d_new = jnp.sqrt(x * x + y * y)
-        ox, oy = state.corot_ref_x, state.corot_ref_y
+        if ref_xy is not None:
+            ox, oy = ref_xy
+        else:
+            ox, oy = state.corot_ref_x, state.corot_ref_y
         d_old = jnp.sqrt(ox * ox + oy * oy)
         cross = ox * y - x * oy
         omega_new = jnp.arcsin(cross / (d_new * d_old)) / dt

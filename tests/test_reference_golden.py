@@ -46,6 +46,16 @@ GOLDENS = Path(__file__).parent / "goldens"
     # tolerance reltol*MinimumTemperature (src/fld.cpp:235-237) —
     # observed agreement ~9e-10
     ("temperature_fld", 1e-6),
+    # accreting planet (Kley two-zone) + corotating frame + disk
+    # feedback, LeapFrog. Per-application accretion matches the reference
+    # formula at 4e-8 and the accreted mass at 1e-7, but a second-order
+    # accretion/transport coupling under LeapFrog (deviation scales
+    # linearly with AccretionEfficiency, ~f_acc * dip per step) leaves a
+    # ~2e-4 (Sigma) / 9e-3 (vrad, small normalization) residual near the
+    # planet after 76 steps — gated at 1e-2, which still catches any
+    # ordering/frame/bookkeeping regression (the bugs this golden found
+    # arrived at 1.7e0)
+    ("planet_accretion", 1e-2),
 ])
 def test_fields_match_reference_binary(name, tol, tmp_path):
     golden = GOLDENS / name

@@ -76,3 +76,6 @@ run_golden temperature_test "$REF/test/TemperatureTest/angelo.yml"
 # red-black SOR vs the reference's lexicographic SOR — both converge the
 # same linear system to 1e-10 per step)
 run_golden temperature_fld "$HERE/configs/temperature_fld.yml"
+# accreting planet in a corotating frame (Kley two-zone accretion,
+# disk feedback, LeapFrog): pins accretion bookkeeping + corotation
+run_golden planet_accretion "$HERE/configs/planet_accretion.yml"
