@@ -1172,7 +1172,7 @@ def transport_fused_pallas(sigma, vrad, vaz, energy, win_cols, nshift,
 
 _VK_COLS = dict(inv_diff_rsup=0, inv_rb=1, rb=2, invdrm=3, ra=4, inv_ra=5,
                 inv_diff_rsup_rb=6, two_diff_ra_sq=7, omega_k=8, hfac=9,
-                cs_iso=10)
+                cs_iso=10, sum_rs_ri=11, l_sq=12)
 _N_VK_COLS = 16
 
 
@@ -1207,6 +1207,16 @@ def make_viscous_prep(phys, constants, g, dtype, tile: int):
         from . import eos as _eos
         cols = put("cs_iso", _eos.sound_speed_iso_profile(
             phys, constants, g.rb))
+    from ..params import ARTVISC_TW as _TW
+    if phys.artificial_viscosity == _TW:
+        # TW length scale (reference artificial_viscosity.cpp:58-67)
+        dr = g.ra[1:] - g.ra[:-1]
+        rdphi = g.rb * g.dphi
+        dx = jnp.minimum(dr, rdphi) if g.naz <= 16 \
+            else jnp.maximum(dr, rdphi)
+        cols = put("l_sq",
+                   phys.artificial_viscosity_factor ** 2 * dx ** 2)
+        cols = put("sum_rs_ri", g.rsup + g.rinf)
     idx = jnp.clip(jnp.arange(-2, tile + 2)[None, :]
                    + (jnp.arange(n_tiles) * tile)[:, None], 0, nr)
     return cols[idx]                               # (n_tiles, tile+4, C)
@@ -1218,7 +1228,7 @@ def _viscous_kick_kernel(scal_ref, cols_ref,
                          vr_out, va_out, e_out, qp_out, qm_out, *,
                          nr: int, tile: int, adiabatic: bool, gamma: float,
                          alpha: float,
-                         const_nu: float, c2: float, artvisc: bool,
+                         const_nu: float, c2: float, artvisc: int,
                          dissipation: bool, compress: bool, heating: bool,
                          heat_factor: float, rvf: float, beta_on: bool,
                          tmin: float, tmax: float, rs: float,
@@ -1262,8 +1272,8 @@ def _viscous_kick_kernel(scal_ref, cols_ref,
         e_c = en * jnp.exp(-(gamma - 1.0) * dt * div_of(vr, va))
         en = jnp.where((gidx >= 0) & (gidx <= nr - 2), e_c, en)
 
-    # --- SN artificial viscosity ---------------------------------------
-    if artvisc:
+    # --- artificial viscosity (1 = SN, 2 = TW) -------------------------
+    if artvisc == 1:
         dv_r = up(vr) - vr
         dv_phi = _roll(va, -1) - va
         q_r = jnp.where(dv_r < 0.0, c2 * sig * dv_r * dv_r, 0.0)
@@ -1278,6 +1288,33 @@ def _viscous_kick_kernel(scal_ref, cols_ref,
         dvaz_av = -dt * 2.0 / (sig + _roll(sig, 1)) \
             * (q_phi - _roll(q_phi, 1)) * invdxtheta
         va = va + jnp.where(m_int, dvaz_av, 0.0)
+    elif artvisc == 2:
+        # Tscharnuter & Winkler tensor variant, off-diagonals zeroed
+        # (reference artificial_viscosity.cpp:35-140)
+        eps_rr = (up(vr) - vr) * col("inv_diff_rsup")
+        eps_pp = (_roll(va, -1) - va) * invdxtheta \
+            + 0.5 * (up(vr) + vr) * inv_rb
+        div_av = jnp.minimum(eps_rr + eps_pp, 0.0)
+        l_sq = col("l_sq")
+        q_rr = l_sq * sig * (-div_av) * (eps_rr - div_av / 3.0)
+        q_pp = l_sq * sig * (-div_av) * (eps_pp - div_av / 3.0)
+        if dissipation and adiabatic:
+            qp_av = -l_sq * div_av * sig / 3.0 * (
+                eps_rr * eps_rr + eps_pp * eps_pp
+                + (eps_rr - eps_pp) * (eps_rr - eps_pp))
+            en = jnp.where((gidx >= 2) & (gidx <= nr - 2),
+                           en + qp_av * dt, en)
+        sig_phi = 0.5 * (sig + _roll(sig, 1))
+        dvaz_av = 2.0 * dt / (col("sum_rs_ri") * sig_phi) \
+            * (q_pp - _roll(q_pp, 1)) * invdphi
+        va = va + jnp.where(m_int, dvaz_av, 0.0)
+        rb_av = col("rb")
+        sig_r = 0.5 * (sig + dn(sig))
+        dvr_av = rvf * dt / sig_r * 2.0 \
+            / (rb_av * rb_av - dn(rb_av) * dn(rb_av)) * (
+                (q_rr * rb_av - dn(q_rr) * dn(rb_av))
+                - 0.5 * (q_pp + dn(q_pp)) * (rb_av - dn(rb_av)))
+        vr = vr + jnp.where(m_face, dvr_av, 0.0)
     # static clamp factors, kept finite in the working dtype (the raw
     # tmax*rs product can exceed float32 max and would warn on cast)
     big = float(jnp.finfo(sig.dtype).max)
@@ -1390,7 +1427,7 @@ def _viscous_kick_kernel(scal_ref, cols_ref,
 def viscous_kick_pallas(sigma, vrad, vaz, energy, win_cols, dt, beta_inv,
                         tile: int, adiabatic: bool, gamma: float,
                         alpha: float,
-                        const_nu: float, c2: float, artvisc: bool,
+                        const_nu: float, c2: float, artvisc: int,
                         dissipation: bool, compress: bool, heating: bool,
                         heat_factor: float, rvf: float, beta_on: bool,
                         tmin: float, tmax: float, rs: float, rad_fac: float,

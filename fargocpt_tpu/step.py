@@ -260,7 +260,7 @@ class HydroStep:
             and not phys.variable_gamma
             and phys.aspectratio_mode == 0 and phys.alpha_mode == 0
             and phys.stabilize_viscosity == 0
-            and phys.artificial_viscosity in (_SN, "none")
+            and phys.artificial_viscosity in (_SN, "tw", "none")
             and not phys.heating_star and not phys.cooling_surface_enabled
             and not phys.cooling_scurve_enabled
             and phys.cooling_beta_method == "no"
@@ -618,7 +618,8 @@ class HydroStep:
                 tile=self._vk_tile, adiabatic=phys.is_adiabatic, gamma=gam,
                 alpha=phys.viscous_alpha, const_nu=phys.constant_viscosity,
                 c2=phys.artificial_viscosity_factor ** 2,
-                artvisc=phys.artificial_viscosity == _SN,
+                artvisc={"none": 0, _SN: 1, "tw": 2}[
+                    phys.artificial_viscosity],
                 dissipation=phys.artificial_viscosity_dissipation,
                 compress=used_fused_sources,
                 heating=phys.heating_viscous,

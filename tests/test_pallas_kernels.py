@@ -302,7 +302,7 @@ def test_artvisc_fused_parity(setup, dissipation):
 
 
 @pytest.mark.parametrize("compress", [True, False])
-@pytest.mark.parametrize("artvisc_on", [True, False])
+@pytest.mark.parametrize("artvisc_on", ["sn", "tw", "none"])
 @pytest.mark.parametrize("adiabatic", [True, False])
 def test_viscous_kick_fused_parity(setup, compress, artvisc_on, adiabatic):
     """The fused viscous-kick kernel (compression heating + SN artvisc +
@@ -318,7 +318,7 @@ def test_viscous_kick_fused_parity(setup, compress, artvisc_on, adiabatic):
         eos="adiabatic" if adiabatic else "isothermal",
         adiabatic_index=1.4, viscous_alpha=1e-3,
         aspectratio_ref=0.05, flaring_index=0.25,
-        artificial_viscosity="sn" if artvisc_on else "none",
+        artificial_viscosity=artvisc_on,
         artificial_viscosity_dissipation=True,
         heating_viscous=True, cooling_beta_enabled=True, cooling_beta=10.0,
         minimum_temperature=1e-6, sigma0=1.0, sigma_floor=1e-6)
@@ -369,7 +369,8 @@ def test_viscous_kick_fused_parity(setup, compress, artvisc_on, adiabatic):
             alpha=phys.viscous_alpha,
             const_nu=phys.constant_viscosity,
             c2=phys.artificial_viscosity_factor ** 2,
-            artvisc=artvisc_on, dissipation=True, compress=compress,
+            artvisc={"none": 0, "sn": 1, "tw": 2}[artvisc_on],
+            dissipation=True, compress=compress,
             heating=True, heat_factor=phys.heating_viscous_factor,
             rvf=phys.radial_viscosity_factor, beta_on=True,
             tmin=phys.minimum_temperature,
