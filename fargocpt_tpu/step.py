@@ -873,6 +873,10 @@ class HydroStep:
             qplus, qminus = state.qplus, state.qminus
             sor = state.fld_sor
             sg_kernel = state.sg_kernel
+            # pure N-body run: the second-half indirect terms still apply
+            # (reference :410 apply_indirect_term_on_Nbody is ungated)
+            dax, day, it_disk, it_nb = self._nbody_feedback_compute(
+                sigma, h0, nb, mid_time, hdt)
 
         if phys.integrate_particles and particles is not None:
             particles = self._integrate_particles(
@@ -891,8 +895,7 @@ class HydroStep:
                 omega_frame, hdt, nu_grid=self._accretion_nu(sigma, energy),
                 row_w=self._own_act_col, axis_name=self._axis_name)
             sigma = eos.apply_sigma_floor(phys, sigma)
-        if phys.calculate_disk:
-            nb = self._nbody_apply_kicks(nb, dax, day, it_disk, it_nb, hdt)
+        nb = self._nbody_apply_kicks(nb, dax, day, it_disk, it_nb, hdt)
         nb_pre_drift2 = nb
         nb = nbody_sys.integrate(nb, constants.G, hdt)
         nb = nbody_sys.move_to_hydro_frame_center(nb, self.n_hydroframe)
