@@ -268,3 +268,45 @@ def test_mass_bookkeeping_and_ecc_monitor(tmp_path):
     assert np.all(np.isfinite(ecc))
     # the per-stage deltas respond to the dynamics
     assert np.any(np.abs(ecc[1:, 3:8]) > 0)
+
+
+def test_restart_bitwise_corotating_accreting(tmp_path):
+    """Bitwise restart in the corotating frame with an accreting planet:
+    the rotating-frame initial fields, the carried omega_frame/
+    corotation reference, and the grown planet mass must all survive the
+    snapshot round-trip (reference src/restart.cpp)."""
+    def cfg(outdir, monitors):
+        d = cfg_dict(outdir, monitors=monitors)
+        d.update({
+            "Frame": "C", "CorotationReferenceBody": "1",
+            "DiskFeedback": "yes",
+            "nbody": [
+                {"name": "star", "semi-major axis": "0.0", "mass": "1.0"},
+                {"name": "planet", "semi-major axis": "1.0",
+                 "mass": "1e-4", "accretion efficiency": "1.0",
+                 "accretion method": "kley"},
+            ]})
+        return d
+
+    out_a = tmp_path / "a"
+    sim_a = Simulation(Config.from_dict(cfg(out_a, 2)))
+    out.OutputWriter(sim_a)
+    sim_a.run()
+
+    out_b = tmp_path / "b"
+    sim_b = Simulation(Config.from_dict(cfg(out_b, 1)))
+    out.OutputWriter(sim_b)
+    sim_b.run()
+    sim_c = Simulation(Config.from_dict(cfg(out_b, 2)))
+    out.restore_simulation(sim_c, out_b, 1)
+    sim_c.run()
+
+    for name in ("sigma", "vrad", "vaz", "energy"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(sim_a.fields, name)),
+            np.asarray(getattr(sim_c.fields, name)),
+            err_msg=f"{name} not bitwise identical (corotating restart)")
+    np.testing.assert_array_equal(np.asarray(sim_a.state.nbody.mass),
+                                  np.asarray(sim_c.state.nbody.mass))
+    assert float(sim_a.state.omega_frame) == float(sim_c.state.omega_frame)
+    assert float(sim_a.state.corot_ref_x) == float(sim_c.state.corot_ref_x)
