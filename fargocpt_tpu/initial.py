@@ -428,10 +428,19 @@ def build_initial_state(phys: Physics, constants: Constants,
     ``nbody`` (dict of x/y/vx/vy/mass arrays) enables the N-body-centered,
     secondary-disk and ring options.
     """
-    if phys.shock_tube == 1:
-        return shock_tube_state(phys, geom, pvte=False), phys
-    if phys.shock_tube == 2:
-        return shock_tube_state(phys, geom, pvte=True), phys
+    if phys.shock_tube in (1, 2):
+        st = shock_tube_state(phys, geom, pvte=phys.shock_tube == 2)
+        # the reference initializes the gas VELOCITIES through the
+        # standard path even for shock tubes (src/init.cpp:330-331
+        # init_gas_velocities runs unconditionally after the shock-tube
+        # density/energy init) — vaz carries the pressure-supported
+        # near-Keplerian profile, vrad the configured radial profile
+        vrad, vaz = gas_velocities(phys, constants, geom, quad_moment)
+        import dataclasses as _dc
+        dt_ = st.sigma.dtype
+        st = _dc.replace(st, vrad=jnp.asarray(vrad, dt_),
+                         vaz=jnp.asarray(vaz, dt_))
+        return st, phys
 
     com = None
     com_mass = phys.hydro_center_mass

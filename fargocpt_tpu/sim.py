@@ -59,6 +59,10 @@ class Simulation:
                  dtype: str = "float64"):
         self.cfg = cfg
         shock_tube = cfg.get("ShockTube", 0, type=int)
+        # consult the base-unit keys even on the shock-tube branch (which
+        # overrides them) so they never trip the unknown-key check
+        for key in ("l0", "m0", "t0", "temp0"):
+            cfg.get_raw(key)
         if shock_tube == 2:
             # PVTE shock tube: special unit table (src/init.cpp:540-615)
             self.units = u.pvte_shock_tube_units()
@@ -173,10 +177,11 @@ class Simulation:
         self.state: SystemState = self.stepper.initial_system_state(
             fields, nbody_state)
 
-        # dust particles (reference src/particles/particles.cpp:516-790)
+        # dust particles (reference src/particles/particles.cpp:516-790);
+        # the particle keys are consulted even when particles are off
+        # (the reference always reads them, src/parameters.cpp:854-932)
+        pp, pstate = self._setup_particles(cfg, dtype)
         if self.phys.integrate_particles:
-            from .particles import dust
-            pp, pstate = self._setup_particles(cfg, dtype)
             self.stepper.particle_params = pp
             self.state = self.state.replace(particles=pstate)
 

@@ -43,6 +43,8 @@ if "spreading_ring" in outdir:
     text = setkey(text, "MonitorTimestep", "2.0")
 elif "temperature" in outdir:
     text = setkey(text, "MonitorTimestep", "4.0")
+elif "shocktube" in outdir:
+    text = setkey(text, "MonitorTimestep", "0.1")
 else:
     text = setkey(text, "MonitorTimestep", "0.6283185307179586")
 open(path, "w").write(text)
@@ -60,7 +62,7 @@ EOF
     find "$dst" -name 'rebound.bin' -delete
     find "$dst" -name '*1D.dat' -delete
     # energy matters only for the adiabatic golden
-    case "$name" in temperature_test|temperature_fld) : ;; *)
+    case "$name" in temperature_test|temperature_fld|shocktube_sn) : ;; *)
         find "$dst" -name 'energy.dat' -delete ;;
     esac
     echo "golden '$name' written to $dst"
@@ -79,3 +81,6 @@ run_golden temperature_fld "$HERE/configs/temperature_fld.yml"
 # accreting planet in a corotating frame (Kley two-zone accretion,
 # disk feedback, LeapFrog): pins accretion bookkeeping + corotation
 run_golden planet_accretion "$HERE/configs/planet_accretion.yml"
+# Sod shock tube (ShockTube=1, Euler + SN artvisc): pins the energy
+# equation + artificial-viscosity dissipation without any disk physics
+run_golden shocktube_sn "$REF/test/shockTube/setups/shocktube_SN.yml"
