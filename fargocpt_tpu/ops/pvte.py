@@ -197,12 +197,19 @@ class PVTE:
         self.tabs = (jnp.asarray(lnT_t, dtype), jnp.asarray(fd_t, dtype))
         self.units = units
         self.density_factor = phys.density_factor
+        self.shock_tube = phys.shock_tube
 
     def gamma_mu(self, sigma, energy, scale_height):
         """(gamma_eff, mu, gamma1) grids from the state
-        (reference :497-541 ``compute_gamma_mu``)."""
+        (reference :497-541 ``compute_gamma_mu``). Shock-tube runs use
+        the surface density directly as the volume density — no
+        midplane scale-height conversion (reference :521-524)."""
         un = self.units
-        rho_cgs = sigma / (self.density_factor * scale_height) * un.density
+        if self.shock_tube > 0:
+            rho_cgs = sigma * un.density
+        else:
+            rho_cgs = sigma / (self.density_factor * scale_height) \
+                * un.density
         e_spec_cgs = energy / sigma * (un.energy_density / un.surface_density)
         T = temperature_from_energy(e_spec_cgs, rho_cgs, self.x_mf, self.tabs)
         _x, _y, mu, eps, gamma_eff = _gamma_mu_at(rho_cgs, T, self.x_mf,

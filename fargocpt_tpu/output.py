@@ -256,9 +256,10 @@ class OutputWriter:
         if sim.phys.write_energy:
             w(sdir / "energy.dat", np.asarray(f.energy))
         if sim.phys.is_adiabatic:
-            gam = sim.phys.adiabatic_index
-            temp = sim.phys.mu / sim.constants.R * (gam - 1.0) \
-                * np.asarray(f.energy) / np.asarray(f.sigma)
+            from .ops import eos as _eos
+            pv = sim.stepper.pvte_vals(f.sigma, f.energy)
+            temp = np.asarray(_eos.temperature(
+                sim.phys, sim.constants, f.sigma, f.energy, None, pv))
             w(sdir / "Temperature.dat", temp)
         # Q grids for bitwise-exact restart (reference src/restart.cpp:73-90,
         # written only when BitwiseExactRestarting is on and the run is not
@@ -303,9 +304,6 @@ class OutputWriter:
                 self._write_1d(sdir, "Dissipation",
                                np.repeat(dis[:, None], 1, axis=1), rmed)
         if sim.phys.is_adiabatic:
-            gam = sim.phys.adiabatic_index
-            temp = sim.phys.mu / sim.constants.R * (gam - 1.0) \
-                * np.asarray(f.energy) / np.asarray(f.sigma)
             self._write_1d(sdir, "Temperature", temp, sim.geometry.rmed)
             import jax.numpy as _jnp
             _cs, _p, h = sim.stepper.derived(f.sigma, f.energy)

@@ -59,6 +59,11 @@ GOLDENS = Path(__file__).parent / "goldens"
     # Sod shock tube (ShockTube=1): energy equation + SN artvisc
     # dissipation in isolation, 255 steps to t=0.2
     ("shocktube_sn", 1e-6),
+    # PVTE variable-gamma shock tube (3283 steps, identical count): the
+    # in-graph bisection EoS vs the reference's bilinear (rho, e) lookup
+    # tables — the table-interpolation difference leaves ~1.5e-3 after
+    # 3283 steps (was 2.4e-1 before the shock-tube rho convention fix)
+    ("shocktube_pvte", 1e-2),
 ])
 def test_fields_match_reference_binary(name, tol, tmp_path):
     golden = GOLDENS / name
@@ -101,4 +106,4 @@ def test_fields_match_reference_binary(name, tol, tmp_path):
         assert ng == nm, f"hydro step count differs: ref {ng} vs {nm}"
         dt_g = float(np.frombuffer(bg[32:40], np.float64)[0])
         dt_m = float(np.frombuffer(bm[32:40], np.float64)[0])
-        assert abs(dt_g - dt_m) / dt_g < 1e-6
+        assert abs(dt_g - dt_m) / dt_g < max(1e-6, tol)

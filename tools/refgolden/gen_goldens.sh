@@ -62,7 +62,7 @@ EOF
     find "$dst" -name 'rebound.bin' -delete
     find "$dst" -name '*1D.dat' -delete
     # energy matters only for the adiabatic golden
-    case "$name" in temperature_test|temperature_fld|shocktube_sn) : ;; *)
+    case "$name" in temperature_test|temperature_fld|shocktube_sn|shocktube_pvte) : ;; *)
         find "$dst" -name 'energy.dat' -delete ;;
     esac
     echo "golden '$name' written to $dst"
@@ -84,3 +84,6 @@ run_golden planet_accretion "$HERE/configs/planet_accretion.yml"
 # Sod shock tube (ShockTube=1, Euler + SN artvisc): pins the energy
 # equation + artificial-viscosity dissipation without any disk physics
 run_golden shocktube_sn "$REF/test/shockTube/setups/shocktube_SN.yml"
+# PVTE variable-gamma shock tube: quantifies the in-graph bisection EoS
+# vs the reference's GSL 2-D lookup tables
+run_golden shocktube_pvte "$REF/test/shockTube_PVTE/shocktube_varGamm.yml"
