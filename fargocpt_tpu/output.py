@@ -818,13 +818,17 @@ class OutputWriter:
                 omega_k = math.sqrt(
                     sim.constants.G * sim.phys.hydro_center_mass
                     / max(el["a"], 1e-300) ** 3) if el["a"] > 0 else 0.0
+                # accreted mass = growth over the configured mass (the
+                # reference tracks it separately; with disk feedback on
+                # the two are identical, reference accretion.cpp:205-218)
+                accreted = m - float(sim.bodies[k].mass)
                 f.write("\t".join(f"{v:.18g}" for v in [
                     sim.n_snapshot, sim.n_monitor, x, y, vx, vy, m, sim.time,
                     float(sim.state.omega_frame), mdcp.get(k, 0.0),
                     el["e"], L, el["a"],
                     omega_k, el["mean_anomaly"], el["eccentric_anomaly"],
                     el["true_anomaly"], el["pericenter_angle"], torque,
-                    0.0, 0.0]) + "\n")
+                    accreted, 0.0]) + "\n")
 
     # hooks ---------------------------------------------------------------
     def _on_monitor(self, sim):
