@@ -217,9 +217,21 @@ def integrate(state: NBodyState, G: float, dt, n_substeps: int = 16,
         return state
     if method == "ias15":
         from .ias15 import integrate_ias15
+        # ALWAYS integrate in float64 (requires jax x64, enabled at
+        # HydroStep construction): IAS15's adaptive controller compares
+        # the b6 series term against epsilon=1e-9, far below the float32
+        # noise floor (~1e-7) — in f32 the trial step collapses to the
+        # 1e-12*dt floor and every call burns the full 4096-substep
+        # backstop while barely moving the bodies.  The body arrays are
+        # tiny, so the f64 upcast costs nothing even on TPU.
+        f64 = jnp.float64
         x, y, vx, vy = integrate_ias15(
-            state.x, state.y, state.vx, state.vy, state.mass, G, dt)
-        return state.replace(x=x, y=y, vx=vx, vy=vy)
+            state.x.astype(f64), state.y.astype(f64),
+            state.vx.astype(f64), state.vy.astype(f64),
+            state.mass.astype(f64), G, dt)
+        d = state.x.dtype
+        return state.replace(x=x.astype(d), y=y.astype(d),
+                             vx=vx.astype(d), vy=vy.astype(d))
     h = dt / n_substeps
     m = state.mass
 

@@ -21,14 +21,22 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
 def _roll(x, shift):
     """Lane-axis circular roll inside the kernel (azimuthal neighbors).
-    pltpu.roll requires a non-negative shift."""
-    return pltpu.roll(x, shift % x.shape[-1], axis=x.ndim - 1)
+    pltpu.roll requires a non-negative shift.  The shift is pinned to i32:
+    under x64 a Python-int shift is converted to an i64 scalar, and
+    Mosaic's dynamic_rotate only lowers i32 shifts."""
+    shift = shift % x.shape[-1]
+    if isinstance(shift, (int, np.integer)):
+        shift = np.int32(shift)
+    else:
+        shift = shift.astype(jnp.int32)
+    return pltpu.roll(x, shift, axis=x.ndim - 1)
 
 
 def _van_leer(a, b):
@@ -473,7 +481,8 @@ def _fargo_theta_kernel(shift_ref, dt_ref, qs_ref, vres_ref, vconst_ref,
         out_ref[:, r, :] = pltpu.roll(out_ref[:, r, :], s, axis=1)
         return carry
 
-    jax.lax.fori_loop(0, tile, body, 0)
+    # i32 bounds: i64 induction vars don't lower in Mosaic (see above)
+    jax.lax.fori_loop(np.int32(0), np.int32(tile), body, 0)
 
 
 @functools.partial(jax.jit,
@@ -609,7 +618,8 @@ def _shift_kernel(shift_ref, x_ref, o_ref):
         o_ref[:, r, :] = pltpu.roll(x_ref[:, r, :], s, axis=1)
         return carry
 
-    jax.lax.fori_loop(0, tile, body, 0)
+    # i32 bounds: i64 induction vars don't lower in Mosaic (see above)
+    jax.lax.fori_loop(np.int32(0), np.int32(tile), body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))
@@ -1032,8 +1042,11 @@ def _transport_kernel(scal_ref, shift_ref, cols_ref, vm_ref, vc_ref,
         return carry
 
     # rows needed post-shift: output rows + one halo ring above for the
-    # vrad reconstruction (face f uses ring f-1)
-    jax.lax.fori_loop(H - 1, tile + H, body, 0)
+    # vrad reconstruction (face f uses ring f-1).  i32 loop bounds: under
+    # x64 Python-int bounds give an i64 induction variable, and Mosaic can
+    # neither lower i64 dynamic_rotate shifts nor convert i64->i32 (the
+    # convert lowering rule recurses infinitely).
+    jax.lax.fori_loop(np.int32(H - 1), np.int32(tile + H), body, 0)
 
     rp = batch_ref[0]
     rm = batch_ref[1]

@@ -429,11 +429,11 @@ class ShardedHydroStep:
     def _build_advance(self, state):
         state_specs = self._specs_for(state)
 
-        def fn(owned, vrad_top, time, last_dt, t_target, ctx_blk):
+        def fn(owned, vrad_top, time, last_dt, t_target, step_cap, ctx_blk):
             ctx = jax.tree_util.tree_map(lambda a: a[0], ctx_blk)
             st = self._localize(ctx)
             ext = self._assemble(owned, vrad_top, ctx)
-            out = st._advance_impl(ext, time, last_dt, t_target)
+            out = st._advance_impl(ext, time, last_dt, t_target, step_cap)
             new_ext, time, last_dt, nsteps, dmin, dmax, dsum, dsq = out
             new_owned, new_top = self._extract(new_ext, ctx)
             return (new_owned, new_top, time, last_dt, nsteps,
@@ -441,23 +441,40 @@ class ShardedHydroStep:
 
         mapped = _shard_map(
             fn, self.mesh,
-            in_specs=(state_specs, P(), P(), P(), P(), self._ctx_specs),
+            in_specs=(state_specs, P(), P(), P(), P(), P(),
+                      self._ctx_specs),
             out_specs=(state_specs, P(), P(), P(), P(), P(), P(), P(), P()))
         return jax.jit(mapped)
 
     def advance_to(self, pair, time, last_dt, t_target):
         """Advance one monitor interval; returns ((state, top), time,
         last_dt, n_steps, dt_min, dt_max, dt_sum, dt_sum_sq) — the sharded
-        analog of HydroStep.advance_to."""
+        analog of HydroStep.advance_to (including the chunked while_loop,
+        see HydroStep.max_steps_per_call)."""
         state, vrad_top = pair
         if self._jit_advance is None:
             self._jit_advance = self._build_advance(state)
         dtype = self.dtype
-        out = self._jit_advance(state, vrad_top, jnp.asarray(time, dtype),
-                                jnp.asarray(last_dt, dtype),
-                                jnp.asarray(t_target, dtype), self._ctx)
-        new_state, new_top = out[0], out[1]
-        return ((new_state, new_top),) + tuple(out[2:])
+        cap = getattr(self.stepper, "max_steps_per_call", 0)
+        cap32 = jnp.asarray(cap if cap > 0 else 2 ** 31 - 1, jnp.int32)
+        time = jnp.asarray(time, dtype)
+        last_dt = jnp.asarray(last_dt, dtype)
+        t_target = jnp.asarray(t_target, dtype)
+        out = self._jit_advance(state, vrad_top, time, last_dt,
+                                t_target, cap32, self._ctx)
+        state, vrad_top, time, last_dt, n, dmin, dmax, dsum, dsq = out
+        if cap > 0:
+            while float(time) < float(t_target):
+                out = self._jit_advance(state, vrad_top, time, last_dt,
+                                        t_target, cap32, self._ctx)
+                (state, vrad_top, time, last_dt, n2, dmin2, dmax2,
+                 dsum2, dsq2) = out
+                n = n + n2
+                dmin = jnp.minimum(dmin, dmin2)
+                dmax = jnp.maximum(dmax, dmax2)
+                dsum = dsum + dsum2
+                dsq = dsq + dsq2
+        return ((state, vrad_top), time, last_dt, n, dmin, dmax, dsum, dsq)
 
     def step(self, pair, time, dt):
         """One sharded hydro step (for tests)."""

@@ -112,6 +112,12 @@ class HydroStep:
                  geometry: Geometry, ref_values: RefValues,
                  bodies: list[BodyConfig] | None = None,
                  n_hydroframe: int = 1, units=None, particle_params=None):
+        # x64 must be live even for float32 runs: the N-body system is
+        # always integrated in f64 (nbody/system.py integrate) because
+        # IAS15's controller works below the f32 noise floor.  The hydro
+        # arrays keep the configured dtype; only tiny body vectors are f64.
+        import jax as _jax
+        _jax.config.update("jax_enable_x64", True)
         self.particle_params = particle_params
         self.phys = phys
         if units is None:
@@ -326,6 +332,16 @@ class HydroStep:
         self._step = jax.jit(self._step_impl)
         self._cfl = jax.jit(self._cfl_impl)
         self._advance = jax.jit(self._advance_impl)
+        # Upper bound on hydro steps per device call: ``advance_to`` splits
+        # a monitor interval into several while_loop executions of at most
+        # this many steps (the step cap is a traced argument — one compiled
+        # graph).  Long single blocking executions (> ~1 min) through the
+        # axon TPU tunnel can crash the TPU worker process; chunking bounds
+        # each call while keeping the dt sequence bitwise identical (dt
+        # depends only on carried state).  <=0 disables chunking.
+        import os as _os
+        self.max_steps_per_call = int(
+            _os.environ.get("FARGOCPT_TPU_MAX_STEPS_PER_CALL", "256"))
 
     # --- sharding-aware reduction helpers --------------------------------
     def _sum_cells(self, x, weight_col):
@@ -1318,12 +1334,15 @@ class HydroStep:
             dt = jax.lax.pmin(dt, self._axis_name)
         return dt
 
-    def _advance_impl(self, state: SystemState, time, last_dt, t_target):
+    def _advance_impl(self, state: SystemState, time, last_dt, t_target,
+                      step_cap):
         """Advance to ``t_target`` (one monitor interval) entirely on-device
         with a ``lax.while_loop`` — replaces the reference's host loop
         (src/simulation.cpp:505-560) including the exact dt clamping rules:
         dt = min(CFL_max_var * last_dt, cfl_dt), stretched/clamped to land
-        exactly on the monitor boundary (:541-552).
+        exactly on the monitor boundary (:541-552).  ``step_cap`` (traced
+        int32) bounds the loop so ``advance_to`` can split the interval
+        across several device calls.
 
         Returns (state, time, last_dt, n_steps, dt_min, dt_max, dt_sum,
         dt_sum_sq).
@@ -1332,7 +1351,7 @@ class HydroStep:
         big = jnp.asarray(jnp.finfo(dtype).max, dtype)
 
         def cond(carry):
-            return jnp.logical_not(carry[-1])
+            return jnp.logical_not(carry[-1]) & (carry[3] < step_cap)
 
         def body(carry):
             (state, time, last_dt, n, dmin, dmax, dsum, dsq, _done) = carry
@@ -1364,9 +1383,28 @@ class HydroStep:
 
     # public API ---------------------------------------------------------
     def advance_to(self, state: SystemState, time, last_dt, t_target):
-        return self._advance(state, jnp.asarray(time, self.dtype),
-                             jnp.asarray(last_dt, self.dtype),
-                             jnp.asarray(t_target, self.dtype))
+        """Advance to ``t_target``, chunking the on-device while_loop into
+        executions of at most ``max_steps_per_call`` steps (host loop with
+        one sync per chunk; the dt sequence is identical to a single call
+        because every step depends only on the carried state)."""
+        time = jnp.asarray(time, self.dtype)
+        last_dt = jnp.asarray(last_dt, self.dtype)
+        t_target = jnp.asarray(t_target, self.dtype)
+        cap = self.max_steps_per_call
+        cap32 = jnp.asarray(cap if cap > 0 else 2 ** 31 - 1, jnp.int32)
+        (state, time, last_dt, n, dmin, dmax, dsum,
+         dsq) = self._advance(state, time, last_dt, t_target, cap32)
+        if cap <= 0:
+            return state, time, last_dt, n, dmin, dmax, dsum, dsq
+        while float(time) < float(t_target):
+            (state, time, last_dt, n2, dmin2, dmax2, dsum2,
+             dsq2) = self._advance(state, time, last_dt, t_target, cap32)
+            n = n + n2
+            dmin = jnp.minimum(dmin, dmin2)
+            dmax = jnp.maximum(dmax, dmax2)
+            dsum = dsum + dsum2
+            dsq = dsq + dsq2
+        return state, time, last_dt, n, dmin, dmax, dsum, dsq
 
     def step(self, state: SystemState, time, dt):
         return self._step(state, jnp.asarray(time, self.dtype),
