@@ -45,6 +45,16 @@ def build_info() -> str:
 if _sys.getrecursionlimit() < 100000:
     _sys.setrecursionlimit(100000)
 
+# x64 must be live BEFORE any array is built anywhere in the package: the
+# N-body system always integrates in f64 (IAS15's controller works below
+# the f32 noise floor), and float64 Simulations must get true-f64 initial
+# fields.  Enabling it lazily (e.g. in HydroStep.__init__) once truncated
+# the first Simulation's ICs to f32 and crashed the fused f32 transport
+# kernel on the resulting mixed-dtype state — see tests/test_driver_parity.py.
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)
+
 from . import config, constants, grid, params, state, units  # noqa: F401
 
 

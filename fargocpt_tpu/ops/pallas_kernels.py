@@ -22,6 +22,12 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# index-map literals MUST be strong i32: under x64 a Python-int 0 in a
+# BlockSpec index map becomes an i64 constant and Mosaic fails to legalize
+# the index-map function's (i64, i32) return
+_Z = np.int32(0)
+
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -108,20 +114,20 @@ def theta_sweep_pallas(qs, v, rb_col, coef_col, inv_surf_col, dt,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
+            pl.BlockSpec((1, 1), lambda i: (_Z, _Z),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((k_quant, tile, naz), lambda i: (0, i, 0),
+            pl.BlockSpec((k_quant, tile, naz), lambda i: (_Z, i, _Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, naz), lambda i: (i, 0),
+            pl.BlockSpec((tile, naz), lambda i: (i, _Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+            pl.BlockSpec((tile, 1), lambda i: (i, _Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+            pl.BlockSpec((tile, 1), lambda i: (i, _Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+            pl.BlockSpec((tile, 1), lambda i: (i, _Z),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((k_quant, tile, naz), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((k_quant, tile, naz), lambda i: (_Z, i, _Z),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(qs.shape, qs.dtype),
     )(dt_arr, qs, v, rb_col, coef_col, inv_surf_col)
@@ -196,30 +202,30 @@ def radial_momenta_sweep_pallas(sigma, vrad, vaz, energy, base, dt,
                                limiter=limiter)
     scal = jnp.stack([jnp.asarray(dt, sigma.dtype),
                       jnp.asarray(omega_frame, sigma.dtype)])
-    col = lambda j, k: (0, j)
+    col = lambda j, k: (_Z, j)
     return pl.pallas_call(
         kernel,
         grid=(naz // col_tile, k_quant),
         in_specs=[
-            pl.BlockSpec((2,), lambda j, k: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((2,), lambda j, k: (_Z,), memory_space=pltpu.SMEM),
             pl.BlockSpec((nr, col_tile), col, memory_space=pltpu.VMEM),
             pl.BlockSpec((nr + 1, col_tile), col, memory_space=pltpu.VMEM),
             pl.BlockSpec((nr, col_tile), col, memory_space=pltpu.VMEM),
             pl.BlockSpec((nr, col_tile), col, memory_space=pltpu.VMEM),
             pl.BlockSpec((nr, col_tile), col, memory_space=pltpu.VMEM),
             pl.BlockSpec((nr + 1, col_tile), col, memory_space=pltpu.VMEM),
-            pl.BlockSpec((nr, 1), lambda j, k: (0, 0),
+            pl.BlockSpec((nr, 1), lambda j, k: (_Z, _Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nr + 1, 1), lambda j, k: (0, 0),
+            pl.BlockSpec((nr + 1, 1), lambda j, k: (_Z, _Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nr + 1, 1), lambda j, k: (0, 0),
+            pl.BlockSpec((nr + 1, 1), lambda j, k: (_Z, _Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nr + 1, 1), lambda j, k: (0, 0),
+            pl.BlockSpec((nr + 1, 1), lambda j, k: (_Z, _Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nr, 1), lambda j, k: (0, 0),
+            pl.BlockSpec((nr, 1), lambda j, k: (_Z, _Z),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, nr, col_tile), lambda j, k: (k, 0, j),
+        out_specs=pl.BlockSpec((1, nr, col_tile), lambda j, k: (k, _Z, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k_quant, nr, naz), sigma.dtype),
     )(scal, sigma, vrad, vaz, vnext, energy, base, rb, invdrm, cm, cp,
@@ -398,14 +404,14 @@ def sources_fused_pallas(sigma, energy, vaz, vrad, cols, cosphi, sinphi,
     kernel = functools.partial(
         _sources_kernel, n_bodies=n_bodies, adiabatic=adiabatic,
         gamma=gamma, eps=eps, smooth_modes=smooth_modes)
-    cell = lambda j: (0, j)
-    row = lambda j: (0, j)
+    cell = lambda j: (_Z, j)
+    row = lambda j: (_Z, j)
     specs = [
-        pl.BlockSpec((4 + 5 * n_bodies,), lambda j: (0,),
+        pl.BlockSpec((4 + 5 * n_bodies,), lambda j: (_Z,),
                      memory_space=pltpu.SMEM),
         *[pl.BlockSpec((nr, col_tile), cell, memory_space=pltpu.VMEM)] * 6,
         pl.BlockSpec((nr + 1, col_tile), cell, memory_space=pltpu.VMEM),
-        pl.BlockSpec((nr, _N_SRC_COLS), lambda j: (0, 0),
+        pl.BlockSpec((nr, _N_SRC_COLS), lambda j: (_Z, _Z),
                      memory_space=pltpu.VMEM),
         *[pl.BlockSpec((1, col_tile), row, memory_space=pltpu.VMEM)] * 4,
     ]
@@ -473,16 +479,14 @@ def _fargo_theta_kernel(shift_ref, dt_ref, qs_ref, vres_ref, vconst_ref,
     for k in range(k_quant):
         out_ref[k] = fields[k]
 
-    # per-ring integer roll, in place on the output block
+    # per-ring integer roll, in place on the output block.  Python-level
+    # loop (static trip count): under x64 a lax.fori_loop induction var is
+    # i64 even with np.int32 bounds, and Mosaic's i64->i32 convert lowering
+    # recurses infinitely — unrolling keeps every row index a Python int.
     i = pl.program_id(0)
-
-    def body(r, carry):
+    for r in range(tile):
         s = shift_ref[i * tile + r]
         out_ref[:, r, :] = pltpu.roll(out_ref[:, r, :], s, axis=1)
-        return carry
-
-    # i32 bounds: i64 induction vars don't lower in Mosaic (see above)
-    jax.lax.fori_loop(np.int32(0), np.int32(tile), body, 0)
 
 
 @functools.partial(jax.jit,
@@ -502,23 +506,23 @@ def fargo_theta_pallas(qs, vres, vconst_col, nshift, rb_col, coef_col,
         kernel,
         grid=(nr // tile,),
         in_specs=[
-            pl.BlockSpec((nr,), lambda i: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
+            pl.BlockSpec((nr,), lambda i: (_Z,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (_Z, _Z),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((k_quant, tile, naz), lambda i: (0, i, 0),
+            pl.BlockSpec((k_quant, tile, naz), lambda i: (_Z, i, _Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, naz), lambda i: (i, 0),
+            pl.BlockSpec((tile, naz), lambda i: (i, _Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+            pl.BlockSpec((tile, 1), lambda i: (i, _Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+            pl.BlockSpec((tile, 1), lambda i: (i, _Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+            pl.BlockSpec((tile, 1), lambda i: (i, _Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+            pl.BlockSpec((tile, 1), lambda i: (i, _Z),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((k_quant, tile, naz), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((k_quant, tile, naz), lambda i: (_Z, i, _Z),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(qs.shape, qs.dtype),
     )(shifts, dt_arr, qs, vres, vconst_col, rb_col, coef_col, inv_surf_col)
@@ -583,26 +587,26 @@ def radial_sweep_pallas(qs, sigma, vrad, base, dt, invdrm, cm, cp, inv_surf,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda j, k: (0, 0),
+            pl.BlockSpec((1, 1), lambda j, k: (_Z, _Z),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, nr, col_tile), lambda j, k: (k, 0, j),
+            pl.BlockSpec((1, nr, col_tile), lambda j, k: (k, _Z, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nr, col_tile), lambda j, k: (0, j),
+            pl.BlockSpec((nr, col_tile), lambda j, k: (_Z, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nr + 1, col_tile), lambda j, k: (0, j),
+            pl.BlockSpec((nr + 1, col_tile), lambda j, k: (_Z, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nr + 1, col_tile), lambda j, k: (0, j),
+            pl.BlockSpec((nr + 1, col_tile), lambda j, k: (_Z, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nr + 1, 1), lambda j, k: (0, 0),
+            pl.BlockSpec((nr + 1, 1), lambda j, k: (_Z, _Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nr + 1, 1), lambda j, k: (0, 0),
+            pl.BlockSpec((nr + 1, 1), lambda j, k: (_Z, _Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nr + 1, 1), lambda j, k: (0, 0),
+            pl.BlockSpec((nr + 1, 1), lambda j, k: (_Z, _Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nr, 1), lambda j, k: (0, 0),
+            pl.BlockSpec((nr, 1), lambda j, k: (_Z, _Z),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, nr, col_tile), lambda j, k: (k, 0, j),
+        out_specs=pl.BlockSpec((1, nr, col_tile), lambda j, k: (k, _Z, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(qs.shape, qs.dtype),
     )(dt_arr, qs, sigma, vrad, base, invdrm, cm, cp, inv_surf)
@@ -612,14 +616,11 @@ def _shift_kernel(shift_ref, x_ref, o_ref):
     """Per-ring dynamic circular roll (the FARGO integer shift)."""
     tile = x_ref.shape[1]
     i = pl.program_id(0)
-
-    def body(r, carry):
+    # unrolled (static trip count): x64 fori_loop induction vars are i64
+    # and Mosaic's i64->i32 convert recurses — see _fargo_theta_kernel
+    for r in range(tile):
         s = shift_ref[i * tile + r]
         o_ref[:, r, :] = pltpu.roll(x_ref[:, r, :], s, axis=1)
-        return carry
-
-    # i32 bounds: i64 induction vars don't lower in Mosaic (see above)
-    jax.lax.fori_loop(np.int32(0), np.int32(tile), body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))
@@ -634,11 +635,11 @@ def advect_shift_pallas(qs, nshift, tile: int = 16):
         num_scalar_prefetch=0,
         grid=(nr // tile,),
         in_specs=[
-            pl.BlockSpec((nr,), lambda i: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((k_quant, tile, naz), lambda i: (0, i, 0),
+            pl.BlockSpec((nr,), lambda i: (_Z,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((k_quant, tile, naz), lambda i: (_Z, i, _Z),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((k_quant, tile, naz), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((k_quant, tile, naz), lambda i: (_Z, i, _Z),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
@@ -724,14 +725,14 @@ def artvisc_sn_pallas(sigma, vrad, vaz, energy, cols, dt, c2: float,
     n_tiles = naz // col_tile
     kernel = functools.partial(_artvisc_sn_kernel, c2=c2,
                                dissipation=dissipation, invdphi=invdphi)
-    cell = lambda j: (0, j)
-    left = lambda j: (0, (j - 1) % n_tiles)
-    right = lambda j: (0, (j + 1) % n_tiles)
+    cell = lambda j: (_Z, j)
+    left = lambda j: (_Z, (j - 1) % n_tiles)
+    right = lambda j: (_Z, (j + 1) % n_tiles)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1,), lambda j: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda j: (_Z,), memory_space=pltpu.SMEM),
             pl.BlockSpec((nr, col_tile), cell, memory_space=pltpu.VMEM),
             pl.BlockSpec((nr, col_tile), left, memory_space=pltpu.VMEM),
             pl.BlockSpec((nr, col_tile), left, memory_space=pltpu.VMEM),
@@ -739,7 +740,7 @@ def artvisc_sn_pallas(sigma, vrad, vaz, energy, cols, dt, c2: float,
             pl.BlockSpec((nr, col_tile), right, memory_space=pltpu.VMEM),
             pl.BlockSpec((nr + 1, col_tile), cell, memory_space=pltpu.VMEM),
             pl.BlockSpec((nr, col_tile), cell, memory_space=pltpu.VMEM),
-            pl.BlockSpec((nr, 8), lambda j: (0, 0),
+            pl.BlockSpec((nr, 8), lambda j: (_Z, _Z),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -845,7 +846,7 @@ def cfl_pallas(sigma, energy, vrad, vaz, qplus, qminus, vmean, cols,
         _cfl_kernel, adiabatic=adiabatic, gamma=gamma, alpha=alpha,
         const_nu=const_nu, c2=c2, lf=lf, inv_hc_limit=inv_hc_limit,
         cfl=cfl, sn=sn, fast=fast, dphi=dphi, invdphi=invdphi)
-    cell = lambda j: (0, j)
+    cell = lambda j: (_Z, j)
     mins = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -857,12 +858,12 @@ def cfl_pallas(sigma, energy, vrad, vaz, qplus, qminus, vmean, cols,
             pl.BlockSpec((nr, col_tile), cell, memory_space=pltpu.VMEM),
             pl.BlockSpec((nr, col_tile), cell, memory_space=pltpu.VMEM),
             pl.BlockSpec((nr, col_tile), cell, memory_space=pltpu.VMEM),
-            pl.BlockSpec((nr, 1), lambda j: (0, 0),
+            pl.BlockSpec((nr, 1), lambda j: (_Z, _Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nr, 8), lambda j: (0, 0),
+            pl.BlockSpec((nr, 8), lambda j: (_Z, _Z),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, col_tile), lambda j: (0, j),
+        out_specs=pl.BlockSpec((1, col_tile), lambda j: (_Z, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, naz), sigma.dtype),
     )(sigma, energy, vrad, vaz, jnp.roll(vaz, -1, axis=-1), qplus, qminus,
@@ -1036,17 +1037,17 @@ def _transport_kernel(scal_ref, shift_ref, cols_ref, vm_ref, vc_ref,
     for k in range(k_quant):
         batch_ref[k] = swept[k]
 
-    def body(p, carry):
-        sft = shift_ref[jnp.clip(i * tile - H + p, 0, nr - 1)]
-        batch_ref[:, p, :] = pltpu.roll(batch_ref[:, p, :], sft, axis=1)
-        return carry
-
     # rows needed post-shift: output rows + one halo ring above for the
-    # vrad reconstruction (face f uses ring f-1).  i32 loop bounds: under
-    # x64 Python-int bounds give an i64 induction variable, and Mosaic can
-    # neither lower i64 dynamic_rotate shifts nor convert i64->i32 (the
-    # convert lowering rule recurses infinitely).
-    jax.lax.fori_loop(np.int32(H - 1), np.int32(tile + H), body, 0)
+    # vrad reconstruction (face f uses ring f-1).  Unrolled Python loop
+    # (static trip count): under x64 a lax.fori_loop induction variable is
+    # i64 regardless of the bounds' dtype, and the ring-index clamp uses
+    # strong-i32 np scalars because Python-int bounds become weak-i64
+    # literals whose i64->i32 convert recurses in Mosaic's lowering.
+    for p in range(H - 1, tile + H):
+        gid = jnp.minimum(jnp.maximum(i * tile - H + p, np.int32(0)),
+                          np.int32(nr - 1))
+        sft = shift_ref[gid]
+        batch_ref[:, p, :] = pltpu.roll(batch_ref[:, p, :], sft, axis=1)
 
     rp = batch_ref[0]
     rm = batch_ref[1]
@@ -1111,8 +1112,8 @@ def transport_fused_pallas(sigma, vrad, vaz, energy, win_cols, nshift,
     kernel = functools.partial(
         _transport_kernel, nr=nr, tile=tile, adiabatic=adiabatic,
         limiter=limiter, fast=fast, dphi=dphi)
-    main = lambda i: (i, 0)
-    halo = lambda i: (i, 0, 0)
+    main = lambda i: (i, _Z)
+    halo = lambda i: (i, _Z, _Z)
     P = tile + 2 * H
     mspec = pl.BlockSpec((tile, naz), main, memory_space=pltpu.VMEM)
     hspec = pl.BlockSpec((1, H, naz), halo, memory_space=pltpu.VMEM)
@@ -1121,8 +1122,8 @@ def transport_fused_pallas(sigma, vrad, vaz, energy, win_cols, nshift,
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((2,), lambda i: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((nr,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((2,), lambda i: (_Z,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nr,), lambda i: (_Z,), memory_space=pltpu.SMEM),
             cspec(_N_TR_COLS),
             cspec(1), cspec(1),
             mspec, hspec, hspec,                   # sigma
@@ -1475,15 +1476,15 @@ def viscous_kick_pallas(sigma, vrad, vaz, energy, win_cols, dt, beta_inv,
         rad_fac=rad_fac, mu_fac=mu_fac, sig_nf=sig_nf, invdphi=invdphi)
     scal = jnp.stack([jnp.asarray(dt, sigma.dtype),
                       jnp.asarray(beta_inv, sigma.dtype)])
-    main = lambda i: (i, 0)
-    halo = lambda i: (i, 0, 0)
+    main = lambda i: (i, _Z)
+    halo = lambda i: (i, _Z, _Z)
     mspec = pl.BlockSpec((tile, naz), main, memory_space=pltpu.VMEM)
     hspec = pl.BlockSpec((1, 2, naz), halo, memory_space=pltpu.VMEM)
     vr_new, va_new, e_new, qp, qm = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((2,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((2,), lambda i: (_Z,), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, tile + 4, _N_VK_COLS), halo,
                          memory_space=pltpu.VMEM),
             mspec, hspec, hspec,                   # sigma

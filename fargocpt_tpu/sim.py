@@ -176,6 +176,14 @@ class Simulation:
         nbody_state = nbody_sys.make_state(nb_init, jnp.dtype(dtype))
         self.state: SystemState = self.stepper.initial_system_state(
             fields, nbody_state)
+        # a mixed-dtype state routed a half-f32 float64 run into the f32
+        # fused transport kernel once (x64 enabled after the ICs were
+        # built); fail loudly if any hydro leaf ever disagrees again
+        want = jnp.dtype(dtype)
+        for name in ("sigma", "vrad", "vaz", "energy"):
+            got = getattr(self.state.fields, name).dtype
+            assert got == want, \
+                f"initial field {name} is {got}, expected {want}"
 
         # dust particles (reference src/particles/particles.cpp:516-790);
         # the particle keys are consulted even when particles are off
