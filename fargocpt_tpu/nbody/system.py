@@ -24,6 +24,7 @@ import numpy as np
 
 from .. import units as u
 from ..config import Config
+from ..ops.common import accurate_cos
 
 
 @jax.tree_util.register_dataclass
@@ -270,7 +271,7 @@ def move_to_hydro_frame_center(state: NBodyState, n_center: int) -> NBodyState:
 def rotate(state: NBodyState, angle) -> NBodyState:
     """Rotate all bodies by -angle (corotating frame bookkeeping,
     reference src/nbody/planetary_system.cpp:412-437)."""
-    c = jnp.cos(angle)
+    c = accurate_cos(angle)
     s = jnp.sin(angle)
     return state.replace(
         x=state.x * c + state.y * s, y=-state.x * s + state.y * c,

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..params import Physics
-from .common import Geom
+from .common import Geom, accurate_cos
 
 
 @jax.tree_util.register_dataclass
@@ -276,7 +276,7 @@ def center_of_mass_boundary(phys: Physics, constants, g: Geom, sigma, vrad,
     def profile_velocities(r_pos, phi):
         """(vx, vy) of the model flow at radius r_pos, azimuth phi (lab
         frame), from the COM-frame profile."""
-        x = r_pos * jnp.cos(phi)
+        x = r_pos * accurate_cos(phi)    # axon-TPU f64 cos: 2.6e-8 abs err
         y = r_pos * jnp.sin(phi)
         x_com = x - com_x
         y_com = y - com_y
@@ -305,7 +305,7 @@ def center_of_mass_boundary(phys: Physics, constants, g: Geom, sigma, vrad,
         vrad = vrad.at[f].set((x * vx + y * vy) / g.ra[f, 0])
     # Sigma and energy from the COM-frame profile (with the temperature
     # floor, reference :196-225)
-    x = g.rb[row, 0] * jnp.cos(phi_c)
+    x = g.rb[row, 0] * accurate_cos(phi_c)
     y = g.rb[row, 0] * jnp.sin(phi_c)
     r_com = jnp.sqrt((x - com_x) ** 2 + (y - com_y) ** 2)
     sig_row = phys.sigma0 * r_com ** (-phys.sigma_slope)

@@ -27,6 +27,18 @@ def azim_next(x: jax.Array) -> jax.Array:
     return jnp.roll(x, -1, axis=-1)
 
 
+def accurate_cos(angle):
+    """cos via the half-angle identity 1 - 2 sin^2(x/2).
+
+    The axon TPU's emulated-f64 ``jnp.cos`` carries ~2.6e-8 ABSOLUTE error
+    while ``jnp.sin`` and ``jnp.arctan2`` are exact to ~1e-15.  A frame
+    rotation built from the native cos scales |v| by (1 + 2.6e-8) per
+    call, which showed up as a secular planet spin-up in corotating runs;
+    every in-graph cos on a trajectory-coupled path must use this."""
+    s = jnp.sin(0.5 * angle)
+    return 1.0 - 2.0 * s * s
+
+
 def van_leer_lim(a: jax.Array, b: jax.Array) -> jax.Array:
     """Harmonic-mean (van Leer) slope limiter
     (reference src/TransportEuler.cpp:306-312)."""

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from ..params import Physics
-from .common import Geom, azim_next, azim_prev
+from .common import Geom, accurate_cos, azim_next, azim_prev
 
 
 def _active(x, nr):
@@ -109,7 +109,7 @@ def eccentricity_vector(phys: Physics, constants, g: Geom, sigma, vrad, vaz,
     Gm = constants.G * total_mass_cell
     e_x = j * v_y / Gm - r_x / dist
     e_y = -j * v_x / Gm - r_y / dist
-    ca = jnp.cos(frame_angle)
+    ca = accurate_cos(frame_angle)   # axon-TPU f64 cos is ~2.6e-8 off
     sa = jnp.sin(frame_angle)
     return e_x * ca - e_y * sa, e_y * ca + e_x * sa
 

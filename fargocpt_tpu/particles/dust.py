@@ -29,7 +29,7 @@ import numpy as np
 
 from ..params import Physics
 from ..units import CGS_KB, CGS_AMU
-from ..ops.common import Geom
+from ..ops.common import Geom, accurate_cos
 
 
 @jax.tree_util.register_dataclass
@@ -182,7 +182,7 @@ def gravity_derivatives(constants, bodies, n_bodies, r, phi):
         xk, yk, mk = bodies.x[k], bodies.y[k], bodies.mass[k]
         rk = jnp.sqrt(xk * xk + yk * yk)
         phik = jnp.arctan2(yk, xk)
-        cosd = jnp.cos(phi - phik)
+        cosd = accurate_cos(phi - phik)  # axon-TPU f64 cos: 2.6e-8 abs err
         sind = jnp.sin(phi - phik)
         d2 = r * r + rk * rk - 2.0 * r * rk * cosd
         d3 = jnp.maximum(d2, 1e-300) ** 1.5
@@ -422,7 +422,7 @@ def integrate_rk45(phys: Physics, pp: ParticleParams, constants, units,
         return (r, phi, rd, pd, t_acc, h, facold, reject, done)
 
     if pp.cartesian:
-        cphi, sphi = jnp.cos(state.phi), jnp.sin(state.phi)
+        cphi, sphi = accurate_cos(state.phi), jnp.sin(state.phi)
         q0 = r0 * cphi
         q1 = r0 * sphi
         q2 = r_dot * cphi - r0 * phi_dot * sphi
