@@ -21,31 +21,65 @@ from ..params import Physics
 from .common import Geom, azim_next
 
 
-def orbital_period(constants, nb, k: int):
-    """Osculating orbital period of body k about the primary with
-    mu = G (sum of inner masses + own mass), matching the reference's
-    orbital elements (src/nbody/planet.cpp:488-566
-    ``calculate_orbital_elements``; the vis-viva a equals the
-    Laplace-Runge-Lenz a for the same mu)."""
-    mu = constants.G * jnp.sum(jnp.where(jnp.arange(nb.mass.shape[0]) <= k,
-                                         nb.mass, 0.0))
-    x = nb.x[k] - nb.x[0]
-    y = nb.y[k] - nb.y[0]
-    vx = nb.vx[k] - nb.vx[0]
-    vy = nb.vy[k] - nb.vy[0]
-    r = jnp.sqrt(x * x + y * y)
-    v2 = vx * vx + vy * vy
-    # specific orbital energy -> semi-major axis
-    eps = 0.5 * v2 - mu / r
-    a = jnp.where(eps < 0.0, -mu / (2.0 * eps), r)
-    return 2.0 * jnp.pi * jnp.sqrt(a ** 3 / mu)
+def orbital_periods(constants, nb, n_hydroframe: int = 1):
+    """Osculating orbital periods of every body, matching the reference's
+    stored orbital elements exactly (src/nbody/planetary_system.cpp:773-800
+    ``calculate_orbital_elements`` + src/nbody/planet.cpp:488-566): body k
+    is referred to the center of mass of bodies 0..k-1 with
+    mu = G (sum of inner masses + own mass), and the semi-major axis comes
+    from the Laplace-Runge-Lenz eccentricity, a = h^2 / (mu (1 - e^2)).
+    Body 0 gets period 0 when it alone defines the hydro frame
+    (planetary_system.cpp:778-781), and in a 2-body system the primary
+    copies the secondary's elements (:796-800).
+
+    The reference samples these ONCE per nbody drift
+    (move_to_hydro_center_and_update_orbital_parameters) and reuses the
+    stored values for both leapfrog accretion calls — callers must do the
+    same (compute after the drift, pass to both accretion halves)."""
+    m = nb.mass
+    n = m.shape[0]
+    # exclusive prefix sums: mass/position/velocity COM of bodies < k
+    mass_in = jnp.cumsum(m) - m
+    mx = jnp.cumsum(m * nb.x) - m * nb.x
+    my = jnp.cumsum(m * nb.y) - m * nb.y
+    mvx = jnp.cumsum(m * nb.vx) - m * nb.vx
+    mvy = jnp.cumsum(m * nb.vy) - m * nb.vy
+    denom = jnp.where(mass_in > 0.0, mass_in, 1.0)
+    com_x = jnp.where(mass_in > 0.0, mx / denom, 0.0)
+    com_y = jnp.where(mass_in > 0.0, my / denom, 0.0)
+    com_vx = jnp.where(mass_in > 0.0, mvx / denom, 0.0)
+    com_vy = jnp.where(mass_in > 0.0, mvy / denom, 0.0)
+
+    x = nb.x - com_x
+    y = nb.y - com_y
+    vx = nb.vx - com_vx
+    vy = nb.vy - com_vy
+    mu = constants.G * (mass_in + m)
+
+    h = x * vy - y * vx
+    d = jnp.sqrt(x * x + y * y)
+    d_safe = jnp.where(d > 0.0, d, 1.0)
+    ax_lrl = x * vy * vy - y * vx * vy - mu * x / d_safe
+    ay_lrl = y * vx * vx - x * vx * vy - mu * y / d_safe
+    e = jnp.sqrt(ax_lrl * ax_lrl + ay_lrl * ay_lrl) / mu
+    one_m_e2 = 1.0 - e * e
+    a = h * h / mu / jnp.where(one_m_e2 != 0.0, one_m_e2, 1.0)
+    valid = (d > 0.0) & (h != 0.0) & (e <= 1.0) & (a > 0.0)
+    period = jnp.where(
+        valid, 2.0 * jnp.pi * jnp.sqrt(jnp.abs(a) ** 3 / mu), 0.0)
+    if n_hydroframe == 1:
+        period = period.at[0].set(0.0)
+    if n == 2:
+        # binary: both stars share the same orbital elements
+        period = period.at[0].set(period[1])
+    return period
 
 
 def accrete_onto_planets(phys: Physics, constants, g: Geom, nb, bodies,
                          accretion_efficiency, accretion_types: list,
                          cell_x, cell_y, sigma, energy, vrad, vaz,
                          omega_frame, dt, nu_grid=None,
-                         row_w=None, axis_name=None):
+                         row_w=None, axis_name=None, periods=None):
     """Accretion for every accreting body: two-zone Kley (reference :84),
     single-zone sinkhole (:223), or viscous-rate (:336 — needs ``nu_grid``).
 
@@ -56,6 +90,12 @@ def accrete_onto_planets(phys: Physics, constants, g: Geom, nb, bodies,
     ownership-and-active row weight replaces the local ``active`` mask for
     the mass/momentum bookkeeping and the sums are psum'ed over the mesh
     axis (the reference's MPI_Allreduce, src/accretion.cpp:200-219).
+
+    ``periods``: orbital periods per body sampled at the last nbody drift
+    (see ``orbital_periods``); computed fresh from ``nb`` when None. The
+    leapfrog caller MUST pass the mid-step-sampled values to both halves —
+    the reference reuses the stored elements (the masses and velocities
+    change between the two accretion calls but the stored period does not).
     """
     nr = g.nrad
     floor = phys.sigma_floor * phys.sigma0
@@ -66,9 +106,13 @@ def accrete_onto_planets(phys: Physics, constants, g: Geom, nb, bodies,
     vy_cell = (vr_cell * cell_y + vt_cell * cell_x) * g.inv_rb
 
     # active rows for the momentum bookkeeping (reference :172-176:
-    # radial_first_active < i < radial_active_size)
+    # radial_first_active < i < radial_active_size; serial values
+    # GHOSTCELLS_B=1 -> rows 2..NR-2 inclusive, src/split.cpp:73-78)
     row = jnp.arange(nr)[:, None]
-    active = (row > 1) & (row < nr - 2)
+    active = (row > 1) & (row < nr - 1)
+
+    if periods is None:
+        periods = orbital_periods(constants, nb)
 
     from ..nbody import system as nbody_sys
     dist_prim = nbody_sys.dist_to_primary(nb)
@@ -87,8 +131,7 @@ def accrete_onto_planets(phys: Physics, constants, g: Geom, nb, bodies,
         facc_max = 1.0 - floor / sigma
 
         if acc_type == "kley":
-            period = orbital_period(constants, nb, k)
-            facc = dt * accretion_efficiency[k] / period * jnp.log(2.0)
+            facc = dt * accretion_efficiency[k] / periods[k] * jnp.log(2.0)
             facc1 = facc / 3.0
             facc2 = 2.0 * facc / 3.0
             frac1 = phys.accretion_radius_fraction
@@ -113,8 +156,7 @@ def accrete_onto_planets(phys: Physics, constants, g: Geom, nb, bodies,
             dm = dm1 + dm2
         elif acc_type == "sinkhole":
             # single-zone variant (reference :223-335 SinkHoleSinglePlanet)
-            period = orbital_period(constants, nb, k)
-            facc = dt * accretion_efficiency[k] / period * jnp.log(2.0)
+            facc = dt * accretion_efficiency[k] / periods[k] * jnp.log(2.0)
             zone = dist < phys.accretion_radius_fraction * r_hill
             f1 = jnp.where(zone, jnp.minimum(facc, facc_max), 0.0)
             dm = f1 * sigma * g.surf

@@ -162,7 +162,10 @@ class ShardedHydroStep:
         rows = win + np.arange(Lx)
         own = ((rows >= k * L) & (rows < (k + 1) * L)).astype(dtype)
         own_int = own * ((rows >= 1) & (rows <= NR - 2))
-        own_act = own * ((rows >= 2) & (rows <= NR - 3))
+        # accretion bookkeeping rows: reference radial_first_active < i <
+        # radial_active_size, serial values -> global rows 2..NR-2
+        # (src/split.cpp:73-78 with GHOSTCELLS_B=1)
+        own_act = own * ((rows >= 2) & (rows <= NR - 2))
         ctx = {
             "g": {name: getattr(ws.g, name) for name in _GEOM_ROWS},
             "cs_iso": ws.cs_iso,

@@ -116,8 +116,12 @@ class HydroStep:
         # always integrated in f64 (nbody/system.py integrate) because
         # IAS15's controller works below the f32 noise floor.  The hydro
         # arrays keep the configured dtype; only tiny body vectors are f64.
+        # The package __init__ enables x64 at import time (before ANY array
+        # is built — a lazy enable here once f32-truncated the first
+        # Simulation's ICs); this assert guards against a future regression.
         import jax as _jax
-        _jax.config.update("jax_enable_x64", True)
+        assert _jax.config.jax_enable_x64, \
+            "fargocpt_tpu requires x64 (enabled at package import)"
         self.particle_params = particle_params
         self.phys = phys
         if units is None:
@@ -573,10 +577,20 @@ class HydroStep:
         return vrad, vaz, energy
 
     def _substeps(self, sigma, vrad, vaz, energy, indirect, time, dt,
-                  omega_frame, bodies, sg_kernel=None):
+                  omega_frame, bodies, sg_kernel=None, stale_derived=None):
         """Source + viscosity + energy substeps (the 'kick' part).
         ``indirect`` is the (x, y) indirect-term pair entering the gas
-        potential (reference src/simulation.cpp:168-176)."""
+        potential (reference src/simulation.cpp:168-176).
+
+        ``stale_derived``: optional (cs, press, h) computed from the
+        PRE-ACCRETION state.  The reference refreshes pressure/derived
+        quantities only at the END of each step
+        (``recalculate_derived_disk_quantities``, src/simulation.cpp:265,
+        456), but accretion removes mass at the START — so the first kick's
+        source terms run on a pressure that predates the accretion sink.
+        Accreting steps must pass the pre-accretion values here or the
+        pressure-gradient kick around the accretion dip diverges from the
+        reference (this was the planet_accretion golden's 1e-2 residual)."""
         phys, constants, g = self.phys, self.constants, self.g
         track_ecc = phys.write_ecc_changes
         ecc_deltas = []
@@ -589,7 +603,10 @@ class HydroStep:
         mark = self._disk_ecc_peri(sigma, vrad, vaz, omega_frame) \
             if track_ecc else None
 
-        cs, press, h = self.derived(sigma, energy, bodies)
+        if stale_derived is not None:
+            cs, press, h = stale_derived
+        else:
+            cs, press, h = self.derived(sigma, energy, bodies)
         pv = self.pvte_vals(sigma, energy)
 
         # self-gravity kick first (reference src/SourceEuler.cpp:438-441);
@@ -604,7 +621,10 @@ class HydroStep:
             g_r, g_t = self._sg_accels(sigma, spectra=spectra)
             vrad, vaz = self.selfgravity.kick(g, vrad, vaz, g_r, g_t, dt)
 
-        used_fused_sources = self._fuse_sources and pv is None
+        # the fused kernel derives pressure in-kernel from the CURRENT
+        # sigma/energy, so a stale-pressure kick must take the modular path
+        used_fused_sources = (self._fuse_sources and pv is None
+                              and stale_derived is None)
         if used_fused_sources:
             vrad, vaz, energy = self._sources_fused(
                 sigma, vrad, vaz, energy, bodies, indirect, omega_frame, dt)
@@ -779,14 +799,14 @@ class HydroStep:
         return nb, (it_disk_x, it_disk_y), (it_nb_x, it_nb_y)
 
     def _gas_kick(self, sigma, vrad, vaz, energy, nb, indirect, time, dt,
-                  omega_frame, sor=None, sg_kernel=None):
+                  omega_frame, sor=None, sg_kernel=None, stale_derived=None):
         """Potential + source/viscosity/energy kicks over ``dt``."""
         phys, constants, g = self.phys, self.constants, self.g
         bodies = self.bodies_on_grid(nb, time)
         (sigma, vrad, vaz, energy, qplus, qminus,
          _ecc_deltas, sg_kernel) = self._substeps(
             sigma, vrad, vaz, energy, indirect, time, dt, omega_frame,
-            bodies, sg_kernel=sg_kernel)
+            bodies, sg_kernel=sg_kernel, stale_derived=stale_derived)
         sigma, vrad, vaz, energy = jax.lax.optimization_barrier(
             (sigma, vrad, vaz, energy))
         if self.fld is not None:
@@ -815,8 +835,25 @@ class HydroStep:
         nb_pre_drift = nb
         nb = nbody_sys.integrate(nb, constants.G, hdt)
         nb = nbody_sys.move_to_hydro_frame_center(nb, self.n_hydroframe)
+        # orbital periods sampled ONCE here (the reference's
+        # move_to_hydro_center_and_update_orbital_parameters after drift
+        # 1/2, src/simulation.cpp:292) and reused by BOTH accretion halves
+        # — the stored elements are NOT refreshed between the two calls
+        # even though kicks/accretion change masses and velocities.
+        acc_periods = None
+        if self.any_accretion:
+            from .ops import accretion as accretion_ops
+            acc_periods = accretion_ops.orbital_periods(
+                constants, nb, self.n_hydroframe)
 
-        _, _, h0 = self.derived(sigma, energy)
+        stale_cs, stale_press, h0 = self.derived(sigma, energy)
+        # the reference refreshes pressure only at the END of a step
+        # (recalculate_derived_disk_quantities, src/simulation.cpp:456), so
+        # kick 1's source terms see the PRE-accretion pressure; pass the
+        # values captured here through to the first gas kick (see
+        # _substeps docstring)
+        stale_derived = (stale_cs, stale_press, h0) \
+            if self.any_accretion else None
         # disk force + indirect terms are evaluated on the PRE-accretion
         # Sigma and applied AFTER accretion (reference
         # src/simulation.cpp:295-308: ComputeDiskOnNbodyAccel ->
@@ -831,7 +868,8 @@ class HydroStep:
                 self.body_accretion_efficiency, self.body_accretion_types,
                 self.cell_x, self.cell_y, sigma, energy, vrad, vaz,
                 omega_frame, hdt, nu_grid=self._accretion_nu(sigma, energy),
-                row_w=self._own_act_col, axis_name=self._axis_name)
+                row_w=self._own_act_col, axis_name=self._axis_name,
+                periods=acc_periods)
             sigma = eos.apply_sigma_floor(phys, sigma)
         nb = self._nbody_apply_kicks(nb, dax, day, it_disk, it_nb, hdt)
 
@@ -861,7 +899,8 @@ class HydroStep:
             (sigma, vrad, vaz, energy, qplus, qminus, sor,
              sg_kernel) = self._gas_kick(
                 sigma, vrad, vaz, energy, nb, indirect, time, hdt,
-                omega_frame, sor=sor, sg_kernel=sg_kernel)
+                omega_frame, sor=sor, sg_kernel=sg_kernel,
+                stale_derived=stale_derived)
             sigma, vrad, vaz, energy = self._apply_bcs(
                 sigma, vrad, vaz, energy, omega_frame)
             sigma, vrad, vaz, energy, _mass_flux = transport.transport(
@@ -909,7 +948,8 @@ class HydroStep:
                 self.body_accretion_efficiency, self.body_accretion_types,
                 self.cell_x, self.cell_y, sigma, energy, vrad, vaz,
                 omega_frame, hdt, nu_grid=self._accretion_nu(sigma, energy),
-                row_w=self._own_act_col, axis_name=self._axis_name)
+                row_w=self._own_act_col, axis_name=self._axis_name,
+                periods=acc_periods)
             sigma = eos.apply_sigma_floor(phys, sigma)
         nb = self._nbody_apply_kicks(nb, dax, day, it_disk, it_nb, hdt)
         nb_pre_drift2 = nb
@@ -1055,14 +1095,18 @@ class HydroStep:
         passes that position via ``ref_xy``."""
         k = self.phys.corotation_reference_body
         x, y = nb.x[k], nb.y[k]
-        d_new = jnp.sqrt(x * x + y * y)
         if ref_xy is not None:
             ox, oy = ref_xy
         else:
             ox, oy = state.corot_ref_x, state.corot_ref_y
-        d_old = jnp.sqrt(ox * ox + oy * oy)
         cross = ox * y - x * oy
-        omega_new = jnp.arcsin(cross / (d_new * d_old)) / dt
+        # the reference computes asin(cross/(d_new*d_old)); atan2 of
+        # (cross, dot) is the same swept angle (dot > 0 for any half-step)
+        # but stays exact on the axon TPU, whose emulated-f64 arcsin has
+        # ~6e-9 relative error (arctan2 and sin are exact) — the arcsin
+        # error leaked into OmegaFrame and secularly torqued the gas
+        dot = ox * x + oy * y
+        omega_new = jnp.arctan2(cross, dot) / dt
         domega = omega_new - omega_frame
         vaz = vaz - domega * self.g.rb
         return omega_new, vaz
@@ -1117,7 +1161,11 @@ class HydroStep:
 
         zero = jnp.zeros((), self.dtype)
         bodies = self.bodies_on_grid(nb, time)
-        cs0, _, h0 = self.derived(sigma, energy)
+        cs0, press0, h0 = self.derived(sigma, energy)
+        # pre-accretion derived values for the source kick (the reference
+        # refreshes pressure only at step END, after accretion already ran
+        # this step — see _substeps docstring)
+        stale_derived = (cs0, press0, h0) if self.any_accretion else None
 
         # --- accretion onto planets (reference :150-153) ---
         if phys.calculate_disk and self.any_accretion:
@@ -1186,7 +1234,7 @@ class HydroStep:
             (sigma, vrad, vaz, energy, qplus, qminus,
              _ecc_deltas, sg_kernel) = self._substeps(
                 sigma, vrad, vaz, energy, pot_it, time, dt, omega_frame,
-                bodies, sg_kernel=sg_kernel)
+                bodies, sg_kernel=sg_kernel, stale_derived=stale_derived)
             # compile-time guard: stop XLA's algebraic simplifier from
             # chasing simplifications across substep boundaries — the long
             # chains of azimuthal rolls (concat-of-slices) otherwise blow

@@ -47,15 +47,13 @@ GOLDENS = Path(__file__).parent / "goldens"
     # observed agreement ~9e-10
     ("temperature_fld", 1e-6),
     # accreting planet (Kley two-zone) + corotating frame + disk
-    # feedback, LeapFrog. Per-application accretion matches the reference
-    # formula at 4e-8 and the accreted mass at 1e-7, but a second-order
-    # accretion/transport coupling under LeapFrog (deviation scales
-    # linearly with AccretionEfficiency, ~f_acc * dip per step) leaves a
-    # ~2e-4 (Sigma) / 9e-3 (vrad, small normalization) residual near the
-    # planet after 76 steps — gated at 1e-2, which still catches any
-    # ordering/frame/bookkeeping regression (the bugs this golden found
-    # arrived at 1.7e0)
-    ("planet_accretion", 1e-2),
+    # feedback, LeapFrog — observed agreement 1.6e-9 (Sigma) / 1.6e-7
+    # (vrad) after 76 steps.  The former 1e-2 residual was the
+    # stale-pressure semantics: the reference recomputes pressure only at
+    # step END (recalculate_derived_disk_quantities,
+    # src/simulation.cpp:456), so kick 1's pressure-gradient source term
+    # must see the PRE-accretion pressure (step.py stale_derived)
+    ("planet_accretion", 1e-6),
     # Sod shock tube (ShockTube=1): energy equation + SN artvisc
     # dissipation in isolation, 255 steps to t=0.2
     ("shocktube_sn", 1e-6),
