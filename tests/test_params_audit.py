@@ -158,3 +158,40 @@ def test_visc_accret_massflow_test_normalization():
     p1 = _phys({"ViscAccretMassflowTest": "yes"})
     p2 = _phys()
     assert p1.visc_accret_massflow_test and not p2.visc_accret_massflow_test
+
+
+def test_reference_active_param_coverage():
+    """Every key in the reference's Active Parameters table
+    (/root/reference/parameters.md) must appear in the generated
+    docs/parameters.md, except for a short justified exception list.
+    Regenerate with ``python tools/gen_params_doc.py`` after adding keys."""
+    import re
+    from pathlib import Path
+
+    ref_md = Path("/root/reference/parameters.md")
+    if not ref_md.exists():
+        pytest.skip("reference tree not available")
+    act = ref_md.read_text().split("## Active Parameters")[1] \
+                            .split("## Nbody Parameters")[0]
+    ref_keys = {k for k in re.findall(r"^\| (\S+)\s+\|", act, re.M)
+                if k != "Parameter" and not k.startswith(":")}
+
+    ours = (Path(__file__).parent.parent / "docs" /
+            "parameters.md").read_text()
+    our_keys = set(re.findall(r"`([A-Za-z0-9]+)`", ours))
+
+    # FLD solver-debug hooks (reference src/fld.cpp:123-131): the
+    # reference uses them to run its SOR solver against analytic
+    # solutions inside the production binary; this repo isolates the
+    # solver in tests/test_fld.py instead.
+    exceptions = {
+        "RadiativeDiffusionCheckSolution",
+        "RadiativeDiffusionDumpData",
+        "RadiativeDiffusionTest1D",
+        "RadiativeDiffusionTest2D",
+        "RadiativeDiffusionTest2DDensity",
+        "RadiativeDiffusionTest2DK",
+        "RadiativeDiffusionTest2DSteps",
+    }
+    missing = ref_keys - our_keys - exceptions
+    assert not missing, f"undocumented reference params: {sorted(missing)}"

@@ -31,6 +31,9 @@ CALL = re.compile(
     r"cfg\.(get_flag|get_lowercase|get_list|get_subconfigs|get_raw|get)"
     r"\(\s*[\"']([A-Za-z0-9]+)[\"']\s*(?:,\s*([^,)]+))?", re.S)
 
+# helper-function key reads of the form _helper(cfg, "Key", ...)
+HELPER_CALL = re.compile(r"\(\s*cfg\s*,\s*[\"']([A-Za-z0-9]+)[\"']")
+
 # the per-side per-variable boundary families built with f-strings
 BC_FAMILY = [
     (f"{side}Boundary{var}", default, "choice")
@@ -58,8 +61,17 @@ def main():
             method, key, default = m.group(1), m.group(2), m.group(3)
             default = " ".join((default or "").split()) or "—"
             rows.setdefault(key, (default, KIND[method], str(rel)))
+        for m in HELPER_CALL.finditer(text):
+            rows.setdefault(m.group(1), ("—", "value", str(rel)))
     for key, default, kind in BC_FAMILY:
         rows.setdefault(key, (default, kind, "fargocpt_tpu/params.py"))
+    # table-driven Write* -> snapshot-field flags (read via
+    # cfg.get_flag(flag, False) in a loop, invisible to the regex)
+    import sys
+    sys.path.insert(0, str(ROOT))
+    from fargocpt_tpu.params import _SNAPSHOT_FIELD_FLAGS
+    for flag, _names in _SNAPSHOT_FIELD_FLAGS:
+        rows.setdefault(flag, ("False", "flag", "fargocpt_tpu/params.py"))
     for key, default, kind in EXTRA:
         rows.setdefault(key, (default, kind, "fargocpt_tpu/sim.py"))
 
