@@ -52,6 +52,33 @@ class RunSettings:
         )
 
 
+def _load_custom_boundary(mod_path: str):
+    """Load ``custom_boundary`` from a .py file path or importable module
+    name (the runtime analog of the reference's compile-time
+    src/boundary_conditions/custom.cpp template)."""
+    import importlib
+    import importlib.util
+    from pathlib import Path
+
+    if mod_path.endswith(".py") or "/" in mod_path:
+        p = Path(mod_path)
+        if not p.exists():
+            raise FileNotFoundError(
+                f"CustomBoundaryModule file not found: {mod_path}")
+        spec = importlib.util.spec_from_file_location(
+            "fargocpt_custom_boundary", str(p))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    else:
+        mod = importlib.import_module(mod_path)
+    fn = getattr(mod, "custom_boundary", None)
+    if fn is None:
+        raise AttributeError(
+            f"CustomBoundaryModule {mod_path!r} must define "
+            "custom_boundary(g, sigma, vrad, vaz, energy, omega_frame)")
+    return fn
+
+
 class Simulation:
     """End-to-end simulation: config -> grid -> ICs -> jitted stepping."""
 
@@ -184,6 +211,27 @@ class Simulation:
             got = getattr(self.state.fields, name).dtype
             assert got == want, \
                 f"initial field {name} is {got}, expected {want}"
+
+        # user custom boundary hook (reference
+        # src/boundary_conditions/custom.cpp — there a source template the
+        # user edits and recompiles; here a Python module loaded at
+        # runtime).  CustomBoundaryModule names a .py file or importable
+        # module defining ``custom_boundary(g, sigma, vrad, vaz, energy,
+        # omega_frame) -> (sigma, vrad, vaz, energy)`` (jax-traceable);
+        # it is applied after the named BCs whenever Inner/OuterBoundary
+        # is "custom".  Library users may instead set
+        # ``sim.stepper.custom_bc`` directly before the first step.
+        mod_path = cfg.get("CustomBoundaryModule", "", type=str)
+        if mod_path:
+            self.stepper.custom_bc = _load_custom_boundary(mod_path)
+        elif "custom" in (self.phys.composite_inner,
+                          self.phys.composite_outer):
+            import warnings
+            warnings.warn(
+                "Inner/OuterBoundary is 'custom' but no "
+                "CustomBoundaryModule is configured and no custom_bc was "
+                "registered; the custom hook will be a no-op unless "
+                "sim.stepper.custom_bc is set before the first step")
 
         # dust particles (reference src/particles/particles.cpp:516-790);
         # the particle keys are consulted even when particles are off
