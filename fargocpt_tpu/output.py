@@ -246,6 +246,33 @@ class OutputWriter:
 
         f = sim.fields
         w = self._awriter.write
+        # distributed mode: prognostic fields go out as per-shard
+        # row-range files, never gathered to one host (reference MPI-IO
+        # analog, src/polargrid.cpp:135-186); derived/1-D outputs — which
+        # are host reductions — are skipped
+        distributed = sim.phys.distributed_output \
+            and _is_multidevice(f.sigma)
+        if distributed:
+            gates = {"sigma": sim.phys.write_density,
+                     "vrad": sim.phys.write_velocity,
+                     "vaz": sim.phys.write_velocity,
+                     "energy": sim.phys.write_energy}
+            for attr, base in _SHARD_FIELD_NAMES:
+                if gates[attr]:
+                    write_sharded_array(getattr(f, attr), sdir, base)
+            if sim.phys.is_adiabatic and (sim.phys.bitwise_exact_restarting
+                                          or sim.phys.write_qplus):
+                write_sharded_array(sim.state.qplus, sdir, "Qplus")
+            if sim.phys.is_adiabatic and (sim.phys.bitwise_exact_restarting
+                                          or sim.phys.write_qminus):
+                write_sharded_array(sim.state.qminus, sdir, "Qminus")
+            self._write_misc(sdir)
+            self._write_nbody_bin(sdir)
+            self._awriter.flush()
+            if register:
+                with open(self.outdir / "snapshots" / "list.txt", "a") as fl:
+                    fl.write(sid + "\n")
+            return
         # prognostic gates (reference src/parameters.cpp:243-250
         # WriteDensity/WriteVelocity/WriteEnergy, default on)
         if sim.phys.write_density:
@@ -863,6 +890,86 @@ def last_snapshot_id(outdir: str | Path) -> str:
     return ids[-1]
 
 
+# ---------------------------------------------------------------------------
+# Distributed (shard-local) snapshot IO — the TPU-native analog of the
+# reference's MPI-IO slab writes (src/polargrid.cpp:135-186 write_polargrid
+# with per-rank offsets): each process writes only the rows of its
+# addressable JAX shards, one file per contiguous row range, named
+# <Field>.r<start>-<stop>.dat.  No full-grid array is ever materialized on
+# a single host.
+
+import re as _re
+
+_SHARD_FILE_RE = _re.compile(r"^(.+)\.r(\d+)-(\d+)\.dat$")
+
+# FieldState attr -> snapshot file base name
+_SHARD_FIELD_NAMES = (("sigma", "Sigma"), ("vrad", "vrad"),
+                      ("vaz", "vazi"), ("energy", "energy"))
+
+
+def write_sharded_array(arr, sdir: Path, base: str) -> None:
+    """Write one sharded jax array as per-shard row-range files.  Fully
+    replicated arrays are written once (by process 0 on multi-host)."""
+    import jax as _jax
+    nrows = arr.shape[0]
+    seen = set()
+    for sh in arr.addressable_shards:
+        sl = sh.index[0] if sh.index else slice(None)
+        r0 = sl.start if sl.start is not None else 0
+        r1 = sl.stop if sl.stop is not None else nrows
+        if (r0, r1) in seen:
+            continue          # replicated copies on other local devices
+        seen.add((r0, r1))
+        if (r0, r1) == (0, nrows) and _jax.process_index() != 0:
+            continue          # fully replicated: one global copy suffices
+        np.asarray(sh.data, np.float64).tofile(
+            sdir / f"{base}.r{r0:05d}-{r1:05d}.dat")
+
+
+def read_sharded_array(sdir: Path, base: str, shape, sharding, dtype):
+    """Assemble a sharded jax array from row-range shard files.  Each
+    device's callback reads only the rows it needs, so no host ever holds
+    the full grid; the writing and reading device counts may differ."""
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    pieces = []
+    for p in sorted(Path(sdir).glob(f"{base}.r*-*.dat")):
+        m = _SHARD_FILE_RE.match(p.name)
+        if m and m.group(1) == base:
+            pieces.append((int(m.group(2)), int(m.group(3)), p))
+    if not pieces:
+        raise FileNotFoundError(f"no shard files for {base} in {sdir}")
+    tail = tuple(shape[1:])
+
+    def cb(index):
+        sl = index[0] if index else slice(None)
+        r0 = sl.start if sl.start is not None else 0
+        r1 = sl.stop if sl.stop is not None else shape[0]
+        out = np.empty((r1 - r0,) + tail, np.float64)
+        filled = 0
+        for f0, f1, path in pieces:
+            lo, hi = max(r0, f0), min(r1, f1)
+            if lo >= hi:
+                continue
+            data = np.fromfile(path, np.float64).reshape((f1 - f0,) + tail)
+            out[lo - r0:hi - r0] = data[lo - f0:hi - f0]
+            filled += hi - lo
+        if filled < r1 - r0:
+            raise ValueError(
+                f"shard files for {base} do not cover rows {r0}:{r1}")
+        return _jnp.asarray(out, dtype)
+
+    return _jax.make_array_from_callback(tuple(shape), sharding, cb)
+
+
+def _is_multidevice(arr) -> bool:
+    try:
+        return len(arr.sharding.device_set) > 1
+    except AttributeError:
+        return False
+
+
 def restore_simulation(sim, outdir: str | Path, snapshot_id: str | int):
     """Load a snapshot back into a freshly constructed Simulation
     (reference src/restart.cpp:19-131)."""
@@ -872,6 +979,16 @@ def restore_simulation(sim, outdir: str | Path, snapshot_id: str | int):
     dt = jnp.dtype(sim.phys.dtype)
 
     def rd(name, nrad):
+        base = name[:-4]
+        if not (sdir / name).exists():
+            # distributed snapshot: assemble from per-shard row files,
+            # placing rows straight onto the current field's sharding
+            cur = getattr(sim.fields,
+                          {"Sigma": "sigma", "vrad": "vrad", "vazi": "vaz",
+                           "energy": "energy", "Qplus": "qplus",
+                           "Qminus": "qminus"}[base])
+            return read_sharded_array(sdir, base, (nrad, g.naz),
+                                      cur.sharding, dt)
         return jnp.asarray(
             np.fromfile(sdir / name, np.float64).reshape(nrad, g.naz), dt)
 
@@ -884,9 +1001,12 @@ def restore_simulation(sim, outdir: str | Path, snapshot_id: str | int):
         x=jnp.asarray(nb_arr[:, 0], dt), y=jnp.asarray(nb_arr[:, 1], dt),
         vx=jnp.asarray(nb_arr[:, 2], dt), vy=jnp.asarray(nb_arr[:, 3], dt),
         mass=jnp.asarray(nb_arr[:, 4], dt))
-    qplus = rd("Qplus.dat", g.nrad) if (sdir / "Qplus.dat").exists() \
-        else sim.state.qplus
-    qminus = rd("Qminus.dat", g.nrad) if (sdir / "Qminus.dat").exists() \
+    def _have(base):
+        return (sdir / f"{base}.dat").exists() or \
+            any(sdir.glob(f"{base}.r*-*.dat"))
+
+    qplus = rd("Qplus.dat", g.nrad) if _have("Qplus") else sim.state.qplus
+    qminus = rd("Qminus.dat", g.nrad) if _have("Qminus") \
         else sim.state.qminus
     # ROF massflow tracker (reference src/massflow_tracker.cpp
     # read_from_file)

@@ -241,6 +241,11 @@ class Physics:
     secondary_disk: bool = False
     centrifugal_balance: bool = False
 
+    # distributed (shard-local) snapshot writes: each process writes only
+    # its addressable shard rows — the analog of the reference's MPI-IO
+    # slab output (src/polargrid.cpp:135-186)
+    distributed_output: bool = False
+
     # monitoring / diagnostics (reference src/parameters.cpp:243-380)
     write_massflow: bool = False          # accumulate MassFlow grid
     write_gas_torques: bool = False
@@ -653,6 +658,7 @@ def physics_from_config(cfg: Config, un: u.Units, dtype: str = "float64") -> Phy
         write_radial_dissipation=cfg.get_flag("WriteRadialDissipation",
                                               False),
         write_disk_quantities=cfg.get_flag("WriteDiskQuantities", True),
+        distributed_output=cfg.get_flag("DistributedOutput", False),
         write_default_values=cfg.get_flag("WriteDefaultValues", False),
         planet_orbit_disk_test=cfg.get_flag("PlanetOrbitDiskTest", False),
         visc_accret_massflow_test=cfg.get_flag("ViscAccretMassflowTest",

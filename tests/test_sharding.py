@@ -105,3 +105,61 @@ def test_sharded_full_physics_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(getattr(p1, name)), np.asarray(getattr(p8, name)),
             rtol=1e-11, atol=1e-13, err_msg=f"particles.{name}")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_distributed_snapshot_roundtrip(tmp_path):
+    """Shard-local snapshot writes (DistributedOutput): each device's rows
+    go to their own <Field>.r<start>-<stop>.dat file without a full-grid
+    gather (the reference's MPI-IO analog, src/polargrid.cpp:135-186);
+    restore reassembles them straight onto the mesh and is bitwise."""
+    from fargocpt_tpu import output as out
+
+    def cfg():
+        return Config.from_dict({
+            "EquationOfState": "Ideal", "AdiabaticIndex": "1.4",
+            "AspectRatio": "0.05", "ViscousAlpha": "0.002",
+            "Sigma0": "200 g/cm2", "SigmaSlope": "0.5",
+            "HeatingViscous": "Yes", "CoolingBetaLocal": "Yes",
+            "CoolingBeta": "10", "ArtificialViscosity": "SN",
+            "Nrad": "64", "Naz": "32", "Rmin": "0.4", "Rmax": "2.5",
+            "RadialSpacing": "Log",
+            "InnerBoundary": "outflow", "OuterBoundary": "outflow",
+            "Nsnapshots": "1", "Nmonitor": "1", "MonitorTimestep": "0.5",
+            "DistributedOutput": "yes",
+        })
+
+    sim = Simulation(cfg(), outdir=str(tmp_path / "o"))
+    mesh = pmesh.make_mesh(8)
+    sim.state = pmesh.shard_state(sim.state, mesh)
+    writer = out.OutputWriter(sim)
+    sim.run()
+
+    sdir = tmp_path / "o" / "snapshots" / "1"
+    # per-shard row files instead of monolithic dumps
+    assert not (sdir / "Sigma.dat").exists()
+    sigma_shards = sorted(sdir.glob("Sigma.r*-*.dat"))
+    assert len(sigma_shards) == 8, [p.name for p in sigma_shards]
+    # vrad (NR+1 rows) enters the GSPMD path replicated -> one full file
+    assert len(list(sdir.glob("vrad.r*-*.dat"))) >= 1
+
+    # restore into a fresh sharded sim: bitwise equality, sharding kept
+    sim2 = Simulation(cfg(), outdir=str(tmp_path / "o2"))
+    sim2.state = pmesh.shard_state(sim2.state, mesh)
+    out.restore_simulation(sim2, str(tmp_path / "o"), 1)
+    for name in ("sigma", "vrad", "vaz", "energy"):
+        a = np.asarray(getattr(sim.fields, name))
+        b = np.asarray(getattr(sim2.fields, name))
+        np.testing.assert_array_equal(a, b, err_msg=name)
+    assert len(sim2.fields.sigma.sharding.device_set) == 8
+    assert sim2.time == sim.time and sim2.n_hydro_iter == sim.n_hydro_iter
+
+    # resuming the restored run reproduces the original trajectory
+    sim.settings.n_snapshots = 2
+    sim2.settings.n_snapshots = 2
+    sim.run()
+    sim2.run()
+    for name in ("sigma", "vrad", "vaz", "energy"):
+        a = np.asarray(getattr(sim.fields, name))
+        b = np.asarray(getattr(sim2.fields, name))
+        np.testing.assert_array_equal(a, b, err_msg=f"resumed {name}")
