@@ -54,6 +54,10 @@ GOLDENS = Path(__file__).parent / "goldens"
     # src/simulation.cpp:456), so kick 1's pressure-gradient source term
     # must see the PRE-accretion pressure (step.py stale_derived)
     ("planet_accretion", 1e-6),
+    # planet in a cold adiabatic disk (test/cold_disk_planet): beta
+    # cooling toward the reference profile + Bell opacity + TW artvisc
+    # factor 3 + HeatingCoolingCFLlimit, Euler, 28 steps to t=1.257
+    ("cold_disk_planet", 1e-6),
     # Sod shock tube (ShockTube=1): energy equation + SN artvisc
     # dissipation in isolation, 255 steps to t=0.2
     ("shocktube_sn", 1e-6),

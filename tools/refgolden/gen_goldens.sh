@@ -87,3 +87,7 @@ run_golden shocktube_sn "$REF/test/shockTube/setups/shocktube_SN.yml"
 # PVTE variable-gamma shock tube: quantifies the in-graph bisection EoS
 # vs the reference's GSL 2-D lookup tables
 run_golden shocktube_pvte "$REF/test/shockTube_PVTE/shocktube_varGamm.yml"
+# planet in a cold adiabatic disk: beta cooling toward the reference
+# profile + Bell opacity + TW artvisc factor 3 + HeatingCoolingCFLlimit
+# (test/cold_disk_planet) — pins the planet/energy-equation coupling
+run_golden cold_disk_planet "$REF/test/cold_disk_planet/setup.yml"
