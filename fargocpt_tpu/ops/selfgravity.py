@@ -123,6 +123,18 @@ class SelfGravity:
         self.scale_half = jnp.asarray(s[:, None], dtype)
         self.scale_3half = jnp.asarray(
             (s * geometry.rmed / geometry.rmed[0])[:, None], dtype)
+        # FFT compute dtype: TPUs have no C128 (the axon tunnel even HANGS
+        # on a complex128 device_put instead of erroring), so f64 runs on
+        # TPU carry the convolution in complex64 — the host-side kernel
+        # build stays f64 and only the spectra/transform are single
+        # precision.  CPU f64 keeps full complex128.
+        on_tpu = jax.default_backend() not in ("cpu",)
+        if jnp.dtype(dtype) == jnp.float32 or on_tpu:
+            self._cdtype = jnp.complex64
+            self._fdtype = jnp.float32
+        else:
+            self._cdtype = jnp.complex128
+            self._fdtype = jnp.float64
         self.set_aspect_ratio(phys.aspectratio_ref)
 
     def set_aspect_ratio(self, aspect_ratio: float):
@@ -130,9 +142,13 @@ class SelfGravity:
         cadence: every N steps on aspect-ratio change; fixed for locally
         isothermal runs)."""
         k_r, k_t = kernel_host(self.phys, self.geometry, aspect_ratio)
-        # FFT in float64 for accuracy, cast spectra to complex matching dtype
-        self.k_r_hat = jnp.asarray(np.fft.rfft2(k_r))
-        self.k_t_hat = jnp.asarray(np.fft.rfft2(k_t))
+        # host FFT in float64 for accuracy; cast spectra to the compute
+        # complex dtype BEFORE the device transfer (a c128 put to the axon
+        # TPU hangs the tunnel)
+        cnp = np.complex64 if self._cdtype == jnp.complex64 \
+            else np.complex128
+        self.k_r_hat = jnp.asarray(np.fft.rfft2(k_r).astype(cnp))
+        self.k_t_hat = jnp.asarray(np.fft.rfft2(k_t).astype(cnp))
 
     # ------- in-run kernel update (reference selfgravity.cpp:186-214) -----
     def supports_in_run_update(self) -> bool:
@@ -189,8 +205,11 @@ class SelfGravity:
 
         def do_rebuild(_):
             k_r, k_t = _kernel_bs(phys, U, TH, ar_avg, jnp)
-            return (jnp.fft.rfft2(k_r).astype(k_r_hat.dtype),
-                    jnp.fft.rfft2(k_t).astype(k_t_hat.dtype), ar_avg)
+            # transform in the compute float dtype (TPU has no C128)
+            return (jnp.fft.rfft2(k_r.astype(self._fdtype))
+                    .astype(k_r_hat.dtype),
+                    jnp.fft.rfft2(k_t.astype(self._fdtype))
+                    .astype(k_t_hat.dtype), ar_avg)
 
         def keep(_):
             return (k_r_hat, k_t_hat, last_ar)
@@ -207,9 +226,9 @@ class SelfGravity:
         G = self.constants.G
         k_r_hat, k_t_hat = spectra if spectra is not None \
             else (self.k_r_hat, self.k_t_hat)
-        s_r = sigma * self.scale_half
-        s_t = sigma * self.scale_3half
-        pad = jnp.zeros_like(sigma)
+        s_r = (sigma * self.scale_half).astype(self._fdtype)
+        s_t = (sigma * self.scale_3half).astype(self._fdtype)
+        pad = jnp.zeros_like(s_r)
         s_r = jnp.concatenate([s_r, pad], axis=0)           # (2NR, NAZ)
         s_t = jnp.concatenate([s_t, pad], axis=0)
         acc_r = jnp.fft.irfft2(k_r_hat * jnp.fft.rfft2(s_r),
