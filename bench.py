@@ -13,15 +13,22 @@ import json
 import sys
 import time
 
+import os
+
 import jax
 
 # persistent compilation cache: repeated bench/driver runs skip the large
 # XLA compile of the fused step
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# the axon TPU plugin ignores the JAX_PLATFORMS env var (and hangs
+# connecting through a dead tunnel); honor a cpu request via jax.config,
+# which does gate plugin initialization — keeps the CPU smoke test
+# (tests/test_driver_parity.py) deterministic
+if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
-import os
 
 NRAD = int(os.environ.get("BENCH_NRAD", 1024))
 NAZ = int(os.environ.get("BENCH_NAZ", 3072))
@@ -29,10 +36,13 @@ BENCH_STEPS = int(os.environ.get("BENCH_STEPS", 100))
 TARGET_MCELLS = 1000.0  # 1 Gcell-update/s/chip
 
 
-def run_bench(dtype: str, steps: int):
-    from __graft_entry__ import _flagship
+def run_bench(dtype: str, steps: int, config: str = "flagship"):
+    from __graft_entry__ import _flagship, _pds70
 
-    sim = _flagship(NRAD, NAZ, dtype)
+    if config == "pds70":
+        sim = _pds70(NRAD, NAZ, dtype)
+    else:
+        sim = _flagship(NRAD, NAZ, dtype)
     stepper = sim.stepper
     state = sim.state
 
@@ -64,9 +74,11 @@ def run_bench(dtype: str, steps: int):
 
     cells = NRAD * NAZ
     mcups = cells * steps / elapsed / 1e6
+    desc = "full-physics step incl. CFL" if config == "flagship" else \
+        "SG + FLD + PVTE + dust step incl. CFL"
     result = {
         "metric": f"Mcell-updates/s/chip at {NRAD}x{NAZ} polar grid "
-                  f"(full-physics step incl. CFL, {dtype})",
+                  f"({desc}, {dtype})",
         "value": round(mcups, 2),
         "unit": "Mcell/s",
         "vs_baseline": round(mcups / TARGET_MCELLS, 4),
@@ -82,6 +94,12 @@ def main():
     # Printed FIRST; the official f32 metric-of-record line is LAST.
     if os.environ.get("BENCH_SKIP_F64", "") != "1":
         run_bench("float64", int(os.environ.get("BENCH_F64_STEPS", 30)))
+    # PDS70-style full physics (SG FFT + FLD + PVTE + dust,
+    # BASELINE.json configs[4]) — secondary line, fewer steps (each step
+    # carries an FFT convolution pair + an SOR solve)
+    if os.environ.get("BENCH_SKIP_PDS70", "") != "1":
+        run_bench("float32", int(os.environ.get("BENCH_PDS70_STEPS", 20)),
+                  config="pds70")
     return run_bench("float32", BENCH_STEPS)
 
 

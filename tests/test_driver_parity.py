@@ -40,13 +40,15 @@ def test_bench_smoke_fresh_subprocess(tmp_path):
     res = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
         env=_clean_env(BENCH_NRAD="64", BENCH_NAZ="128", BENCH_STEPS="2",
-                       BENCH_F64_STEPS="2"),
-        capture_output=True, text=True, timeout=900, cwd=str(REPO))
+                       BENCH_F64_STEPS="2", BENCH_PDS70_STEPS="2"),
+        capture_output=True, text=True, timeout=1800, cwd=str(REPO))
     assert res.returncode == 0, \
         f"bench.py crashed in a fresh process:\n{res.stdout}\n{res.stderr}"
     import json
     lines = [l for l in res.stdout.splitlines() if l.startswith("{")]
-    assert len(lines) == 2, f"expected 2 JSON lines, got: {res.stdout}"
+    # f64 + PDS70 full-physics + the official f32 flagship line (last)
+    assert len(lines) == 3, f"expected 3 JSON lines, got: {res.stdout}"
+    assert "full-physics step" in json.loads(lines[-1])["metric"]
     for line in lines:
         rec = json.loads(line)
         assert rec["value"] > 0
