@@ -58,6 +58,12 @@ GOLDENS = Path(__file__).parent / "goldens"
     # cooling toward the reference profile + Bell opacity + TW artvisc
     # factor 3 + HeatingCoolingCFLlimit, Euler, 28 steps to t=1.257
     ("cold_disk_planet", 1e-6),
+    # LONG-RUN campaign golden: the same physics over 20 planet orbits
+    # (2800 steps to t=125.66, snapshots at 10 and 20 orbits) — a 100x
+    # longer horizon than the other goldens; observed agreement 8.5e-8
+    # (Sigma) / 2.5e-6 (vrad) at 10 orbits and 5e-9 / 3.7e-8 at 20,
+    # gated at 1e-5 to absorb roundoff-seeded wake growth
+    ("longrun_planet", 1e-5),
     # Sod shock tube (ShockTube=1): energy equation + SN artvisc
     # dissipation in isolation, 255 steps to t=0.2
     ("shocktube_sn", 1e-6),
