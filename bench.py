@@ -3,32 +3,28 @@
 Runs the full-physics hydro step (adiabatic + alpha viscosity + SN
 artificial viscosity + viscous heating + beta cooling + CFL + FARGO
 transport) in a jitted fori_loop and reports sustained cell-update
-throughput. Prints ONE JSON line:
+throughput. Prints JSON lines
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-vs_baseline is relative to the 1000 Mcell/s/chip (1 Gcell/s) north-star
-target from BASELINE.json.
+with the OFFICIAL metric-of-record (flagship full-physics f32) as the
+LAST line. vs_baseline is relative to the 1000 Mcell/s/chip (1 Gcell/s)
+north-star target from BASELINE.json.
+
+Process layout: the parent is a thin orchestrator that never imports
+jax; every bench line runs in its own timeout-bounded subprocess
+(``BENCH_ONLY=...``). Isolation is deliberate: a TPU-worker crash or a
+hang in one configuration (the round-2 failure mode — one bad trace made
+the whole capture rc=1) must not take down the official line, and two
+live TPU clients in one process tree are avoided by running the lines
+sequentially, each owning the device for its lifetime.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
-import os
-
-import jax
-
-# persistent compilation cache: repeated bench/driver runs skip the large
-# XLA compile of the fused step
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-# the axon TPU plugin ignores the JAX_PLATFORMS env var (and hangs
-# connecting through a dead tunnel); honor a cpu request via jax.config,
-# which does gate plugin initialization — keeps the CPU smoke test
-# (tests/test_driver_parity.py) deterministic
-if os.environ.get("JAX_PLATFORMS", "") == "cpu":
-    jax.config.update("jax_platforms", "cpu")
-
-import jax.numpy as jnp
+HERE = os.path.dirname(os.path.abspath(__file__))
 
 NRAD = int(os.environ.get("BENCH_NRAD", 1024))
 NAZ = int(os.environ.get("BENCH_NAZ", 3072))
@@ -37,6 +33,24 @@ TARGET_MCELLS = 1000.0  # 1 Gcell-update/s/chip
 
 
 def run_bench(dtype: str, steps: int, config: str = "flagship"):
+    """Measure one configuration in-process (child mode)."""
+    import jax
+
+    # persistent compilation cache: repeated bench/driver runs skip the
+    # large XLA compile of the fused step
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(HERE, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # the axon TPU plugin ignores the JAX_PLATFORMS env var (and hangs
+    # connecting through a dead tunnel); honor a cpu request via
+    # jax.config, which does gate plugin initialization — keeps the CPU
+    # smoke test (tests/test_driver_parity.py) deterministic
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    sys.path.insert(0, HERE)
     from __graft_entry__ import _flagship, _pds70
 
     if config == "pds70":
@@ -76,9 +90,13 @@ def run_bench(dtype: str, steps: int, config: str = "flagship"):
     mcups = cells * steps / elapsed / 1e6
     desc = "full-physics step incl. CFL" if config == "flagship" else \
         "SG + FLD + PVTE + dust step incl. CFL"
+    tag = dtype
+    if dtype == "float64" \
+            and os.environ.get("FARGOCPT_TPU_F64_FUSED", "") == "1":
+        tag = "float64-fused-experimental"
     result = {
         "metric": f"Mcell-updates/s/chip at {NRAD}x{NAZ} polar grid "
-                  f"({desc}, {dtype})",
+                  f"({desc}, {tag})",
         "value": round(mcups, 2),
         "unit": "Mcell/s",
         "vs_baseline": round(mcups / TARGET_MCELLS, 4),
@@ -87,20 +105,74 @@ def run_bench(dtype: str, steps: int, config: str = "flagship"):
     return result
 
 
-def main():
-    # secondary float64 number (the reference is all-double; the rebuild's
-    # f64 production path is the validated unfused jnp graph — Mosaic
-    # cannot lower the fused kernels' dynamic lane rolls in emulated f64).
-    # Printed FIRST; the official f32 metric-of-record line is LAST.
-    if os.environ.get("BENCH_SKIP_F64", "") != "1":
-        run_bench("float64", int(os.environ.get("BENCH_F64_STEPS", 30)))
+_CHILD_CONFIGS = {
+    # name -> (dtype, steps-env-var, default steps, config, timeout s,
+    #          extra env)
+    "flagship_f32": ("float32", "BENCH_STEPS", 100, "flagship", 2400, {}),
+    # secondary float64 number (the reference is all-double; the
+    # rebuild's f64 production path is the validated unfused jnp graph —
+    # Mosaic cannot lower the fused kernels' dynamic lane rolls in
+    # emulated f64)
+    "f64": ("float64", "BENCH_F64_STEPS", 30, "flagship", 2400, {}),
+    # experimental: f64 through the fused kernels with the
+    # static-roll+select FARGO shift (no dynamic rolls). First TPU
+    # validation happens here, contained — a Mosaic lowering failure
+    # costs only this line.
+    "f64_fused": ("float64", "BENCH_F64_STEPS", 30, "flagship", 2400,
+                  {"FARGOCPT_TPU_F64_FUSED": "1"}),
     # PDS70-style full physics (SG FFT + FLD + PVTE + dust,
-    # BASELINE.json configs[4]) — secondary line, fewer steps (each step
-    # carries an FFT convolution pair + an SOR solve)
+    # BASELINE.json configs[4]) — fewer steps (each step carries an FFT
+    # convolution pair + an SOR solve)
+    "pds70": ("float32", "BENCH_PDS70_STEPS", 20, "pds70", 2400, {}),
+}
+
+
+def _run_child(name):
+    """Run one bench line in a fresh subprocess; return its parsed JSON
+    line, or None if it crashed or timed out (failure is contained)."""
+    _, _, _, _, timeout, extra_env = _CHILD_CONFIGS[name]
+    env = dict(os.environ)
+    env["BENCH_ONLY"] = name
+    env.update(extra_env)
+    try:
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, timeout=timeout, cwd=HERE)
+    except subprocess.TimeoutExpired:
+        print(f"bench[{name}]: timed out after {timeout}s (contained)",
+              file=sys.stderr)
+        return None
+    if res.stderr:
+        sys.stderr.write(res.stderr)
+    lines = [ln for ln in res.stdout.splitlines() if ln.startswith("{")]
+    if res.returncode != 0 or not lines:
+        print(f"bench[{name}]: rc={res.returncode} (contained)\n"
+              f"{res.stdout}", file=sys.stderr)
+        return None
+    print(lines[-1], flush=True)
+    return json.loads(lines[-1])
+
+
+def main():
+    only = os.environ.get("BENCH_ONLY", "")
+    if only:
+        dtype, steps_env, default, config, _, _ = _CHILD_CONFIGS[only]
+        return run_bench(dtype, int(os.environ.get(steps_env, default)),
+                         config=config)
+
+    # The official line is measured FIRST (before anything that could
+    # wedge the TPU worker) and re-emitted LAST (the driver records the
+    # final JSON line).
+    official = _run_child("flagship_f32")
+    if official is None:
+        sys.exit(1)
+    if os.environ.get("BENCH_SKIP_F64", "") != "1":
+        _run_child("f64")
+        _run_child("f64_fused")
     if os.environ.get("BENCH_SKIP_PDS70", "") != "1":
-        run_bench("float32", int(os.environ.get("BENCH_PDS70_STEPS", 20)),
-                  config="pds70")
-    return run_bench("float32", BENCH_STEPS)
+        _run_child("pds70")
+    print(json.dumps(official), flush=True)
+    return official
 
 
 if __name__ == "__main__":

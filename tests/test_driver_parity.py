@@ -46,9 +46,14 @@ def test_bench_smoke_fresh_subprocess(tmp_path):
         f"bench.py crashed in a fresh process:\n{res.stdout}\n{res.stderr}"
     import json
     lines = [l for l in res.stdout.splitlines() if l.startswith("{")]
-    # f64 + PDS70 full-physics + the official f32 flagship line (last)
-    assert len(lines) == 3, f"expected 3 JSON lines, got: {res.stdout}"
-    assert "full-physics step" in json.loads(lines[-1])["metric"]
+    # flagship f32 (measured first) + f64 + f64-fused + PDS70
+    # full-physics, then the official flagship line re-emitted LAST for
+    # the driver
+    assert len(lines) == 5, f"expected 5 JSON lines, got: {res.stdout}"
+    last = json.loads(lines[-1])
+    assert "full-physics step" in last["metric"]
+    assert "float32" in last["metric"]
+    assert last == json.loads(lines[0])  # re-emit of the measured line
     for line in lines:
         rec = json.loads(line)
         assert rec["value"] > 0
