@@ -166,6 +166,124 @@ def temperature_from_energy(e_specific_cgs, rho_cgs, x_mf, tabs,
     return 10.0 ** (0.5 * (lo + hi))
 
 
+# lookup-table parameters (reference src/pvte_law.cpp:25-41)
+N_RHO = 1000
+N_E = 1000
+RHO_MIN = 1.0e-23
+RHO_MAX = 1.0
+E_MIN = 1.0e8
+E_MAX = 1.0e15
+DLOG_RHO = math.log10(RHO_MAX / RHO_MIN) / N_RHO
+DLOG_E = math.log10(E_MAX / E_MIN) / N_E
+
+
+def _ref_brent_temperature(e_cgs, rho_cgs, x_mf, tabs, delta=1.0e-3):
+    """Vectorized replica of the reference's Brent solver for the table
+    build (src/pvte_law.cpp:243-301), including its exact quirks: the
+    |b - a| > delta termination is ABSOLUTE Kelvin (delta = 1e-3), the
+    returned root is ``b``, and ``fc`` is initialized once from ``fa``
+    and never updated inside the loop.  The table values inherit this
+    ~1e-3 K fuzz, so matching the reference binary requires matching the
+    solver, not solving better."""
+    def f(T):
+        _x, _y, mu, eps, gam = _gamma_mu_at(rho_cgs, T, x_mf, tabs)
+        return mu * e_cgs * (gam - 1.0) / (CGS_KB / CGS_MP) - T
+
+    a = jnp.ones_like(e_cgs)
+    b = jnp.full_like(e_cgs, 1.0e7)
+    fa = f(a)
+    fb = f(b)
+    sw = jnp.abs(fa) < jnp.abs(fb)
+    a, b = jnp.where(sw, b, a), jnp.where(sw, a, b)
+    fa, fb = jnp.where(sw, fb, fa), jnp.where(sw, fa, fb)
+    c = a
+    fc = fa                     # stale forever, as in the reference
+    d = jnp.zeros_like(e_cgs)   # unused while mflag (first iteration)
+    mflag = jnp.ones(e_cgs.shape, bool)
+    for _ in range(200):        # scalar worst case ~ log2(1e10) = 34
+        active = jnp.abs(b - a) > delta
+        if not bool(jnp.any(active)):
+            break
+        use_iq = (fa != fc) & (fb != fc)
+        s_iq = (a * fb * fc / jnp.where(use_iq, (fa - fb) * (fa - fc), 1.0)
+                + b * fa * fc / jnp.where(use_iq, (fb - fa) * (fb - fc), 1.0)
+                + c * fa * fb / jnp.where(use_iq, (fc - fa) * (fc - fb), 1.0))
+        s_sec = b - fb * (b - a) / (fb - fa)
+        s = jnp.where(use_iq, s_iq, s_sec)
+        cond = (((s < jnp.minimum((3.0 * a + b) / 4.0, b))
+                 & (s > jnp.maximum((3.0 * a + b) / 4.0, b)))
+                | (mflag & (jnp.abs(s - b) >= jnp.abs(b - c) / 2.0))
+                | (~mflag & (jnp.abs(s - b) >= jnp.abs(c - d) / 2.0))
+                | (mflag & (jnp.abs(b - c) < delta))
+                | (~mflag & (jnp.abs(c - d) < delta)))
+        s = jnp.where(cond, (a + b) / 2.0, s)
+        new_mflag = cond
+        fs = f(s)
+        new_d, new_c = c, b
+        lo = fa * fs < 0.0
+        nb = jnp.where(lo, s, b)
+        nfb = jnp.where(lo, fs, fb)
+        na = jnp.where(lo, a, s)
+        nfa = jnp.where(lo, fa, fs)
+        sw = jnp.abs(nfa) < jnp.abs(nfb)
+        na, nb = jnp.where(sw, nb, na), jnp.where(sw, na, nb)
+        nfa, nfb = jnp.where(sw, nfb, nfa), jnp.where(sw, nfa, nfb)
+        a = jnp.where(active, na, a)
+        b = jnp.where(active, nb, b)
+        fa = jnp.where(active, nfa, fa)
+        fb = jnp.where(active, nfb, fb)
+        c = jnp.where(active, new_c, c)
+        d = jnp.where(active, new_d, d)
+        mflag = jnp.where(active, new_mflag, mflag)
+    return b
+
+
+@functools.lru_cache(maxsize=2)
+def lookup_tables(x_mf: float):
+    """Reference-exact (mu, gamma_eff, gamma1) lookup tables on the
+    1000x1000 log-spaced (rho, e) grid (reference src/pvte_law.cpp:370-393
+    ``initializeLookupTables``). Built host-side once on the CPU backend
+    (f64 quantization must match the all-double reference; the table
+    build is a one-time 1e6-point vectorized solve)."""
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        lnT_t, fd_t = zeta_table()
+        tabs = (jnp.asarray(lnT_t, jnp.float64),
+                jnp.asarray(fd_t, jnp.float64))
+        rho_t = 10.0 ** (DLOG_RHO * np.arange(N_RHO)) * RHO_MIN
+        e_t = 10.0 ** (DLOG_E * np.arange(N_E)) * E_MIN
+        rho = jnp.asarray(rho_t)[:, None]            # (Ni, 1)
+        e = jnp.asarray(e_t)[None, :]                # (1, Nj)
+        rho2, e2 = jnp.broadcast_arrays(rho, e)
+        T = _ref_brent_temperature(e2, rho2, x_mf, tabs)
+        _x, _y, mu, _eps, geff = _gamma_mu_at(rho2, T, x_mf, tabs)
+        g1 = gamma1_at(rho2, T, x_mf, tabs)
+    return (np.asarray(rho_t), np.asarray(e_t), np.asarray(mu),
+            np.asarray(geff), np.asarray(g1))
+
+
+def lookup_gamma_mu(rho_cgs, e_cgs, tables):
+    """Bilinear lookup with the reference's exact index/extrapolation
+    convention (src/pvte_law.cpp:395-440): cell indices found in log
+    space, clamped to [0, N-2]; interpolation weights LINEAR in (rho, e)
+    and deliberately unclamped (out-of-table points extrapolate)."""
+    rho_t, e_t, mu_t, geff_t, g1_t = tables
+    dtype = rho_cgs.dtype
+    i = jnp.floor(jnp.log10(rho_cgs / RHO_MIN) / DLOG_RHO).astype(jnp.int32)
+    j = jnp.floor(jnp.log10(e_cgs / E_MIN) / DLOG_E).astype(jnp.int32)
+    i = jnp.clip(i, 0, N_RHO - 2)
+    j = jnp.clip(j, 0, N_E - 2)
+    x = (rho_cgs - rho_t[i]) / (rho_t[i + 1] - rho_t[i])
+    y = (e_cgs - e_t[j]) / (e_t[j + 1] - e_t[j])
+
+    def interp(tab):
+        s_ij = tab[i + 1, j] * x + tab[i, j] * (1.0 - x)
+        s_ijp1 = tab[i + 1, j + 1] * x + tab[i, j + 1] * (1.0 - x)
+        return (s_ij * (1.0 - y) + s_ijp1 * y).astype(dtype)
+
+    return interp(geff_t), interp(mu_t), interp(g1_t)
+
+
 def gamma1_at(rho, T, x_mf, tabs):
     """First adiabatic index via finite differences (reference :151-213)."""
     epsn = 1e-4
@@ -198,6 +316,13 @@ class PVTE:
         self.units = units
         self.density_factor = phys.density_factor
         self.shock_tube = phys.shock_tube
+        self.lookup = bool(getattr(phys, "pvte_lookup_table", False))
+        if self.lookup:
+            # reference-exact table mode: quantizes (geff, mu, g1) onto
+            # the reference's 1000x1000 grid; the default in-graph
+            # bisection is smoother and cheaper on TPU (no gathers)
+            self.tables = tuple(jnp.asarray(t, dtype)
+                                for t in lookup_tables(self.x_mf))
 
     def gamma_mu(self, sigma, energy, scale_height):
         """(gamma_eff, mu, gamma1) grids from the state
@@ -211,6 +336,8 @@ class PVTE:
             rho_cgs = sigma / (self.density_factor * scale_height) \
                 * un.density
         e_spec_cgs = energy / sigma * (un.energy_density / un.surface_density)
+        if self.lookup:
+            return lookup_gamma_mu(rho_cgs, e_spec_cgs, self.tables)
         T = temperature_from_energy(e_spec_cgs, rho_cgs, self.x_mf, self.tabs)
         _x, _y, mu, eps, gamma_eff = _gamma_mu_at(rho_cgs, T, self.x_mf,
                                                   self.tabs)

@@ -43,6 +43,10 @@ class Physics:
     mu: float = 1.0
     variable_gamma: bool = False
     hydrogen_mass_fraction: float = 0.75
+    # reference-exact 1000x1000 (rho, e) lookup-table quantization of
+    # (gamma_eff, mu, gamma1) instead of the default in-graph bisection
+    # (reference src/pvte_law.cpp:25-440 always uses the tables)
+    pvte_lookup_table: bool = False
 
     # geometry of the temperature profile
     aspectratio_ref: float = 0.05
@@ -470,6 +474,7 @@ def physics_from_config(cfg: Config, un: u.Units, dtype: str = "float64") -> Phy
                         == "pvte"),
         hydrogen_mass_fraction=cfg.get("HydrogenMassFraction", 0.75,
                                        type=float),
+        pvte_lookup_table=cfg.get_flag("PVTELookupTable", False),
         polytropic_constant=cfg.get("PolytropicConstant", 0.0, type=float),
         mu=cfg.get("mu", 1.0, type=float),
         aspectratio_ref=aspectratio_ref,

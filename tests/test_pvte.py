@@ -111,3 +111,42 @@ def test_pvte_shock_tube():
     # reflecting walls: mass conserved
     mass1 = float((sig[1:-1] * geom.surf[1:-1]).sum())
     assert abs(mass1 / mass0 - 1.0) < 1e-10
+
+
+def test_lookup_table_mode_matches_bisection():
+    """PVTELookupTable mode (reference-exact 1000x1000 table quantization,
+    src/pvte_law.cpp:370-440) must agree with the in-graph bisection to
+    the table's own interpolation error, and the lookup conventions must
+    be the reference's: log-space cell index, LINEAR unclamped weights."""
+    tables = tuple(jnp.asarray(t) for t in pvte.lookup_tables(XMF))
+    rng = np.random.default_rng(7)
+    rho = jnp.asarray(10.0 ** rng.uniform(-18, -5, 512))
+    e = jnp.asarray(10.0 ** rng.uniform(9, 14, 512))
+    geff_l, mu_l, g1_l = pvte.lookup_gamma_mu(rho, e, tables)
+
+    T = pvte.temperature_from_energy(e, rho, XMF, tabs())
+    _x, _y, mu_b, _eps, geff_b = pvte._gamma_mu_at(rho, T, XMF, tabs())
+    g1_b = pvte.gamma1_at(rho, T, XMF, tabs())
+
+    def rel(a, b):
+        return float(jnp.max(jnp.abs(a - b) / jnp.abs(b)))
+
+    assert rel(geff_l, geff_b) < 2e-3
+    assert rel(mu_l, mu_b) < 2e-3
+    assert rel(g1_l, g1_b) < 1e-1    # g1 is steep across ionization edges
+
+    # exactly on table nodes the lookup must reproduce the node values
+    rho_t, e_t, mu_t, geff_t, g1_t = tables
+    ii = jnp.asarray([5, 100, 500, 900])
+    jj = jnp.asarray([7, 200, 600, 950])
+    geff_n, mu_n, g1_n = pvte.lookup_gamma_mu(rho_t[ii], e_t[jj], tables)
+    np.testing.assert_allclose(np.asarray(geff_n),
+                               np.asarray(geff_t[ii, jj]), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(mu_n),
+                               np.asarray(mu_t[ii, jj]), rtol=1e-12)
+
+    # out-of-table points clamp the cell index and extrapolate linearly
+    # (reference src/pvte_law.cpp:411-422 clamps i/j, not x/y)
+    g_lo, _, _ = pvte.lookup_gamma_mu(jnp.asarray([1e-30]),
+                                      jnp.asarray([1e7]), tables)
+    assert np.isfinite(float(g_lo[0]))

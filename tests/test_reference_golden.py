@@ -72,10 +72,23 @@ GOLDENS = Path(__file__).parent / "goldens"
     # tables — the table-interpolation difference leaves ~1.5e-3 after
     # 3283 steps (was 2.4e-1 before the shock-tube rho convention fix)
     ("shocktube_pvte", 1e-2),
+    # same shock tube with PVTELookupTable=yes: the reference-exact
+    # 1000x1000 (rho, e) table quantization (src/pvte_law.cpp:370-440,
+    # incl. the table-build Brent's |b-a|<1e-3-Kelvin termination)
+    # removes the table-vs-bisection difference: observed MEDIAN 7e-16
+    # (f64 roundoff), p99 3.4e-6; the max (1.1e-4 on vrad) sits in the
+    # 2-3 cells AT the moving shock front — phase roundoff amplified
+    # over 3283 steps, not an EoS difference
+    ("shocktube_pvte@lookup", 2e-4),
 ])
 def test_fields_match_reference_binary(name, tol, tmp_path):
+    name, _, variant = name.partition("@")
     golden = GOLDENS / name
     cfg = Config.from_file(str(golden / "setup.yml"))
+    if variant == "lookup":
+        lk = "PVTELookupTable"
+        cfg._raw[lk.lower()] = "Yes"
+        cfg._orig_case[lk.lower()] = lk
     sim = Simulation(cfg, outdir=str(tmp_path / "out"), dtype="float64")
     out.OutputWriter(sim)
     sim.run()
