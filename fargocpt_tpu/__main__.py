@@ -19,6 +19,16 @@ import signal
 import sys
 
 
+def _add_log_flags(p):
+    """Reference log-level options (src/options.cpp:46-69,:130-136)."""
+    p.add_argument("-q", "--quiet", action="store_true",
+                   help="only print errors and warnings")
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="verbose mode")
+    p.add_argument("-d", "--debug", action="store_true",
+                   help="print debug information at each monitor step")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="fargocpt_tpu")
     sub = parser.add_subparsers(dest="mode", required=True)
@@ -34,6 +44,7 @@ def main(argv=None):
                        help="write a jax.profiler trace of the run")
         p.add_argument("--debug-nans", action="store_true",
                        help="enable jax_debug_nans (FPE-trap analog)")
+        _add_log_flags(p)
 
     p = sub.add_parser("restart")
     p.add_argument("snapshot", help="snapshot number (or 'last')")
@@ -44,6 +55,7 @@ def main(argv=None):
     p.add_argument("-N", "--max-iterations", type=int, default=None)
     p.add_argument("--profile", metavar="DIR", default=None)
     p.add_argument("--debug-nans", action="store_true")
+    _add_log_flags(p)
 
     p = sub.add_parser("bench", help="run the headline benchmark")
     p.add_argument("--nrad", type=int, default=1024)
@@ -70,7 +82,14 @@ def main(argv=None):
     import faulthandler
     faulthandler.register(signal.SIGUSR2, all_threads=True)
 
+    import os
     import jax
+    # the axon TPU plugin ignores the JAX_PLATFORMS env var (and hangs
+    # connecting through a dead tunnel); honor a cpu request via
+    # jax.config, which does gate plugin initialization (same guard as
+    # bench.py / tests/conftest.py)
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     if args.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
     if args.debug_nans:
@@ -81,10 +100,19 @@ def main(argv=None):
     from .config import Config
     from .sim import Simulation
     from . import output as out
+    from . import log
+
+    # leveled logging (reference src/logging.cpp print_level semantics)
+    if args.quiet:
+        log.set_print_level(log.WARNING)
+    elif args.debug:
+        log.set_print_level(log.DEBUG)
+    elif args.verbose:
+        log.set_print_level(log.VERBOSE)
 
     # build-time info at startup (reference src/buildtime_info.cpp)
     from . import build_info
-    print(build_info())
+    log.notice(build_info())
 
     cfg = Config.from_file(args.setup)
     sim = Simulation(cfg, outdir=args.outdir, dtype=args.dtype)
@@ -98,6 +126,12 @@ def main(argv=None):
     # src/logging.cpp:43-60 per-run log files)
     (writer.outdir / "logs").mkdir(exist_ok=True)
     log_fh = open(writer.outdir / "logs" / "fargocpt.log", "a")
+    # leveled per-run files log_0.txt/err_0.txt + pre-init buffer flush
+    log.init_logfiles(writer.outdir)
+    # -v: tell everything about the parameters file (reference
+    # src/options.cpp:68 + the reference's verbose parameter echo)
+    for key, val in sorted(cfg._consulted.items()):
+        log.verbose(f"param {cfg._orig_case.get(key, key)} = {val!r}")
 
     class _Tee:
         def __init__(self, *streams):
@@ -123,15 +157,15 @@ def main(argv=None):
         if sid == "last":
             sid = out.last_snapshot_id(writer.outdir)
         out.restore_simulation(sim, writer.outdir, sid)
-        print(f"restarted from snapshot {sid} at t = {sim.time:.6g}")
+        log.notice(f"restarted from snapshot {sid} at t = {sim.time:.6g}")
     elif args.mode == "auto":
         list_file = writer.outdir / "snapshots" / "list.txt"
         if list_file.exists() and list_file.read_text().strip():
             sid = out.last_snapshot_id(writer.outdir)
             out.restore_simulation(sim, writer.outdir, sid)
-            print(f"auto: resuming from snapshot {sid} at t = {sim.time:.6g}")
+            log.notice(f"auto: resuming from snapshot {sid} at t = {sim.time:.6g}")
         else:
-            print("auto: no snapshots found, starting fresh")
+            log.notice("auto: no snapshots found, starting fresh")
 
     # SIGTERM -> autosave + clean exit (reference src/simulation.cpp:497-531)
     stop_requested = {"flag": False}
@@ -147,9 +181,9 @@ def main(argv=None):
     def _sigusr1(_signum, _frame):
         import jax.numpy as _jnp
         cfl_dt = float(sim.stepper.cfl_dt(sim.state))
-        print(f"[SIGUSR1] t = {sim.time:.8g}  monitor {sim.n_monitor}  "
-              f"hydro steps {sim.n_hydro_iter}  last_dt = {sim.last_dt:.6g}"
-              f"  CFL dt = {cfl_dt:.6g}", flush=True)
+        log.notice(f"[SIGUSR1] t = {sim.time:.8g}  monitor {sim.n_monitor}  "
+                   f"hydro steps {sim.n_hydro_iter}  last_dt = "
+                   f"{sim.last_dt:.6g}  CFL dt = {cfl_dt:.6g}")
 
     signal.signal(signal.SIGUSR1, _sigusr1)
 
@@ -175,7 +209,7 @@ def main(argv=None):
             break
         if stop_requested["flag"]:
             writer.write_snapshot("autosave", register=False)
-            print("SIGTERM received: autosave written, exiting")
+            log.notice("SIGTERM received: autosave written, exiting")
             return 0
         t_target = (sim.n_monitor + 1) * s.monitor_timestep
         import time as _t
@@ -212,13 +246,16 @@ def main(argv=None):
         if log_now or sim.n_monitor == total_monitors:
             _log_state["steps"] = sim.n_hydro_iter
             _log_state["wall"] = time.time()
-            print(f"monitor {sim.n_monitor}/{total_monitors}  "
-                  f"t={sim.time:.6g}  steps={sim.n_hydro_iter}  "
-                  f"{rate:.1f} steps/s")
+            log.info(f"monitor {sim.n_monitor}/{total_monitors}  "
+                     f"t={sim.time:.6g}  steps={sim.n_hydro_iter}  "
+                     f"{rate:.1f} steps/s")
+            log.debug(f"  dt range [{sim.monitor_stats['dt_min']:.4g}, "
+                      f"{sim.monitor_stats['dt_max']:.4g}]  walltime "
+                      f"{sim.monitor_stats['walltime']:.3f} s")
     if args.profile:
         jax.profiler.stop_trace()
-        print(f"profiler trace written to {args.profile}")
-    print("done")
+        log.notice(f"profiler trace written to {args.profile}")
+    log.notice("done")
     return 0
 
 
