@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -930,17 +931,19 @@ def make_transport_prep(g, dtype, tile: int):
     return cols[idx]
 
 
-def _transport_kernel(scal_ref, shift_ref, cols_ref, vm_ref, vc_ref,
+def _transport_kernel(scal_ref, shift_ref, shiftcol_ref, cols_ref, vm_ref,
+                      vc_ref,
                       sig_ref, sig_t, sig_b, vr_ref, vr_t, vr_b,
                       va_ref, va_t, va_b, e_ref, e_t, e_b,
                       sig_out, e_out, vr_out, va_out, flux_out,
                       batch_ref, *,
                       nr: int, tile: int, adiabatic: bool, limiter: int,
-                      fast: bool, dphi: float):
+                      fast: bool, dphi: float, static_shift: bool):
     """One radial tile (rows [i*tile, i*tile+tile), 3-row halos) of the
     fused transport. vm/vc are the per-ring azimuthal-mean and residual
     uniform velocities (windowed columns computed by the wrapper);
-    shift_ref holds the per-ring integer shifts in SMEM."""
+    shift_ref holds the per-ring integer shifts in SMEM and shiftcol_ref
+    the same shifts as a windowed VMEM column (static_shift path)."""
     dt = scal_ref[0]
     omega = scal_ref[1]
     H = _TR_HALO
@@ -1031,23 +1034,43 @@ def _transport_kernel(scal_ref, shift_ref, cols_ref, vm_ref, vc_ref,
         swept = sweep(swept, vres + vconst)
 
     # ---- per-ring integer-cell roll (AdvectSHIFT, :238-268) -----------
-    # Mosaic's dynamic lane rotate, row by row on the VMEM-resident batch
-    # (measured FASTER than a row-vectorized 12-bit static-roll+select
-    # decomposition: 1427 vs 1344 Mcell/s full-step at 1024x3072)
-    for k in range(k_quant):
-        batch_ref[k] = swept[k]
+    if static_shift:
+        # Row-vectorized bitwise static-roll+select decomposition: roll
+        # the whole (P, NAZ) plane by every power of two and select per
+        # row on the shift's bits. Used for float64, where Mosaic's
+        # emulated-f64 lowering of the DYNAMIC lane rotate recurses
+        # infinitely — static rotations lower fine. (In f32 the per-row
+        # dynamic roll measured faster: 1427 vs 1344 Mcell/s.)
+        naz = swept[0].shape[-1]
+        nbits = max(1, int(naz - 1).bit_length())
+        sft_col = shiftcol_ref[0]                      # (P, 1) int32
+        for k in range(k_quant):
+            x = swept[k]
+            for b in range(nbits):
+                bit = (sft_col >> np.int32(b)) & np.int32(1)
+                x = jnp.where(bit == np.int32(1),
+                              _roll(x, np.int32(1 << b)), x)
+            batch_ref[k] = x
+    else:
+        # Mosaic's dynamic lane rotate, row by row on the VMEM-resident
+        # batch (measured FASTER than the static decomposition above in
+        # f32: 1427 vs 1344 Mcell/s full-step at 1024x3072)
+        for k in range(k_quant):
+            batch_ref[k] = swept[k]
 
-    # rows needed post-shift: output rows + one halo ring above for the
-    # vrad reconstruction (face f uses ring f-1).  Unrolled Python loop
-    # (static trip count): under x64 a lax.fori_loop induction variable is
-    # i64 regardless of the bounds' dtype, and the ring-index clamp uses
-    # strong-i32 np scalars because Python-int bounds become weak-i64
-    # literals whose i64->i32 convert recurses in Mosaic's lowering.
-    for p in range(H - 1, tile + H):
-        gid = jnp.minimum(jnp.maximum(i * tile - H + p, np.int32(0)),
-                          np.int32(nr - 1))
-        sft = shift_ref[gid]
-        batch_ref[:, p, :] = pltpu.roll(batch_ref[:, p, :], sft, axis=1)
+        # rows needed post-shift: output rows + one halo ring above for
+        # the vrad reconstruction (face f uses ring f-1). Unrolled Python
+        # loop (static trip count): under x64 a lax.fori_loop induction
+        # variable is i64 regardless of the bounds' dtype, and the
+        # ring-index clamp uses strong-i32 np scalars because Python-int
+        # bounds become weak-i64 literals whose i64->i32 convert recurses
+        # in Mosaic's lowering.
+        for p in range(H - 1, tile + H):
+            gid = jnp.minimum(jnp.maximum(i * tile - H + p, np.int32(0)),
+                              np.int32(nr - 1))
+            sft = shift_ref[gid]
+            batch_ref[:, p, :] = pltpu.roll(batch_ref[:, p, :], sft,
+                                            axis=1)
 
     rp = batch_ref[0]
     rm = batch_ref[1]
@@ -1071,11 +1094,11 @@ def _transport_kernel(scal_ref, shift_ref, cols_ref, vm_ref, vc_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "tile", "adiabatic", "limiter", "fast", "dphi"))
+    "tile", "adiabatic", "limiter", "fast", "dphi", "static_shift"))
 def transport_fused_pallas(sigma, vrad, vaz, energy, win_cols, nshift,
                            vmean, vconst, dt, omega_frame, tile: int,
                            adiabatic: bool, limiter: int, fast: bool,
-                           dphi: float):
+                           dphi: float, static_shift: bool = False):
     """Complete fused FARGO transport. Returns
     (sigma, vrad, vaz, energy, mass_flux) — vrad and mass_flux carry the
     (NR+1)-th face row appended by the caller-visible contract (row NR of
@@ -1108,10 +1131,15 @@ def transport_fused_pallas(sigma, vrad, vaz, energy, win_cols, nshift,
     scal = jnp.stack([jnp.asarray(dt, sigma.dtype),
                       jnp.asarray(omega_frame, sigma.dtype)])
     shifts = jnp.mod(nshift, naz).astype(jnp.int32)
+    # windowed (n_tiles, P, 1) copy of the shifts for the static_shift
+    # path (same ring-index clamping as the dynamic path's gid clamp)
+    shift_win = jnp.clip(base_rows[:, None]
+                         + jnp.arange(-H, tile + H)[None, :], 0, nr - 1)
+    shift_col = shifts[shift_win][:, :, None]
 
     kernel = functools.partial(
         _transport_kernel, nr=nr, tile=tile, adiabatic=adiabatic,
-        limiter=limiter, fast=fast, dphi=dphi)
+        limiter=limiter, fast=fast, dphi=dphi, static_shift=static_shift)
     main = lambda i: (i, _Z)
     halo = lambda i: (i, _Z, _Z)
     P = tile + 2 * H
@@ -1124,6 +1152,7 @@ def transport_fused_pallas(sigma, vrad, vaz, energy, win_cols, nshift,
         in_specs=[
             pl.BlockSpec((2,), lambda i: (_Z,), memory_space=pltpu.SMEM),
             pl.BlockSpec((nr,), lambda i: (_Z,), memory_space=pltpu.SMEM),
+            cspec(1),                              # windowed shift column
             cspec(_N_TR_COLS),
             cspec(1), cspec(1),
             mspec, hspec, hspec,                   # sigma
@@ -1139,7 +1168,7 @@ def transport_fused_pallas(sigma, vrad, vaz, energy, win_cols, nshift,
         # ceiling with double-buffered blocks; raise it
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(scal, shifts, win_cols, wincol(vmean),
+    )(scal, shifts, shift_col, win_cols, wincol(vmean),
       wincol(vconst),
       sigma, sig_t, sig_b, vrad[:nr], vr_t, vr_b,
       vaz, va_t, va_b, energy, e_t, e_b)
@@ -1504,9 +1533,14 @@ def viscous_kick_pallas(sigma, vrad, vaz, energy, win_cols, dt, beta_inv,
 def use_pallas(dtype=None) -> bool:
     """Fused kernels are the float32/bfloat16 production path; float64 runs
     (emulated on TPU) fall back to the pure-jnp implementation — Mosaic's
-    f64 emulation recurses infinitely when lowering the dynamic lane rolls."""
+    f64 emulation recurses infinitely when lowering the dynamic lane rolls.
+    FARGOCPT_TPU_F64_FUSED=1 opts float64 into the fused kernels with the
+    static-roll+select FARGO shift (no dynamic rolls; experimental until
+    validated on real hardware)."""
     if jax.default_backend() != "tpu":
         return False
     if dtype is None:
         return True
+    if jnp.dtype(dtype) == jnp.dtype(jnp.float64):
+        return os.environ.get("FARGOCPT_TPU_F64_FUSED", "") == "1"
     return jnp.dtype(dtype) in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))

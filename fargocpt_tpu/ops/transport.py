@@ -177,6 +177,12 @@ def transport(phys: Physics, g: Geom, sigma, vrad, vaz, energy,
     # radial kernel both need a 128-aligned azimuth
     fuse = pk.use_pallas(sigma.dtype) and sigma.ndim == 2 \
         and sigma.shape[-1] % 128 == 0
+    # the partial-fusion kernels below keep their DYNAMIC lane rotates
+    # (f32-only); f64 is fused only through the fully-fused kernel with
+    # its static-shift decomposition
+    if sigma.dtype == jnp.float64 and not (
+            fuse and g.nrad % (32 if g.nrad % 32 == 0 else 16) == 0):
+        fuse = False
     fuse_radial = fuse
 
     # ---- fully-fused path: the whole transport in one kernel ----
@@ -189,11 +195,19 @@ def transport(phys: Physics, g: Geom, sigma, vrad, vaz, energy,
         nshift = nround.astype(jnp.int32)[:, 0]
         vconst = (ntilde - nround) * g.rb * g.dphi / dt
         cols = _transport_cols(pk, g, sigma.dtype, mega_tile)
+        # float64 cannot use Mosaic's dynamic lane rotate (emulated-f64
+        # lowering recurses); route it through the static-roll+select
+        # decomposition. FARGOCPT_TPU_STATIC_SHIFT=1 forces it in f32
+        # for A/B timing.
+        import os as _os
+        static_shift = (sigma.dtype == jnp.float64
+                        or _os.environ.get("FARGOCPT_TPU_STATIC_SHIFT",
+                                           "") == "1")
         return pk.transport_fused_pallas(
             sigma, vrad, vaz, energy, cols, nshift, vmean, vconst, dt,
             omega_frame, tile=mega_tile, adiabatic=adiabatic,
             limiter=phys.flux_limiter_type, fast=phys.fast_transport,
-            dphi=g.dphi)
+            dphi=g.dphi, static_shift=static_shift)
 
     # ---- radial sweep (OneWindRad, reference :138-167) ----
     density_star = star_radial(phys, g, sigma, vrad, dt)

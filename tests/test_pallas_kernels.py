@@ -394,12 +394,16 @@ def test_viscous_kick_fused_parity(setup, compress, artvisc_on, adiabatic):
                                rtol=1e-10, atol=1e-18)
 
 
+@pytest.mark.parametrize("static_shift", [False, True])
 @pytest.mark.parametrize("fast", [True, False])
 @pytest.mark.parametrize("adiabatic", [True, False])
-def test_transport_fused_parity(setup, adiabatic, fast):
+def test_transport_fused_parity(setup, adiabatic, fast, static_shift):
     """The single-kernel fused transport (momenta + radial sweep + both
     azimuthal sweeps + FARGO roll + velocity reconstruction) matches the
-    composed jnp transport path."""
+    composed jnp transport path — with both FARGO-shift strategies: the
+    per-row dynamic roll (f32 production) and the static-roll+select bit
+    decomposition (the f64 path, which must be roll-exact since a
+    rotation decomposes exactly into power-of-two rotations)."""
     g, _, _, _ = setup
     phys = Physics(eos="adiabatic" if adiabatic else "isothermal",
                    adiabatic_index=1.4, aspectratio_ref=0.05,
@@ -425,7 +429,8 @@ def test_transport_fused_parity(setup, adiabatic, fast):
         s, vr, va, e, mf = pk.transport_fused_pallas(
             sigma, vrad, vaz, energy, cols, nshift, vmean, vconst, dt,
             omega, tile=16, adiabatic=adiabatic,
-            limiter=phys.flux_limiter_type, fast=fast, dphi=g.dphi)
+            limiter=phys.flux_limiter_type, fast=fast, dphi=g.dphi,
+            static_shift=static_shift)
     np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref),
                                rtol=1e-11, atol=1e-14)
     np.testing.assert_allclose(np.asarray(e), np.asarray(e_ref),
