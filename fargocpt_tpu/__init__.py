@@ -63,3 +63,28 @@ def enable_x64():
     typically run float32)."""
     import jax
     jax.config.update("jax_enable_x64", True)
+
+
+def run(args, np=None, nt=None, stdout=None, exe=None, detach=False):
+    """Single-call launcher, API-compatible with the reference's
+    ``fargocpt.run(fargo_args, np=..., nt=...)``
+    (python_module/fargocpt/run.py:199).  ``args`` is the CLI argv, e.g.
+    ``["start", "setup.yml", "-o", "out"]``.  The MPI/OpenMP process
+    allocation knobs (np/nt) are accepted for drop-in compatibility but
+    unused: one process drives all local TPU devices through jit/mesh,
+    so there is nothing to allocate.  Returns the CLI exit code."""
+    del np, nt, exe, detach  # no mpirun/NUMA layer on the TPU runtime
+    import contextlib
+
+    from . import __main__ as cli
+    if stdout is not None:
+        with contextlib.redirect_stdout(stdout):
+            return cli.main(list(args))
+    return cli.main(list(args))
+
+
+def Loader(outdir):
+    """Reference-API convenience re-export (``fargocpt.Loader``,
+    python_module/fargocpt/data.py)."""
+    from .analysis import Loader as _Loader
+    return _Loader(outdir)

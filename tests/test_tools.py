@@ -142,3 +142,41 @@ def test_clone_snapshot_restartable(tmp_path):
     a = np.fromfile(out_a / "snapshots" / "2" / "Sigma.dat", np.float64)
     b = np.fromfile(out_b / "snapshots" / "2" / "Sigma.dat", np.float64)
     np.testing.assert_array_equal(a, b)
+
+
+def test_package_run_and_loader_api(tmp_path):
+    """Reference python-module API parity: ``fargocpt.run(args)`` and
+    ``fargocpt.Loader`` (python_module/fargocpt/__init__.py) map to
+    ``fargocpt_tpu.run`` / ``fargocpt_tpu.Loader``."""
+    import io
+
+    import fargocpt_tpu
+
+    setup = tmp_path / "setup.yml"
+    setup.write_text("""
+EquationOfState: Isothermal
+AspectRatio: '0.05'
+ViscousAlpha: '0.001'
+Sigma0: 200 g/cm2
+SigmaSlope: '0.5'
+Nrad: '32'
+Naz: '16'
+Rmin: '0.4'
+Rmax: '2.5'
+InnerBoundary: outflow
+OuterBoundary: outflow
+Nsnapshots: '1'
+Nmonitor: '1'
+MonitorTimestep: '0.05'
+""")
+    out = tmp_path / "out"
+    buf = io.StringIO()
+    rc = fargocpt_tpu.run(["start", str(setup), "-o", str(out), "-q"],
+                          np=4, nt=2, stdout=buf)
+    assert rc == 0
+    from fargocpt_tpu import log
+    log.set_print_level(log.INFO)     # undo the -q for later tests
+    log.finalize()
+    ld = fargocpt_tpu.Loader(str(out))
+    sig = ld.gas.get("Sigma", "last", grid=False)
+    assert sig.shape == (32, 16)
