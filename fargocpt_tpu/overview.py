@@ -114,12 +114,53 @@ def make_overview(outdir, snapshot="last", out_png="overview.png"):
     return out_png
 
 
+def follow(outdir, out_png="overview.png", interval: float = 2.0,
+           max_updates: int | None = None, timeout: float | None = None):
+    """Live monitor of a running simulation (the reference's
+    python_module/fargocpt/overview.py:350 ``Overview.show(follow=...)``
+    polls snapshots/list.txt the same way): regenerate the overview every
+    time a new snapshot is registered.  Headless-friendly — the refreshed
+    PNG is the live view; point an image viewer at it.  Returns the
+    number of refreshes done (``max_updates`` / ``timeout`` bound the
+    loop).  Must run on the main thread (matplotlib is not thread-safe;
+    rendering from a worker thread can deadlock)."""
+    import time
+    from pathlib import Path
+
+    list_txt = Path(outdir) / "snapshots" / "list.txt"
+    last_seen = None
+    n_updates = 0
+    t0 = time.monotonic()
+    while True:
+        try:
+            lines = [ln for ln in list_txt.read_text().splitlines() if ln]
+        except FileNotFoundError:
+            lines = []
+        newest = lines[-1] if lines else None
+        if newest is not None and newest != last_seen:
+            make_overview(outdir, newest, out_png)
+            print(f"overview: snapshot {newest} -> {out_png}", flush=True)
+            last_seen = newest
+            n_updates += 1
+        if max_updates is not None and n_updates >= max_updates:
+            return n_updates
+        if timeout is not None and time.monotonic() - t0 > timeout:
+            return n_updates
+        time.sleep(interval)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("outdir")
     ap.add_argument("-N", "--snapshot", default="last")
     ap.add_argument("-o", "--out", default="overview.png")
+    ap.add_argument("--follow", type=float, default=None, metavar="SECONDS",
+                    help="live mode: poll for new snapshots every SECONDS "
+                         "and refresh the PNG (reference Overview.show)")
     args = ap.parse_args(argv)
+    if args.follow is not None:
+        follow(args.outdir, args.out, interval=args.follow)
+        return
     path = make_overview(args.outdir, args.snapshot, args.out)
     print(f"wrote {path}")
 
