@@ -95,6 +95,10 @@ def test_f64_then_f32_simulation_fresh_subprocess():
     Before the fix the first f64 Simulation's ICs were silently truncated
     to f32 while later-derived fields came out f64."""
     code = """
+import os
+import jax
+if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 import numpy as np
 from fargocpt_tpu.config import Config
 from fargocpt_tpu.sim import Simulation
