@@ -47,12 +47,26 @@ def powerlaw_sigma(phys: Physics, geom: Geometry) -> np.ndarray:
 
 def powerlaw_energy(phys: Physics, constants: Constants,
                     geom: Geometry, sigma: np.ndarray) -> np.ndarray:
-    """reference src/init.cpp:1257-1302 with the temperature floor."""
+    """reference src/init.cpp:1257-1302 with the temperature floor, plus
+    the profile-cutoff damping of the ENERGY field (init.cpp:1364-1443:
+    the same outer/inner cutoff factors applied to Sigma are applied to
+    the energy, re-flooring after each)."""
     r = geom.rmed[:, None]
     energy = theo.initial_energy(phys, constants.G, r, phys.hydro_center_mass)
     e_floor = phys.minimum_temperature * sigma / phys.mu * constants.R \
         / (phys.adiabatic_index - 1.0)
-    return np.maximum(np.broadcast_to(energy, sigma.shape), e_floor)
+    energy = np.maximum(np.broadcast_to(energy, sigma.shape), e_floor)
+    if phys.profile_cutoff_outer:
+        fac = np.asarray(theo.cutoff_outer(phys.profile_cutoff_point_outer,
+                                           phys.profile_cutoff_width_outer,
+                                           r))
+        energy = np.maximum(energy * fac, e_floor)
+    if phys.profile_cutoff_inner:
+        fac = np.asarray(theo.cutoff_inner(phys.profile_cutoff_point_inner,
+                                           phys.profile_cutoff_width_inner,
+                                           r))
+        energy = np.maximum(energy * fac, e_floor)
+    return energy
 
 
 def spreading_ring_sigma(phys: Physics, geom: Geometry) -> np.ndarray:
@@ -118,7 +132,17 @@ def gas_velocities(phys: Physics, constants: Constants,
 
     vr_full = np.zeros((geom.nrad + 1, geom.naz))
     if not phys.initialize_vradial_zero:
-        vr_row = theo.initial_viscous_radial_speed(phys, G, ri, M)
+        # the reference's default branch uses the NUMERICAL viscous-speed
+        # lookup evaluated on the actual initial profile incl. cutoffs
+        # (src/init.cpp:1766 get_vr_with_numerical_viscous_speed) — for a
+        # pure power law it reduces to the analytic -3 nu/r (1-S+2F), but
+        # with profile cutoffs the drift reverses near the cutoff, and for
+        # alpha = 0 it is zero (get_nu2 is alpha-only) even when a
+        # constant kinematic viscosity is configured
+        from .ops import diskmodel as dm
+        import jax.numpy as jnp
+        vr_row = np.asarray(dm.vr_numerical_viscous(
+            phys, constants, jnp.asarray(ri), M, quad_moment))
         if phys.imposed_disk_drift != 0.0:
             # IMPOSEDDISKDRIFT term uses SigmaInf (reference :1760-1763);
             # axisymmetric power law: SigmaInf ~ sigma0 ri^-slope
