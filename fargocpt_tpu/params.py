@@ -109,6 +109,9 @@ class Physics:
     fld_auto_omega: bool = False
     fld_inner_boundary: str = "none"
     fld_outer_boundary: str = "none"
+    # RadiativeDiffusionTest1D: pin the flux limiter at its optically-thick
+    # value 1/3 (reference src/fld.cpp:129,:234 sets constant_fluxlimiter)
+    fld_constant_fluxlimiter: bool = False
 
     # self-gravity
     self_gravity: bool = False
@@ -522,7 +525,9 @@ def physics_from_config(cfg: Config, un: u.Units, dtype: str = "float64") -> Phy
         cooling_scurve_enabled=cooling_scurve_enabled,
         scurve_kimura=cfg.get_lowercase("ScurveType", "kimura") == "kimura",
         opacity_mode=cfg.get_lowercase("Opacity", "Lin"),
-        kappa_const=cfg.get("KappaConst", 1.0, type=float),
+        # dimensioned: opacity L0^2/M0 (reference src/parameters.cpp:444)
+        kappa_const=cfg.get("KappaConst", 1.0, dim=u.DIM_OPACITY,
+                            type=float),
         tau_factor=cfg.get("TauFactor", 0.5, type=float),
         tau_min=cfg.get("TauMin", 0.01, type=float),
         kappa_factor=cfg.get("KappaFactor", 1.0, type=float),
@@ -538,6 +543,8 @@ def physics_from_config(cfg: Config, un: u.Units, dtype: str = "float64") -> Phy
             "RadiativeDiffusionInnerBoundary", "none"),
         fld_outer_boundary=cfg.get_lowercase(
             "RadiativeDiffusionOuterBoundary", "none"),
+        fld_constant_fluxlimiter=cfg.get_flag(
+            "RadiativeDiffusionTest1D", False),
         self_gravity=self_gravity,
         indirect_term_disk_on_disk=indirect_disk_on_disk,
         correct_disk_selfgravity=cfg.get_flag(

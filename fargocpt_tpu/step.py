@@ -225,7 +225,9 @@ class HydroStep:
                           omega=phys.fld_omega,
                           auto_omega=phys.fld_auto_omega,
                           inner_boundary=phys.fld_inner_boundary,
-                          outer_boundary=phys.fld_outer_boundary), dtype)
+                          outer_boundary=phys.fld_outer_boundary,
+                          constant_fluxlimiter=phys.fld_constant_fluxlimiter,
+                          ), dtype)
         else:
             self.fld = None
 
@@ -1241,17 +1243,23 @@ class HydroStep:
             # XLA:TPU compile time up by two orders of magnitude
             sigma, vrad, vaz, energy = jax.lax.optimization_barrier(
                 (sigma, vrad, vaz, energy))
+        else:
+            qplus, qminus = state.qplus, state.qminus
 
-            # FLD radiative diffusion (reference src/simulation.cpp:203-206)
-            if self.fld is not None:
-                _, _, h_now = self.derived(sigma, energy)
-                energy, _n_iter, sor = self.fld.radiative_diffusion(
-                    g, sigma, energy, h_now, dt, sor_state=sor,
-                    halo_fn=self._fld_halo_fn,
-                    shard_ctx=self._fld_shard_ctx)
-                energy = eos.energy_floor_ceiling(phys, constants, sigma,
-                                                  energy)
+        # FLD radiative diffusion — "can be done independent of the hydro
+        # simulation": the reference's Euler step runs it OUTSIDE the
+        # calculate_disk gate (src/simulation.cpp:205-208), which is what
+        # makes pure-diffusion setups like test/FLD1D (Disk: no) evolve
+        if self.fld is not None:
+            _, _, h_now = self.derived(sigma, energy)
+            energy, _n_iter, sor = self.fld.radiative_diffusion(
+                g, sigma, energy, h_now, dt, sor_state=sor,
+                halo_fn=self._fld_halo_fn,
+                shard_ctx=self._fld_shard_ctx)
+            energy = eos.energy_floor_ceiling(phys, constants, sigma,
+                                              energy)
 
+        if phys.calculate_disk:
             # boundary conditions before transport (final=false)
             sigma, vrad, vaz, energy = self._apply_bcs(
                 sigma, vrad, vaz, energy, omega_frame, nb=nb, time=time)
@@ -1274,8 +1282,6 @@ class HydroStep:
             if phys.is_adiabatic:
                 energy = eos.energy_floor_ceiling(phys, constants, sigma,
                                                   energy)
-        else:
-            qplus, qminus = state.qplus, state.qminus
 
         # --- N-body drift under mutual gravity (reference :218-221) ---
         nb = nbody_sys.integrate(nb, constants.G, dt)
@@ -1409,8 +1415,13 @@ class HydroStep:
                 # reference's once-per-step CommunicateBoundaries,
                 # src/commbound.cpp:98)
                 state = self._halo_refresh(state)
-            cfl_dt = self._cfl_impl(state)
-            dt = jnp.minimum(self.phys.cfl_max_var * last_dt, cfl_dt)
+            if self.phys.calculate_disk:
+                cfl_dt = self._cfl_impl(state)
+                dt = jnp.minimum(self.phys.cfl_max_var * last_dt, cfl_dt)
+            else:
+                # Disk: no — the reference keeps dt = last_dt without a
+                # CFL evaluation (src/simulation.cpp:100-117)
+                dt = last_dt
             time_left = t_target - time
             clamp = (dt > time_left) | (time_left < dt * 1.05)
             step_dt = jnp.where(clamp, time_left, dt)

@@ -309,6 +309,7 @@ DIM_DENSITY = _dim(l=-3, m=1)
 DIM_VELOCITY = _dim(l=1, t=-1)
 DIM_MDOT = _dim(m=1, t=-1)
 DIM_KINEMATIC_VISCOSITY = _dim(l=2, t=-1)
+DIM_OPACITY = _dim(l=2, m=-1)
 
 
 def shock_tube_units() -> "Units":

@@ -183,11 +183,11 @@ def test_reference_active_param_coverage():
     # FLD solver-debug hooks (reference src/fld.cpp:123-131): the
     # reference uses them to run its SOR solver against analytic
     # solutions inside the production binary; this repo isolates the
-    # solver in tests/test_fld.py instead.
+    # solver in tests/test_fld.py instead.  RadiativeDiffusionTest1D IS
+    # wired (constant flux limiter; exercised by tests/test_fld1d.py).
     exceptions = {
         "RadiativeDiffusionCheckSolution",
         "RadiativeDiffusionDumpData",
-        "RadiativeDiffusionTest1D",
         "RadiativeDiffusionTest2D",
         "RadiativeDiffusionTest2DDensity",
         "RadiativeDiffusionTest2DK",
