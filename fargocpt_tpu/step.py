@@ -579,10 +579,22 @@ class HydroStep:
         return vrad, vaz, energy
 
     def _substeps(self, sigma, vrad, vaz, energy, indirect, time, dt,
-                  omega_frame, bodies, sg_kernel=None, stale_derived=None):
+                  omega_frame, bodies, sg_kernel=None, stale_derived=None,
+                  stale_h=None):
         """Source + viscosity + energy substeps (the 'kick' part).
         ``indirect`` is the (x, y) indirect-term pair entering the gas
         potential (reference src/simulation.cpp:168-176).
+
+        ``stale_h``: optional scale-height grid for the N-body POTENTIAL's
+        eps-smoothing only.  In the reference's leapfrog, kick 2's
+        ``CalculateNbodyPotential`` (src/simulation.cpp:363) runs BEFORE
+        any cs/H recompute, so its smoothing length is the scale height
+        left over from kick 1's ``recalculate_viscosity``
+        (src/simulation.cpp:328) — i.e. from the PRE-transport fields —
+        while the pressure entering the source terms IS fresh
+        (compute_pressure, :378).  The 9th element of the return tuple is
+        the H computed at this kick's viscosity stage, which the caller
+        must thread into the next kick's ``stale_h``.
 
         ``stale_derived``: optional (cs, press, h) computed from the
         PRE-ACCRETION state.  The reference refreshes pressure/derived
@@ -633,7 +645,9 @@ class HydroStep:
         else:
             pot = gravity.nbody_potential(
                 phys, constants, g, bodies, self.n_bodies,
-                self.cell_x, self.cell_y, h, indirect[0], indirect[1])
+                self.cell_x, self.cell_y,
+                h if stale_h is None else stale_h,
+                indirect[0], indirect[1])
             vrad, vaz, energy = sources.update_with_sourceterms(
                 phys, g, sigma, press, pot, vrad, vaz, energy, omega_frame,
                 dt, pv)
@@ -674,8 +688,12 @@ class HydroStep:
                 invdphi=g.invdphi)
             vrad, vaz, energy = jax.lax.optimization_barrier(
                 (vrad, vaz, energy))
+            # the fused kernel derives the smoothing in-kernel from the
+            # current energy, so no stale-H grid materializes here; the
+            # resulting kick-2 smoothing difference is ~1e-5 relative
+            # locally — inside the f32 error budget this path serves
             return (sigma, vrad, vaz, energy, qplus, qminus, None,
-                    sg_kernel)
+                    sg_kernel, None)
 
         if self._fuse_artvisc:
             from .ops import pallas_kernels as pk
@@ -718,7 +736,7 @@ class HydroStep:
                 units=self.units, irradiation_ctx=self.irradiation_ctx(bodies),
                 pvte_vals=self.pvte_vals(sigma, energy))
         return (sigma, vrad, vaz, energy, qplus, qminus,
-                ecc_deltas if track_ecc else None, sg_kernel)
+                ecc_deltas if track_ecc else None, sg_kernel, h)
 
     def _sg_accels(self, sigma, spectra=None):
         """Self-gravity accelerations; under the explicit shard_map path
@@ -801,14 +819,16 @@ class HydroStep:
         return nb, (it_disk_x, it_disk_y), (it_nb_x, it_nb_y)
 
     def _gas_kick(self, sigma, vrad, vaz, energy, nb, indirect, time, dt,
-                  omega_frame, sor=None, sg_kernel=None, stale_derived=None):
+                  omega_frame, sor=None, sg_kernel=None, stale_derived=None,
+                  stale_h=None):
         """Potential + source/viscosity/energy kicks over ``dt``."""
         phys, constants, g = self.phys, self.constants, self.g
         bodies = self.bodies_on_grid(nb, time)
         (sigma, vrad, vaz, energy, qplus, qminus,
-         _ecc_deltas, sg_kernel) = self._substeps(
+         _ecc_deltas, sg_kernel, h_next) = self._substeps(
             sigma, vrad, vaz, energy, indirect, time, dt, omega_frame,
-            bodies, sg_kernel=sg_kernel, stale_derived=stale_derived)
+            bodies, sg_kernel=sg_kernel, stale_derived=stale_derived,
+            stale_h=stale_h)
         sigma, vrad, vaz, energy = jax.lax.optimization_barrier(
             (sigma, vrad, vaz, energy))
         if self.fld is not None:
@@ -817,7 +837,8 @@ class HydroStep:
                 g, sigma, energy, h_now, dt, sor_state=sor,
                 halo_fn=self._fld_halo_fn, shard_ctx=self._fld_shard_ctx)
             energy = eos.energy_floor_ceiling(phys, constants, sigma, energy)
-        return sigma, vrad, vaz, energy, qplus, qminus, sor, sg_kernel
+        return (sigma, vrad, vaz, energy, qplus, qminus, sor, sg_kernel,
+                h_next)
 
     def _step_leapfrog_impl(self, state: SystemState, time, dt):
         """Leapfrog step: gas kick-drift-kick, bodies drift-kick-drift
@@ -899,7 +920,7 @@ class HydroStep:
             sor = state.fld_sor
             sg_kernel = state.sg_kernel
             (sigma, vrad, vaz, energy, qplus, qminus, sor,
-             sg_kernel) = self._gas_kick(
+             sg_kernel, h_kick1) = self._gas_kick(
                 sigma, vrad, vaz, energy, nb, indirect, time, hdt,
                 omega_frame, sor=sor, sg_kernel=sg_kernel,
                 stale_derived=stale_derived)
@@ -917,15 +938,22 @@ class HydroStep:
             # gas kick 2/2 (bodies still at x_{i+1/2}); the disk force
             # and indirect terms are computed here, BEFORE the gas kick
             # and the second accretion, and applied to the bodies after
-            # (reference src/simulation.cpp:355-410)
+            # (reference src/simulation.cpp:355-410).  The feedback
+            # smoothing also uses the kick-1 scale height (the reference's
+            # SCALE_HEIGHT is last written by recalculate_viscosity at
+            # src/simulation.cpp:328 when ComputeDiskOnNbodyAccel runs
+            # at :353)
             dax, day, it_disk, it_nb = self._nbody_feedback_compute(
-                sigma, h0, nb, mid_time, hdt)
+                sigma, h0 if h_kick1 is None else h_kick1, nb, mid_time, hdt)
             indirect = it_nb if not phys.indirect_term_disk_on_disk else \
                 (it_disk[0] + it_nb[0], it_disk[1] + it_nb[1])
+            # kick 2's potential smoothing uses the scale height from
+            # kick 1's viscosity recompute (reference src/simulation.cpp:363
+            # runs before any cs/H refresh — see _substeps docstring)
             (sigma, vrad, vaz, energy, qplus, qminus, sor,
-             sg_kernel) = self._gas_kick(
+             sg_kernel, _h2) = self._gas_kick(
                 sigma, vrad, vaz, energy, nb, indirect, mid_time, hdt,
-                omega_frame, sor=sor, sg_kernel=sg_kernel)
+                omega_frame, sor=sor, sg_kernel=sg_kernel, stale_h=h_kick1)
         else:
             qplus, qminus = state.qplus, state.qminus
             sor = state.fld_sor
@@ -1234,7 +1262,7 @@ class HydroStep:
         sg_kernel = state.sg_kernel
         if phys.calculate_disk:
             (sigma, vrad, vaz, energy, qplus, qminus,
-             _ecc_deltas, sg_kernel) = self._substeps(
+             _ecc_deltas, sg_kernel, _h_next) = self._substeps(
                 sigma, vrad, vaz, energy, pot_it, time, dt, omega_frame,
                 bodies, sg_kernel=sg_kernel, stale_derived=stale_derived)
             # compile-time guard: stop XLA's algebraic simplifier from

@@ -80,6 +80,26 @@ GOLDENS = Path(__file__).parent / "goldens"
     # 2-3 cells AT the moving shock front — phase roundoff amplified
     # over 3283 steps, not an EoS difference
     ("shocktube_pvte@lookup", 2e-4),
+    # gamma-Cephei-like BINARY (setups/CloseBinaries/
+    # gamma_cephei_primary.yml, shrunk grid): e=0.4 q=0.29 secondary AT
+    # periapsis (= the outer grid edge) — cubic-smoothed binary
+    # potential + nbody indirect term + thermal cooling + viscous
+    # outflow/reflecting BCs + mean/zero damping — the only golden with
+    # TWO massive bodies.  92 steps to t=pi/100 through the MAXIMUM of
+    # the tidal forcing; observed agreement ~1e-8.  This gate found the
+    # kick-2 stale-scale-height ordering (reference simulation.cpp:363
+    # computes the potential before any cs/H refresh)
+    ("binary_gceph", 1e-5),
+    # the same binary over HALF AN ORBIT (3263 steps to t=pi/2): the
+    # initial periapsis transient is chaotically unstable — the
+    # reference against itself (only the monitor cadence changed)
+    # already deviates by 1.4e-3 (Sigma) / 1.9e-3 (vrad) at t=pi/2, and
+    # f64 roundoff amplifies ~x1.3/step through the transient — so this
+    # is a CHAOS-FLOOR tracking gate, not a trajectory gate: our
+    # observed deviation is 8.8e-4/2.7e-3, the same magnitude as the
+    # reference's own cadence sensitivity, while the pre-fix stale-H bug
+    # sat at 1.7e-2 (caught).  Snapshot 1 only; step counts agree to 3%
+    ("binary_gceph_long@snap1", 5e-3),
 ])
 def test_fields_match_reference_binary(name, tol, tmp_path):
     name, _, variant = name.partition("@")
@@ -89,6 +109,13 @@ def test_fields_match_reference_binary(name, tol, tmp_path):
         lk = "PVTELookupTable"
         cfg._raw[lk.lower()] = "Yes"
         cfg._orig_case[lk.lower()] = lk
+    snaps, exact_steps = ("1", "2"), True
+    if variant == "snap1":
+        # chaos-floor gate: stop at the first snapshot, compare it only,
+        # and require step counts to agree approximately (the dt
+        # trajectory through a chaotic transient is roundoff-sensitive)
+        cfg._raw["nsnapshots"] = "1"
+        snaps, exact_steps = ("1",), False
     sim = Simulation(cfg, outdir=str(tmp_path / "out"), dtype="float64")
     out.OutputWriter(sim)
     sim.run()
@@ -104,7 +131,7 @@ def test_fields_match_reference_binary(name, tol, tmp_path):
     fields = [("Sigma", nr), ("vrad", nr + 1), ("vazi", nr)]
     if (golden / "snapshots" / "1" / "energy.dat").exists():
         fields.append(("energy", nr))
-    for snap in ("1", "2"):
+    for snap in snaps:
         for field, rows in fields:
             g = np.fromfile(golden / "snapshots" / snap / f"{field}.dat")
             m = np.fromfile(tmp_path / "out" / "snapshots" / snap /
@@ -118,13 +145,17 @@ def test_fields_match_reference_binary(name, tol, tmp_path):
     # step counts and dt trajectory must agree exactly (misc.bin:
     # [u32 snapshot, u32 monitor, f64 time, f64 omega_frame,
     #  f64 frame_angle, f64 last_dt, u32 n_iter])
-    for snap in ("1", "2"):
+    for snap in snaps:
         bg = (golden / "snapshots" / snap / "misc.bin").read_bytes()
         bm = (tmp_path / "out" / "snapshots" / snap /
               "misc.bin").read_bytes()
         ng = int(np.frombuffer(bg[40:44], np.uint32)[0])
         nm = int(np.frombuffer(bm[40:44], np.uint32)[0])
-        assert ng == nm, f"hydro step count differs: ref {ng} vs {nm}"
-        dt_g = float(np.frombuffer(bg[32:40], np.float64)[0])
-        dt_m = float(np.frombuffer(bm[32:40], np.float64)[0])
-        assert abs(dt_g - dt_m) / dt_g < max(1e-6, tol)
+        if exact_steps:
+            assert ng == nm, f"hydro step count differs: ref {ng} vs {nm}"
+            dt_g = float(np.frombuffer(bg[32:40], np.float64)[0])
+            dt_m = float(np.frombuffer(bm[32:40], np.float64)[0])
+            assert abs(dt_g - dt_m) / dt_g < max(1e-6, tol)
+        else:
+            assert abs(ng - nm) / ng < 0.05, \
+                f"hydro step count off by >5%: ref {ng} vs {nm}"

@@ -45,6 +45,10 @@ elif "temperature" in outdir:
     text = setkey(text, "MonitorTimestep", "4.0")
 elif "shocktube" in outdir:
     text = setkey(text, "MonitorTimestep", "0.1")
+elif "binary_gceph_long" in outdir:
+    text = setkey(text, "MonitorTimestep", "1.5707963267948966")
+elif "binary_gceph" in outdir:
+    text = setkey(text, "MonitorTimestep", "0.015707963267948967")
 else:
     text = setkey(text, "MonitorTimestep", "0.6283185307179586")
 open(path, "w").write(text)
@@ -62,7 +66,7 @@ EOF
     find "$dst" -name 'rebound.bin' -delete
     find "$dst" -name '*1D.dat' -delete
     # energy matters only for the adiabatic golden
-    case "$name" in temperature_test|temperature_fld|shocktube_sn|shocktube_pvte) : ;; *)
+    case "$name" in temperature_test|temperature_fld|shocktube_sn|shocktube_pvte|cold_disk_planet|longrun_planet|binary_gceph|binary_gceph_long) : ;; *)
         find "$dst" -name 'energy.dat' -delete ;;
     esac
     echo "golden '$name' written to $dst"
@@ -91,3 +95,12 @@ run_golden shocktube_pvte "$REF/test/shockTube_PVTE/shocktube_varGamm.yml"
 # profile + Bell opacity + TW artvisc factor 3 + HeatingCoolingCFLlimit
 # (test/cold_disk_planet) — pins the planet/energy-equation coupling
 run_golden cold_disk_planet "$REF/test/cold_disk_planet/setup.yml"
+# gamma-Cephei-like close binary (setups/CloseBinaries/
+# gamma_cephei_primary.yml shrunk to 128x256 on r in [0.1, 0.6]): e=0.4
+# q=0.29 secondary from periapsis, cubic-smoothed binary potential + nbody
+# indirect term + thermal cooling + damping — the only golden with TWO
+# massive bodies.  Snapshots at t = pi/2 and pi (half a binary orbit).
+run_golden binary_gceph "$HERE/configs/binary_gceph.yml"
+# the same binary over half an orbit (chaos-floor tracking gate, see
+# tests/test_reference_golden.py binary_gceph_long@snap1)
+run_golden binary_gceph_long "$HERE/configs/binary_gceph.yml"
