@@ -265,24 +265,121 @@ def read_1d_profile(path: str, radii: np.ndarray) -> np.ndarray:
     return spline(radii)
 
 
-def nbody_centered_profiles(phys: Physics, constants: Constants,
-                            geom: Geometry, com_x: float, com_y: float,
-                            com_mass: float):
-    """Sigma / energy power-law profiles evaluated at the distance from the
-    N-body center of mass (reference src/init.cpp ``Nbody_centered``
-    branches of init_gas_density/init_gas_energy)."""
-    x, y = geom.cell_centers_xy()
-    r = np.hypot(x - com_x, y - com_y)
-    sigma = np.maximum(phys.sigma0 * r ** (-phys.sigma_slope),
-                       phys.sigma_floor * phys.sigma0)
-    energy = np.zeros_like(sigma)
-    if phys.is_adiabatic:
-        energy = np.asarray(theo.initial_energy(phys, constants.G, r,
-                                                com_mass))
-        e_floor = phys.minimum_temperature * sigma / phys.mu * constants.R \
-            / (phys.adiabatic_index - 1.0)
-        energy = np.maximum(energy, e_floor)
-    return sigma, energy
+def _com_distance(geom: Geometry, com_x: float, com_y: float,
+                  radial: np.ndarray) -> np.ndarray:
+    """Distance of each (radial-row, cell-center-azimuth) position from the
+    N-body center of mass; ``radial`` is the per-row radius column."""
+    phi = geom.phi[None, :]
+    x = radial[:, None] * np.cos(phi) - com_x
+    y = radial[:, None] * np.sin(phi) - com_y
+    return np.hypot(x, y)
+
+
+def nbody_centered_sigma(phys: Physics, geom: Geometry, com_x: float,
+                         com_y: float) -> np.ndarray:
+    """Sigma power law evaluated at the CMS distance (reference
+    src/init.cpp:962-997): the base profile samples the CELL INTERFACE
+    radius Rinf ("to more accurately initialize the mass flow rate",
+    :981-983) times CenterProfileDensityCorrectionFactor, while the
+    profile cutoffs (:1063-1147) re-evaluate the CMS distance at the
+    cell CENTER radius, re-flooring after each."""
+    r_inf = _com_distance(geom, com_x, com_y, geom.rinf)
+    floor = phys.sigma_floor * phys.sigma0
+    sigma = np.maximum(
+        phys.sigma0 * r_inf ** (-phys.sigma_slope)
+        * phys.center_mass_density_correction_factor, floor)
+    r_med = _com_distance(geom, com_x, com_y, geom.rmed)
+    if phys.profile_cutoff_outer:
+        sigma = np.maximum(
+            sigma * np.asarray(theo.cutoff_outer(
+                phys.profile_cutoff_point_outer,
+                phys.profile_cutoff_width_outer, r_med)), floor)
+    if phys.profile_cutoff_inner:
+        sigma = np.maximum(
+            sigma * np.asarray(theo.cutoff_inner(
+                phys.profile_cutoff_point_inner,
+                phys.profile_cutoff_width_inner, r_med)), floor)
+    return sigma
+
+
+def nbody_centered_energy(phys: Physics, constants: Constants,
+                          geom: Geometry, com_x: float, com_y: float,
+                          com_mass: float, sigma: np.ndarray) -> np.ndarray:
+    """Energy profile at the CELL CENTER CMS distance with the TOTAL
+    N-body mass (reference src/init.cpp:1302-1348), temperature-floored
+    against the (post-cutoff) Sigma, then cutoff-damped with re-flooring
+    (:1363-1457)."""
+    r_med = _com_distance(geom, com_x, com_y, geom.rmed)
+    energy = np.asarray(theo.initial_energy(phys, constants.G, r_med,
+                                            com_mass))
+    e_floor = phys.minimum_temperature * sigma / phys.mu * constants.R \
+        / (phys.adiabatic_index - 1.0)
+    energy = np.maximum(energy, e_floor)
+    if phys.profile_cutoff_outer:
+        energy = np.maximum(
+            energy * np.asarray(theo.cutoff_outer(
+                phys.profile_cutoff_point_outer,
+                phys.profile_cutoff_width_outer, r_med)), e_floor)
+    if phys.profile_cutoff_inner:
+        energy = np.maximum(
+            energy * np.asarray(theo.cutoff_inner(
+                phys.profile_cutoff_point_inner,
+                phys.profile_cutoff_width_inner, r_med)), e_floor)
+    return energy
+
+
+def nbody_centered_velocities(phys: Physics, constants: Constants,
+                              geom: Geometry, com: tuple, v_com: tuple,
+                              com_mass: float, quad_moment: float,
+                              dist_secondary: float):
+    """Velocity ICs around the N-body center of mass (reference
+    src/init.cpp:1467-1608, the Nbody_centered early-return branch):
+    each cell gets the axisymmetric rotation/drift model of the TOTAL
+    mass evaluated at its CMS distance, as a Cartesian vector in the CMS
+    frame, shifted by the CMS velocity and projected back onto the
+    primary-frame polar axes.  The quadrupole-supported v_az applies only
+    outside twice the secondary's separation (:1514-1520)."""
+    from .ops import diskmodel as dm
+    import jax.numpy as _jnp
+    G = constants.G
+
+    def model(radial_rows: np.ndarray, phi_row: np.ndarray):
+        x = radial_rows[:, None] * np.cos(phi_row)[None, :] - com[0]
+        y = radial_rows[:, None] * np.sin(phi_row)[None, :] - com[1]
+        r_com = np.hypot(x, y)
+        if phys.initialize_pure_keplerian:
+            vazi0 = np.sqrt(G * com_mass / r_com)
+            vr0 = np.asarray(theo.initial_viscous_radial_speed(
+                phys, G, r_com, com_mass))
+        else:
+            vazi0 = np.asarray(dm.v_az_smoothed(
+                phys, constants, _jnp.asarray(r_com), com_mass))
+            if quad_moment > 0.0 and phys.vaz_quadrupole_support:
+                vazi_q = np.asarray(dm.v_az_smoothed(
+                    phys, constants, _jnp.asarray(r_com), com_mass,
+                    quad_moment))
+                vazi0 = np.where(r_com > 2.0 * dist_secondary, vazi_q,
+                                 vazi0)
+            vr0 = np.asarray(dm.vr_numerical_viscous(
+                phys, constants, _jnp.asarray(r_com), com_mass))
+        if phys.initialize_vradial_zero:
+            vr0 = np.zeros_like(r_com)
+        vx = (vr0 * x - vazi0 * y) / r_com + v_com[0]
+        vy = (vr0 * y + vazi0 * x) / r_com + v_com[1]
+        return vx, vy
+
+    # v_rad rows at the interface radii (row NR repeats Rinf[NR-1],
+    # reference :1492-1496), cell-center azimuth
+    phi_c = geom.phi
+    ra = np.concatenate([geom.rinf, [geom.rinf[-1]]])
+    vx, vy = model(ra, phi_c)
+    vrad = vx * np.cos(phi_c)[None, :] + vy * np.sin(phi_c)[None, :]
+    # v_az rows at the cell-center radii, azimuthal-interface azimuth
+    phi_i = phi_c - 0.5 * geom.dphi
+    vx, vy = model(geom.rmed, phi_i)
+    vaz = (vy * np.cos(phi_i)[None, :] - vx * np.sin(phi_i)[None, :]
+           - phys.omega_frame * geom.rmed[:, None])
+    return vrad, vaz
 
 
 def add_gaussian_rings(phys: Physics, constants: Constants, geom: Geometry,
@@ -487,8 +584,7 @@ def build_initial_state(phys: Physics, constants: Constants,
             sigma = np.fromfile(phys.sigma_filename,
                                 np.float64).reshape(geom.nrad, geom.naz)
         elif phys.sigma_condition == "nbody" and com is not None:
-            sigma, _ = nbody_centered_profiles(phys, constants, geom,
-                                               com[0], com[1], com_mass)
+            sigma = nbody_centered_sigma(phys, geom, com[0], com[1])
         else:
             sigma = powerlaw_sigma(phys, geom)
 
@@ -503,8 +599,8 @@ def build_initial_state(phys: Physics, constants: Constants,
             energy = np.fromfile(phys.energy_filename,
                                  np.float64).reshape(geom.nrad, geom.naz)
         elif phys.energy_condition == "nbody" and com is not None:
-            _, energy = nbody_centered_profiles(phys, constants, geom,
-                                                com[0], com[1], com_mass)
+            energy = nbody_centered_energy(phys, constants, geom,
+                                           com[0], com[1], com_mass, sigma)
         else:
             energy = powerlaw_energy(phys, constants, geom, sigma)
 
@@ -520,9 +616,26 @@ def build_initial_state(phys: Physics, constants: Constants,
         sigma, energy = add_gaussian_rings(phys, constants, geom, sigma,
                                            energy, ring_com, com_mass)
 
-    vrad, vaz = gas_velocities(phys, constants, geom, quad_moment)
-    if phys.centrifugal_balance:
-        vaz = centrifugal_balance_vaz(phys, constants, geom, sigma, energy)
+    if phys.sigma_condition == "nbody" and nbody is not None:
+        # CMS-centered velocity field; the reference's nbody branch
+        # returns early, so centrifugal balance never applies here
+        # (src/init.cpp:1473-1609)
+        m = np.asarray(nbody["mass"])
+        v_com = (float((m * np.asarray(nbody["vx"])).sum() / m.sum()),
+                 float((m * np.asarray(nbody["vy"])).sum() / m.sum()))
+        dist_sec = 0.0
+        if m.size > 1:
+            dist_sec = float(np.hypot(
+                np.asarray(nbody["x"])[1] - np.asarray(nbody["x"])[0],
+                np.asarray(nbody["y"])[1] - np.asarray(nbody["y"])[0]))
+        vrad, vaz = nbody_centered_velocities(
+            phys, constants, geom, com, v_com, com_mass, quad_moment,
+            dist_sec)
+    else:
+        vrad, vaz = gas_velocities(phys, constants, geom, quad_moment)
+        if phys.centrifugal_balance:
+            vaz = centrifugal_balance_vaz(phys, constants, geom, sigma,
+                                          energy)
     if phys.secondary_disk and nbody is not None:
         sigma, energy, vrad, vaz = apply_secondary_disk(
             phys, constants, geom, sigma, energy, vrad, vaz, nbody)

@@ -256,18 +256,25 @@ def center_of_mass_boundary(phys: Physics, constants, g: Geom, sigma, vrad,
                             quad_moment: float, omega_frame,
                             outer: bool = True):
     """Circumbinary ghost-ring BC: the analytic disk-model profile evaluated
-    in the center-of-mass frame of the first ``n_hydroframe`` bodies, then
-    shifted back to the primary-centered frame (reference
-    src/boundary_conditions/center_of_mass.cpp:37-425
-    ``diskmodel_center_of_mass_boundary_{outer,inner}``)."""
+    in a center-of-mass frame, then shifted back to the primary-centered
+    frame (reference src/boundary_conditions/center_of_mass.cpp:37-425
+    ``diskmodel_center_of_mass_boundary_{outer,inner}``).
+
+    The two sides use DIFFERENT conventions (center_of_mass.cpp:44-47 vs
+    :231-236): the OUTER boundary takes the COM/mass of ALL bodies, the
+    quadrupole-supported v_az, and the grid-corrected radial drift (the
+    init-built outer vr table caches vr*correction); the INNER boundary
+    takes the COM/mass of the first ``n_bodies_for_hydroframe_center``
+    bodies, the plain smoothed v_az, and the uncorrected drift."""
     from . import diskmodel as dm
 
-    m = nb.mass[:n_hydroframe]
+    n_com = None if outer else n_hydroframe
+    m = nb.mass[:n_com]
     com_m = jnp.sum(m)
-    com_x = jnp.sum(m * nb.x[:n_hydroframe]) / com_m
-    com_y = jnp.sum(m * nb.y[:n_hydroframe]) / com_m
-    com_vx = jnp.sum(m * nb.vx[:n_hydroframe]) / com_m
-    com_vy = jnp.sum(m * nb.vy[:n_hydroframe]) / com_m
+    com_x = jnp.sum(m * nb.x[:n_com]) / com_m
+    com_y = jnp.sum(m * nb.y[:n_com]) / com_m
+    com_vx = jnp.sum(m * nb.vx[:n_com]) / com_m
+    com_vy = jnp.sum(m * nb.vy[:n_com]) / com_m
 
     nr = g.nrad
     row = nr - 1 if outer else 0
@@ -286,10 +293,17 @@ def center_of_mass_boundary(phys: Physics, constants, g: Geom, sigma, vrad,
             vr0 = dm.viscous_radial_speed_analytic(phys, constants, r_com,
                                                    com_m)
         else:
+            # quadrupole-supported v_az on the outer side only
+            # (center_of_mass.cpp:79-85 vs :42); get_w inside the vr
+            # model keeps the quadrupole on BOTH sides when enabled
+            # (viscous_radial_speed.cpp:141-147)
             vazi0 = dm.v_az_smoothed(phys, constants, r_com, com_m,
-                                     quad_moment)
+                                     quad_moment if outer else 0.0)
             vr0 = dm.vr_numerical_viscous(phys, constants, r_com, com_m,
                                           quad_moment)
+            if outer:
+                vr0 = vr0 * dm.vr_outer_grid_correction(
+                    phys, constants, g, r_com, com_m, quad_moment)
         vx = (vr0 * x_com - vazi0 * y_com) / r_com + com_vx
         vy = (vr0 * y_com + vazi0 * x_com) / r_com + com_vy
         return x, y, vx, vy

@@ -151,6 +151,46 @@ def _derive(f, r, rel_h: float = 8.0e-4):
             - 8.0 * f(r - h) + f(r - 2.0 * h)) / (12.0 * h)
 
 
+def vr_outer_grid_correction(phys: Physics, constants, g, r, mass,
+                             quad_moment=0.0):
+    """Grid-discretization correction for the outer COM-boundary radial
+    drift (reference src/viscosity/viscous_radial_speed.cpp:207-253
+    ``get_vr_outer_viscous_speed_correction_factor``): the steady-drift
+    formula re-evaluated with the actual radial-grid stencil at the ring
+    holding ``r`` (Rmed[id] <= r < Rmed[id+1], clamped to >= 2), divided
+    by the smooth-model drift at that ring's lower interface.  The
+    reference caches vr*corr in a 1000-point log table at init
+    (init_vr_table_boundary, :269-306) and linearly interpolates; the
+    table bins are dlog10(r) ~ 2.6e-4 so direct evaluation agrees to
+    O(1e-8)."""
+    rmed = g.rmed_ext[:, 0]                       # (NR+1,)
+    radii = g.ra[:, 0]                            # (NR+1,) == Rinf rows
+    nr = jnp.clip(jnp.searchsorted(rmed, r, side="right") - 1,
+                  2, rmed.shape[0] - 2)
+    rinf = radii[nr]
+    r_p, r_0, r_m, r_m2 = rmed[nr + 1], rmed[nr], rmed[nr - 1], rmed[nr - 2]
+
+    def w(rr):
+        return v_az_smoothed(phys, constants, rr, mass, quad_moment) / rr
+
+    w_p, w_0, w_m, w_m2 = w(r_p), w(r_0), w(r_m), w(r_m2)
+    dw_dr = (0.5 * (w_p + w_0) - 0.5 * (w_0 + w_m)) \
+        / (radii[nr + 1] - radii[nr])
+    dw_dr_m = (0.5 * (w_0 + w_m) - 0.5 * (w_m + w_m2)) \
+        / (radii[nr] - radii[nr - 1])
+    sig = sigma_profile(phys, r_0)
+    nu = _nu_of(phys, constants, r_0, mass, sig)
+    sig_m = sigma_profile(phys, r_m)
+    nu_m = _nu_of(phys, constants, r_m, mass, sig_m)
+    num = (nu * sig * r_0 ** 3 * dw_dr
+           - nu_m * sig_m * r_m ** 3 * dw_dr_m) / (r_0 - r_m) / rinf
+    den = sig_m * (r_0 ** 2 * w_0 - r_m ** 2 * w_m) / (r_0 - r_m)
+    vr_grid = num / den
+    vr_smooth = vr_numerical_viscous(phys, constants, rinf, mass,
+                                     quad_moment)
+    return vr_grid / vr_smooth
+
+
 def vr_numerical_viscous(phys: Physics, constants, r, mass,
                          quad_moment=0.0):
     """v_r from the steady viscous accretion balance evaluated numerically

@@ -224,7 +224,8 @@ def irradiation(phys: Physics, constants, g: Geom, bodies, n_bodies: int,
 def substep3(phys: Physics, constants, g: Geom, sigma, energy, vrad, vaz,
              nu, tau_rr, tau_pp, tau_rp, div_v, scale_height,
              sigma0_ref, energy0_ref, tau_eff, current_time, dt,
-             units=None, irradiation_ctx=None, pvte_vals=None):
+             units=None, irradiation_ctx=None, pvte_vals=None,
+             aspect_grid=None):
     """Energy update with Q+ / Q- (reference src/SourceEuler.cpp:956-1051).
 
     ``irradiation_ctx`` (when stellar heating is on) carries
@@ -271,7 +272,11 @@ def substep3(phys: Physics, constants, g: Geom, sigma, energy, vrad, vaz,
     if phys.heating_star and irradiation_ctx is not None:
         (bodies, n_bodies, body_radius, body_temperature, body_irradiates,
          body_rampup_time, cell_x, cell_y) = irradiation_ctx
-        aspect = scale_height * g.inv_rb
+        # ASPECTRATIO grid: H/r only in mode 0 — modes 1/2 use their own
+        # body-distance forms (see eos.aspect_ratio_nbody/_com; the caller
+        # passes the mode-correct grid via ``aspect_grid``)
+        aspect = aspect_grid if aspect_grid is not None \
+            else scale_height * g.inv_rb
         qplus = qplus + irradiation(
             phys, constants, g, bodies, n_bodies, body_radius,
             body_temperature, body_irradiates, body_rampup_time,
@@ -305,4 +310,11 @@ def substep3(phys: Physics, constants, g: Geom, sigma, energy, vrad, vaz,
     energy = set_rows(energy, e_new, 1, nr - 1)
     energy = eos.energy_floor_ceiling(phys, constants, sigma, energy,
                                       pvte_vals)
+    # ghost rows: the reference never computes Q there (clear() + active
+    # loops 1..Nr-2), so they stay zero in its QPLUS/QMINUS outputs
+    zeros = jnp.zeros_like(qplus)
+    qplus = set_rows(qplus, zeros, 0, 1)
+    qplus = set_rows(qplus, zeros, nr - 1, nr)
+    qminus = set_rows(qminus, zeros, 0, 1)
+    qminus = set_rows(qminus, zeros, nr - 1, nr)
     return energy, qplus, qminus

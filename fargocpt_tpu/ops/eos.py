@@ -145,6 +145,40 @@ def scale_height_nbody(phys: Physics, constants, g: Geom, cs, bodies,
     return 1.0 / jnp.sqrt(inv_h2)
 
 
+def aspect_ratio_nbody(phys: Physics, constants, g: Geom, cs, bodies,
+                       n_bodies: int, body_radius, cell_x, cell_y,
+                       pvte_vals=None):
+    """AspectRatioMode 1 ASPECTRATIO grid (reference
+    src/SourceEuler.cpp:1316-1341): h = sqrt(1 / sum_k G m_k [gamma1]
+    / (dist cs^2)) — NOT H/r; the irradiation's H/R factor and the
+    self-gravity smoothing read this grid."""
+    g1 = 1.0
+    if phys.is_adiabatic or phys.is_polytropic:
+        g1 = pvte_vals[2] if pvte_vals is not None else gamma_eff(phys)
+    cs2 = cs * cs
+    inv_h2 = jnp.zeros_like(cs)
+    base_min = _min_dist_col(g)
+    for k in range(n_bodies):
+        dist = jnp.maximum(
+            jnp.sqrt((cell_x - bodies.x[k]) ** 2
+                     + (cell_y - bodies.y[k]) ** 2),
+            base_min + body_radius[k])
+        inv_h2 = inv_h2 + constants.G * bodies.mass[k] * g1 / (dist * cs2)
+    return 1.0 / jnp.sqrt(inv_h2)
+
+
+def aspect_ratio_com(phys: Physics, constants, g: Geom, cs, com_x, com_y,
+                     com_mass, cell_x, cell_y, pvte_vals=None):
+    """AspectRatioMode 2 ASPECTRATIO grid (reference
+    src/SourceEuler.cpp:1380-1396): h = cs sqrt(dist/(G M [gamma1]))
+    at the COM distance (= H/dist_com, not H/r)."""
+    g1 = 1.0
+    if phys.is_adiabatic or phys.is_polytropic:
+        g1 = pvte_vals[2] if pvte_vals is not None else gamma_eff(phys)
+    dist = jnp.sqrt((cell_x - com_x) ** 2 + (cell_y - com_y) ** 2)
+    return cs * jnp.sqrt(dist / (constants.G * com_mass * g1))
+
+
 def scale_height_com(phys: Physics, constants, g: Geom, cs, com_x, com_y,
                      com_mass, cell_x, cell_y, pvte_vals=None):
     """AspectRatioMode 2: H = dist * cs sqrt(dist/(G M [gamma1]))

@@ -1527,6 +1527,11 @@ def viscous_kick_pallas(sigma, vrad, vaz, energy, win_cols, dt, beta_inv,
     )(scal, win_cols, sigma, sig_t, sig_b, vr_main, vr_t, vr_b,
       vaz, va_t, va_b, energy, e_t, e_b)
     vrad_out = jnp.concatenate([vr_new, vrad[nr:]], axis=0)
+    # ghost-row Q stays zero like the reference's cleared QPLUS/QMINUS
+    # grids (matches the modular substep3)
+    zrow = jnp.zeros((1, naz), qp.dtype)
+    qp = jnp.concatenate([zrow, qp[1:nr - 1], zrow], axis=0)
+    qm = jnp.concatenate([zrow, qm[1:nr - 1], zrow], axis=0)
     return vrad_out, va_new, e_new, qp, qm
 
 

@@ -410,10 +410,32 @@ def _parse_bcs(cfg: Config) -> dict:
             f"bc_energy_{side_l}": individual(f"{side}BoundaryEnergy", names["energy"], "zerogradient"),
             f"bc_vrad_{side_l}": individual(f"{side}BoundaryVrad", names["vrad"], "zerogradient"),
             f"bc_vaz_{side_l}": individual(f"{side}BoundaryVazi", names["vaz"], "keplerian"),
+            f"_composite_energy_{side_l}": names["energy"],
         }
 
     out.update(expand("Inner"))
     out.update(expand("Outer"))
+
+    # Reference quirk, replicated verbatim (config.cpp:147): energy_inner()
+    # calls get_type("InnerBoundaryEnergy", energy_OUTER_name), so the
+    # INNER energy BC's composite fallback is the OUTER side's name — with
+    # e.g. OuterBoundary=centerofmass ("none") and no explicit
+    # InnerBoundaryEnergy, the inner energy ghost is never written even
+    # though the inner composite implies zerogradient (and the reference
+    # log misleadingly prints zerogradient).  get_type also MUTATES the
+    # fallback: an explicit InnerBoundaryEnergy becomes the outer
+    # fallback for energy_outer() (config.cpp:171) unless
+    # OuterBoundaryEnergy is itself explicit.
+    exp_in = cfg.get_lowercase("InnerBoundaryEnergy", "infer")
+    exp_out = cfg.get_lowercase("OuterBoundaryEnergy", "infer")
+    outer_name = out.pop("_composite_energy_outer")
+    out.pop("_composite_energy_inner")
+    if exp_in == "infer":
+        out["bc_energy_inner"] = outer_name if outer_name else "zerogradient"
+    else:
+        outer_name = exp_in
+    if exp_out == "infer":
+        out["bc_energy_outer"] = outer_name if outer_name else "zerogradient"
     return out
 
 

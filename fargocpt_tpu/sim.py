@@ -194,7 +194,8 @@ class Simulation:
         ref0 = make_ref_values(fields)
         stepper0 = HydroStep(self.phys, self.constants, self.geometry, ref0,
                              self.bodies, self.n_hydroframe, units=self.units)
-        fields = stepper0.apply_bcs(fields)
+        fields = stepper0.apply_bcs(
+            fields, nb=nbody_sys.make_state(nb_init, jnp.dtype(dtype)))
         self.ref_values = make_ref_values(fields)
         self.stepper = HydroStep(self.phys, self.constants, self.geometry,
                                  self.ref_values, self.bodies,
@@ -319,7 +320,7 @@ class Simulation:
         """reference src/simulation.cpp:100-117."""
         if not self.phys.calculate_disk:
             return self.last_dt
-        cfl_dt = float(self.stepper.cfl_dt(self.state))
+        cfl_dt = float(self.stepper.cfl_dt(self.state, self.time))
         dt = min(self.phys.cfl_max_var * self.last_dt, cfl_dt)
         self.last_dt = dt
         return dt

@@ -464,27 +464,34 @@ class HydroStep:
                                     cubic_smoothing_radius=cubic)
 
     # ------------------------------------------------------------------
-    def _accretion_nu(self, sigma, energy):
+    def _accretion_nu(self, sigma, energy, bodies=None):
         """Viscosity grid for the viscous-rate accretion variant
         (reference src/accretion.cpp:336-481); None when no body uses it."""
         if "viscous" not in self.body_accretion_types:
             return None
-        cs, _, h = self.derived(sigma, energy)
-        return self.viscosity_grid(cs, h)
+        cs, _, h = self.derived(sigma, energy, bodies)
+        return self.viscosity_grid(cs, h, sigma, energy, bodies)
 
     def _apply_bcs(self, sigma, vrad, vaz, energy, omega_frame,
                    final: bool = False, dt=None, nb=None, time=None,
-                   rof_mdot=None, want_damping_delta: bool = False):
+                   rof_mdot=None, want_damping_delta: bool = False,
+                   stale_nu=None):
         """reference src/boundary_conditions/boundary_conditions.cpp:65-110;
         damping runs first and only on the final application of a step
         (:45-63 ``handle_damping``). With ``want_damping_delta`` also
-        returns the (4,) damping mass creation/removal vector."""
+        returns the (4,) damping mass creation/removal vector.
+
+        ``stale_nu``: the viscosity grid as the reference's
+        data[VISCOSITY] holds it at BC time (last recalculate_viscosity,
+        src/simulation.cpp:328/383 — post-artvisc, PRE-SubStep3 energy);
+        the viscous-vrad BC and viscous damping read it verbatim
+        (boundary_conditions/viscous.cpp:26)."""
         phys = self.phys
         dmp_delta = jnp.zeros((4,), self.dtype) if want_damping_delta \
             else None
         if final and phys.damping and self.damping is not None:
-            dmp_nu = None
-            if phys.damping_vradial_inner == "viscous":
+            dmp_nu = stale_nu
+            if dmp_nu is None and phys.damping_vradial_inner == "viscous":
                 cs_d, _, h_d = self.derived(sigma, energy)
                 dmp_nu = self.viscosity_grid(cs_d, h_d)
             sig_before = sigma
@@ -502,8 +509,20 @@ class HydroStep:
                     self._sum_cells(jnp.maximum(-dout, 0.0), self._own_col)])
         nu = None
         if "viscous" in (phys.bc_vrad_inner, phys.bc_vrad_outer):
-            cs, _, h = self.derived(sigma, energy)
-            nu = self.viscosity_grid(cs, h)
+            # the reference BC reads data[VISCOSITY], the per-cell grid
+            # incl. non-constant AlphaMode values (viscous.cpp:26-37) —
+            # a constant-alpha nu here under AlphaMode!=0 put the inner
+            # drift off by alpha_hot/alpha_cold
+            if stale_nu is not None:
+                nu = stale_nu
+            else:
+                nu_bodies = None
+                if nb is not None and (phys.alpha_mode != 0
+                                       or phys.aspectratio_mode in (1, 2)):
+                    nu_bodies = self.bodies_on_grid(
+                        nb, time if time is not None else 0.0)
+                cs, _, h = self.derived(sigma, energy, nu_bodies)
+                nu = self.viscosity_grid(cs, h, sigma, energy, nu_bodies)
         rof_ctx = None
         if phys.rochelobe_overflow and nb is not None:
             un = self.units
@@ -536,6 +555,25 @@ class HydroStep:
             sigma, vrad, vaz, energy = self.custom_bc(
                 self.g, sigma, vrad, vaz, energy, omega_frame)
         return sigma, vrad, vaz, energy
+
+    def aspect_grid(self, cs, h, bodies, pvte_vals=None):
+        """The reference's ASPECTRATIO grid for the given derived state
+        (src/SourceEuler.cpp:1272-1341/:1380-1396): mode 0 H/r, mode 1 the
+        nbody inverse-square sum, mode 2 the COM-distance form.  Consumed
+        by irradiation's H/R factor and the SG smoothing."""
+        phys = self.phys
+        if phys.aspectratio_mode == 1 and bodies is not None:
+            return eos.aspect_ratio_nbody(
+                phys, self.constants, self.g, cs, bodies, self.n_bodies,
+                self.body_radius, self.cell_x, self.cell_y, pvte_vals)
+        if phys.aspectratio_mode == 2 and bodies is not None:
+            m = jnp.sum(bodies.mass)
+            com_x = jnp.sum(bodies.mass * bodies.x) / m
+            com_y = jnp.sum(bodies.mass * bodies.y) / m
+            return eos.aspect_ratio_com(
+                phys, self.constants, self.g, cs, com_x, com_y, m,
+                self.cell_x, self.cell_y, pvte_vals)
+        return h * self.g.inv_rb
 
     def irradiation_ctx(self, bodies):
         if not self.phys.heating_star:
@@ -693,7 +731,7 @@ class HydroStep:
             # resulting kick-2 smoothing difference is ~1e-5 relative
             # locally — inside the f32 error budget this path serves
             return (sigma, vrad, vaz, energy, qplus, qminus, None,
-                    sg_kernel, None)
+                    sg_kernel, None, None)
 
         if self._fuse_artvisc:
             from .ops import pallas_kernels as pk
@@ -714,8 +752,10 @@ class HydroStep:
                                               self.pvte_vals(sigma, energy))
 
         # recalculate_viscosity (reference src/SourceEuler.cpp:205-223):
-        # adiabatic cs/H respond to the energy updates above
-        cs, _, h = self.derived(sigma, energy)
+        # adiabatic cs/H respond to the energy updates above; under
+        # AspectRatioMode>0 the H recompute sees the CURRENT body
+        # positions (compute_scale_height at src/simulation.cpp:328/383)
+        cs, _, h = self.derived(sigma, energy, bodies)
         nu = self.viscosity_grid(cs, h, sigma, energy, bodies)
         tau_rr, tau_pp, tau_rp, div_v = visc_ops.viscous_stress_tensor(
             phys, g, sigma, vrad, vaz, nu)
@@ -728,15 +768,17 @@ class HydroStep:
         qplus = jnp.zeros_like(sigma)
         qminus = jnp.zeros_like(sigma)
         if phys.is_adiabatic:
+            pv3 = self.pvte_vals(sigma, energy)
             energy, qplus, qminus = energy_ops.substep3(
                 phys, constants, g, sigma, energy, vrad, vaz, nu,
                 tau_rr, tau_pp, tau_rp, div_v, h,
                 self.ref_values.sigma0, self.ref_values.energy0,
                 jnp.zeros_like(sigma), time, dt,
                 units=self.units, irradiation_ctx=self.irradiation_ctx(bodies),
-                pvte_vals=self.pvte_vals(sigma, energy))
+                pvte_vals=pv3,
+                aspect_grid=self.aspect_grid(cs, h, bodies, pv3))
         return (sigma, vrad, vaz, energy, qplus, qminus,
-                ecc_deltas if track_ecc else None, sg_kernel, h)
+                ecc_deltas if track_ecc else None, sg_kernel, h, nu)
 
     def _sg_accels(self, sigma, spectra=None):
         """Self-gravity accelerations; under the explicit shard_map path
@@ -825,7 +867,7 @@ class HydroStep:
         phys, constants, g = self.phys, self.constants, self.g
         bodies = self.bodies_on_grid(nb, time)
         (sigma, vrad, vaz, energy, qplus, qminus,
-         _ecc_deltas, sg_kernel, h_next) = self._substeps(
+         _ecc_deltas, sg_kernel, h_next, nu_next) = self._substeps(
             sigma, vrad, vaz, energy, indirect, time, dt, omega_frame,
             bodies, sg_kernel=sg_kernel, stale_derived=stale_derived,
             stale_h=stale_h)
@@ -838,7 +880,7 @@ class HydroStep:
                 halo_fn=self._fld_halo_fn, shard_ctx=self._fld_shard_ctx)
             energy = eos.energy_floor_ceiling(phys, constants, sigma, energy)
         return (sigma, vrad, vaz, energy, qplus, qminus, sor, sg_kernel,
-                h_next)
+                h_next, nu_next)
 
     def _step_leapfrog_impl(self, state: SystemState, time, dt):
         """Leapfrog step: gas kick-drift-kick, bodies drift-kick-drift
@@ -869,9 +911,14 @@ class HydroStep:
             acc_periods = accretion_ops.orbital_periods(
                 constants, nb, self.n_hydroframe)
 
-        stale_cs, stale_press, h0 = self.derived(sigma, energy)
-        # the reference refreshes pressure only at the END of a step
-        # (recalculate_derived_disk_quantities, src/simulation.cpp:456), so
+        # derived quantities as the reference left them at the END of the
+        # previous step (recalculate_derived_disk_quantities,
+        # src/simulation.cpp:456): fields = this step's starting fields,
+        # bodies = PRE-drift positions (matters for AspectRatioMode>0
+        # where H depends on the body positions)
+        bodies_prev = self.bodies_on_grid(nb_pre_drift, time)
+        stale_cs, stale_press, h0 = self.derived(sigma, energy, bodies_prev)
+        # the reference refreshes pressure only at the END of a step, so
         # kick 1's source terms see the PRE-accretion pressure; pass the
         # values captured here through to the first gas kick (see
         # _substeps docstring)
@@ -890,7 +937,8 @@ class HydroStep:
                 phys, constants, g, nb, bodies,
                 self.body_accretion_efficiency, self.body_accretion_types,
                 self.cell_x, self.cell_y, sigma, energy, vrad, vaz,
-                omega_frame, hdt, nu_grid=self._accretion_nu(sigma, energy),
+                omega_frame, hdt,
+                nu_grid=self._accretion_nu(sigma, energy, bodies_prev),
                 row_w=self._own_act_col, axis_name=self._axis_name,
                 periods=acc_periods)
             sigma = eos.apply_sigma_floor(phys, sigma)
@@ -919,13 +967,19 @@ class HydroStep:
             # gas kick 1/2 + drift 1/1
             sor = state.fld_sor
             sg_kernel = state.sg_kernel
+            # kick 1's potential smoothing is the end-of-previous-step
+            # scale height h0 (reference kick-1 CalculateNbodyPotential at
+            # src/simulation.cpp:319 runs before any cs/H recompute; the
+            # last one was :456 of the previous step, with the bodies at
+            # their pre-drift positions)
             (sigma, vrad, vaz, energy, qplus, qminus, sor,
-             sg_kernel, h_kick1) = self._gas_kick(
+             sg_kernel, h_kick1, nu_kick1) = self._gas_kick(
                 sigma, vrad, vaz, energy, nb, indirect, time, hdt,
                 omega_frame, sor=sor, sg_kernel=sg_kernel,
-                stale_derived=stale_derived)
+                stale_derived=stale_derived, stale_h=h0)
             sigma, vrad, vaz, energy = self._apply_bcs(
-                sigma, vrad, vaz, energy, omega_frame)
+                sigma, vrad, vaz, energy, omega_frame, nb=nb, time=time,
+                stale_nu=nu_kick1)
             sigma, vrad, vaz, energy, _mass_flux = transport.transport(
                 phys, g, sigma, vrad, vaz, energy, omega_frame, dt)
             sigma, vrad, vaz, energy = jax.lax.optimization_barrier(
@@ -951,7 +1005,7 @@ class HydroStep:
             # kick 1's viscosity recompute (reference src/simulation.cpp:363
             # runs before any cs/H refresh — see _substeps docstring)
             (sigma, vrad, vaz, energy, qplus, qminus, sor,
-             sg_kernel, _h2) = self._gas_kick(
+             sg_kernel, _h2, nu_kick2) = self._gas_kick(
                 sigma, vrad, vaz, energy, nb, indirect, mid_time, hdt,
                 omega_frame, sor=sor, sg_kernel=sg_kernel, stale_h=h_kick1)
         else:
@@ -977,7 +1031,9 @@ class HydroStep:
                 phys, constants, g, nb, bodies,
                 self.body_accretion_efficiency, self.body_accretion_types,
                 self.cell_x, self.cell_y, sigma, energy, vrad, vaz,
-                omega_frame, hdt, nu_grid=self._accretion_nu(sigma, energy),
+                omega_frame, hdt,
+                nu_grid=(nu_kick2 if nu_kick2 is not None
+                         else self._accretion_nu(sigma, energy, bodies)),
                 row_w=self._own_act_col, axis_name=self._axis_name,
                 periods=acc_periods)
             sigma = eos.apply_sigma_floor(phys, sigma)
@@ -1000,7 +1056,8 @@ class HydroStep:
         if phys.calculate_disk:
             sigma, vrad, vaz, energy, dmp = self._apply_bcs(
                 sigma, vrad, vaz, energy, omega_frame, final=True, dt=dt,
-                want_damping_delta=True)
+                nb=nb, time=time + dt, want_damping_delta=True,
+                stale_nu=nu_kick2)
             if phys.keep_mass_constant:
                 sigma = self._rescale_to_initial_mass(sigma)
             f_in = self._face_row(_mass_flux, "inner")
@@ -1191,7 +1248,7 @@ class HydroStep:
 
         zero = jnp.zeros((), self.dtype)
         bodies = self.bodies_on_grid(nb, time)
-        cs0, press0, h0 = self.derived(sigma, energy)
+        cs0, press0, h0 = self.derived(sigma, energy, bodies)
         # pre-accretion derived values for the source kick (the reference
         # refreshes pressure only at step END, after accretion already ran
         # this step — see _substeps docstring)
@@ -1204,7 +1261,8 @@ class HydroStep:
                 phys, constants, g, nb, bodies,
                 self.body_accretion_efficiency, self.body_accretion_types,
                 self.cell_x, self.cell_y, sigma, energy, vrad, vaz,
-                omega_frame, dt, nu_grid=self._accretion_nu(sigma, energy),
+                omega_frame, dt,
+                nu_grid=self._accretion_nu(sigma, energy, bodies),
                 row_w=self._own_act_col, axis_name=self._axis_name)
             sigma = eos.apply_sigma_floor(phys, sigma)
             bodies = self.bodies_on_grid(nb, time)
@@ -1262,7 +1320,7 @@ class HydroStep:
         sg_kernel = state.sg_kernel
         if phys.calculate_disk:
             (sigma, vrad, vaz, energy, qplus, qminus,
-             _ecc_deltas, sg_kernel, _h_next) = self._substeps(
+             _ecc_deltas, sg_kernel, _h_next, nu_step) = self._substeps(
                 sigma, vrad, vaz, energy, pot_it, time, dt, omega_frame,
                 bodies, sg_kernel=sg_kernel, stale_derived=stale_derived)
             # compile-time guard: stop XLA's algebraic simplifier from
@@ -1288,9 +1346,13 @@ class HydroStep:
                                               energy)
 
         if phys.calculate_disk:
-            # boundary conditions before transport (final=false)
+            # boundary conditions before transport (final=false); the
+            # viscous BC reads the in-kick viscosity grid (reference
+            # data[VISCOSITY] from recalculate_viscosity at
+            # src/simulation.cpp:196)
             sigma, vrad, vaz, energy = self._apply_bcs(
-                sigma, vrad, vaz, energy, omega_frame, nb=nb, time=time)
+                sigma, vrad, vaz, energy, omega_frame, nb=nb, time=time,
+                stale_nu=nu_step)
 
             if phys.write_ecc_changes:
                 _ecc_pre_t = self._disk_ecc_peri(sigma, vrad, vaz,
@@ -1339,7 +1401,7 @@ class HydroStep:
             sigma, vrad, vaz, energy, dmp = self._apply_bcs(
                 sigma, vrad, vaz, energy, omega_frame, final=True, dt=dt,
                 nb=nb, time=time, rof_mdot=rof_mdot,
-                want_damping_delta=True)
+                want_damping_delta=True, stale_nu=nu_step)
             if phys.keep_mass_constant:
                 sigma = self._rescale_to_initial_mass(sigma)
             if phys.write_ecc_changes and monitor_acc.decc is not None:
@@ -1379,7 +1441,7 @@ class HydroStep:
             frame_angle=frame_angle, particles=particles,
             monitor_acc=monitor_acc, fld_sor=sor, sg_kernel=sg_kernel)
 
-    def _cfl_impl(self, state: SystemState):
+    def _cfl_impl(self, state: SystemState, time=None):
         phys = self.phys
         f = state.fields
         if self._fuse_cfl:
@@ -1406,8 +1468,15 @@ class HydroStep:
             if self._axis_name is not None:
                 dt = jax.lax.pmin(dt, self._axis_name)
             return dt
-        cs, press, h = self.derived(f.sigma, f.energy)
-        nu = self.viscosity_grid(cs, h, f.sigma, f.energy)
+        # the reference CFL consumes the SOUNDSPEED/VISCOSITY grids left by
+        # the end-of-step recalculate (bodies at their end-of-step
+        # positions) — under AspectRatioMode>0 the nu(H) term needs them
+        cfl_bodies = None
+        if phys.aspectratio_mode in (1, 2) or phys.alpha_mode != 0:
+            cfl_bodies = self.bodies_on_grid(
+                state.nbody, time if time is not None else 0.0)
+        cs, press, h = self.derived(f.sigma, f.energy, cfl_bodies)
+        nu = self.viscosity_grid(cs, h, f.sigma, f.energy, cfl_bodies)
         dt = cfl.condition_cfl(phys, self.g, f.sigma, f.vrad, f.vaz,
                                f.energy, cs, nu, state.qplus, state.qminus)
         if self._axis_name is not None:
@@ -1444,7 +1513,7 @@ class HydroStep:
                 # src/commbound.cpp:98)
                 state = self._halo_refresh(state)
             if self.phys.calculate_disk:
-                cfl_dt = self._cfl_impl(state)
+                cfl_dt = self._cfl_impl(state, time)
                 dt = jnp.minimum(self.phys.cfl_max_var * last_dt, cfl_dt)
             else:
                 # Disk: no — the reference keeps dt = last_dt without a
@@ -1497,8 +1566,8 @@ class HydroStep:
         return self._step(state, jnp.asarray(time, self.dtype),
                           jnp.asarray(dt, self.dtype))
 
-    def cfl_dt(self, state: SystemState) -> jax.Array:
-        return self._cfl(state)
+    def cfl_dt(self, state: SystemState, time=0.0) -> jax.Array:
+        return self._cfl(state, jnp.asarray(time, self.dtype))
 
     def initial_system_state(self, fields: FieldState,
                              nbody: NBodyState) -> SystemState:
@@ -1509,17 +1578,18 @@ class HydroStep:
         qplus, qminus = z, z
         if phys.is_adiabatic:
             sigma, energy = fields.sigma, fields.energy
-            cs, _, h = self.derived(sigma, energy)
-            nu = self.viscosity_grid(cs, h)
+            bodies = self.bodies_on_grid(nbody, 0.0)
+            cs, _, h = self.derived(sigma, energy, bodies)
+            nu = self.viscosity_grid(cs, h, sigma, energy, bodies)
             tau_rr, tau_pp, tau_rp, div_v = visc_ops.viscous_stress_tensor(
                 phys, g, sigma, fields.vrad, fields.vaz, nu)
-            bodies = self.bodies_on_grid(nbody, 0.0)
             _, qplus, qminus = energy_ops.substep3(
                 phys, constants, g, sigma, energy, fields.vrad, fields.vaz,
                 nu, tau_rr, tau_pp, tau_rp, div_v, h,
                 self.ref_values.sigma0, self.ref_values.energy0,
                 jnp.zeros_like(sigma), 0.0, 0.0,
-                units=self.units, irradiation_ctx=self.irradiation_ctx(bodies))
+                units=self.units, irradiation_ctx=self.irradiation_ctx(bodies),
+                aspect_grid=self.aspect_grid(cs, h, bodies))
         k = min(phys.corotation_reference_body, self.n_bodies - 1)
         omega0 = phys.omega_frame
         if phys.corotating and self.n_bodies > 1:
@@ -1559,12 +1629,14 @@ class HydroStep:
             self._disk_torques = jax.jit(impl)
         return self._disk_torques(state, jnp.asarray(time, self.dtype))
 
-    def apply_bcs(self, fields: FieldState) -> FieldState:
+    def apply_bcs(self, fields: FieldState, nb=None) -> FieldState:
         """Standalone BC application (used once at init, reference
-        src/init.cpp:337-341)."""
+        src/init.cpp:337-341); ``nb`` enables the body-dependent BCs
+        (center-of-mass, Roche-lobe overflow)."""
         omega_frame = jnp.asarray(self.phys.omega_frame, self.dtype)
         sigma, vrad, vaz, energy = self._apply_bcs(
-            fields.sigma, fields.vrad, fields.vaz, fields.energy, omega_frame)
+            fields.sigma, fields.vrad, fields.vaz, fields.energy,
+            omega_frame, nb=nb, time=0.0)
         return FieldState(sigma=sigma, vrad=vrad, vaz=vaz, energy=energy)
 
 

@@ -90,6 +90,23 @@ GOLDENS = Path(__file__).parent / "goldens"
     # kick-2 stale-scale-height ordering (reference simulation.cpp:363
     # computes the potential before any cs/H refresh)
     ("binary_gceph", 1e-5),
+    # the FULL gamma-Cephei configuration (setups/CloseBinaries/
+    # gamma_cephei_full.yml shrunk to 128x256, r in [0.05, 12]): the
+    # e=0.4 secondary orbits INSIDE the grid with cubic smoothing and
+    # VISCOUS accretion, Nbody-centered (CMS) Sigma/energy/velocity ICs
+    # with inner profile cutoff + circumbinary Gaussian ring,
+    # AspectRatioMode 1 (nbody H), AlphaMode 2 (star-distance alpha
+    # ramp), TW artvisc, stellar irradiation from BOTH stars, thermal
+    # cooling, viscous-inner + CenterOfMass-outer BCs.  72 steps through
+    # the cold-start transient; observed agreement ~1e-7 (the cutoff
+    # wall amplifies roundoff x1.5/step, so longer horizons are chaos-
+    # dominated).  This gate drove: Nbody-centered ICs (Rinf sampling,
+    # CMS cutoffs, CMS-frame velocities), the all-body COM for the outer
+    # COM BC + its grid-corrected drift table, the kick-scoped staleness
+    # of H and nu (potential smoothing, BC viscosity, accretion nu), the
+    # AspectRatioMode-1 ASPECTRATIO grid in irradiation, and the
+    # reference's InnerBoundaryEnergy-falls-back-to-OUTER-name quirk
+    ("binary_gcfull", 1e-5),
     # the same binary over HALF AN ORBIT (3263 steps to t=pi/2): the
     # initial periapsis transient is chaotically unstable — the
     # reference against itself (only the monitor cadence changed)

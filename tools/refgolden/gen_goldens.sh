@@ -45,6 +45,8 @@ elif "temperature" in outdir:
     text = setkey(text, "MonitorTimestep", "4.0")
 elif "shocktube" in outdir:
     text = setkey(text, "MonitorTimestep", "0.1")
+elif "binary_gcfull" in outdir:
+    text = setkey(text, "MonitorTimestep", "0.0002")
 elif "binary_gceph_long" in outdir:
     text = setkey(text, "MonitorTimestep", "1.5707963267948966")
 elif "binary_gceph" in outdir:
@@ -66,7 +68,7 @@ EOF
     find "$dst" -name 'rebound.bin' -delete
     find "$dst" -name '*1D.dat' -delete
     # energy matters only for the adiabatic golden
-    case "$name" in temperature_test|temperature_fld|shocktube_sn|shocktube_pvte|cold_disk_planet|longrun_planet|binary_gceph|binary_gceph_long) : ;; *)
+    case "$name" in temperature_test|temperature_fld|shocktube_sn|shocktube_pvte|cold_disk_planet|longrun_planet|binary_gceph|binary_gceph_long|binary_gcfull) : ;; *)
         find "$dst" -name 'energy.dat' -delete ;;
     esac
     echo "golden '$name' written to $dst"
@@ -104,3 +106,7 @@ run_golden binary_gceph "$HERE/configs/binary_gceph.yml"
 # the same binary over half an orbit (chaos-floor tracking gate, see
 # tests/test_reference_golden.py binary_gceph_long@snap1)
 run_golden binary_gceph_long "$HERE/configs/binary_gceph.yml"
+# FULL gamma-Cephei configuration: secondary inside the grid, Nbody ICs,
+# viscous accretion, irradiation, AspectRatioMode 1, AlphaMode 2,
+# CenterOfMass outer BC (see tests/test_reference_golden.py)
+run_golden binary_gcfull "$HERE/configs/binary_gcfull.yml"
