@@ -114,12 +114,15 @@ _CHILD_CONFIGS = {
     # Mosaic cannot lower the fused kernels' dynamic lane rolls in
     # emulated f64)
     "f64": ("float64", "BENCH_F64_STEPS", 30, "flagship", 2400, {}),
-    # experimental: f64 through the fused kernels with the
-    # static-roll+select FARGO shift (no dynamic rolls). First TPU
-    # validation happens here, contained — a Mosaic lowering failure
-    # costs only this line.
-    "f64_fused": ("float64", "BENCH_F64_STEPS", 30, "flagship", 2400,
-                  {"FARGOCPT_TPU_F64_FUSED": "1"}),
+    # NOTE: an "f64_fused" child (FARGOCPT_TPU_F64_FUSED=1, the
+    # static-roll+select FARGO shift) was probed on TPU 2026-08-18 and is
+    # STRUCTURALLY IMPOSSIBLE on this backend: the axon X64-emulation
+    # rewrite pass cannot rewrite ANY f64 pallas custom-call
+    # ("While rewriting computation to not contain X64 element types,
+    # XLA encountered an HLO for which this rewriting is not
+    # implemented: ... custom_call_target=tpu_custom_call"). f64 Pallas
+    # is off the table on emulated-f64 TPUs, not just f64 dynamic rolls;
+    # the path remains CPU-testable behind the env var.
     # PDS70-style full physics (SG FFT + FLD + PVTE + dust,
     # BASELINE.json configs[4]) — fewer steps (each step carries an FFT
     # convolution pair + an SOR solve)
@@ -168,7 +171,6 @@ def main():
         sys.exit(1)
     if os.environ.get("BENCH_SKIP_F64", "") != "1":
         _run_child("f64")
-        _run_child("f64_fused")
     if os.environ.get("BENCH_SKIP_PDS70", "") != "1":
         _run_child("pds70")
     print(json.dumps(official), flush=True)

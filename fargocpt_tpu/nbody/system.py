@@ -212,8 +212,14 @@ def integrate(state: NBodyState, G: float, dt, n_substeps: int = 16,
     Default is the adaptive 15th-order Gauss-Radau integrator (IAS15,
     nbody/ias15.py) — the same integrator class the reference uses via
     REBOUND (src/nbody/planetary_system.cpp:878 with exact_finish_time).
-    ``method='rk4'`` selects the fixed-substep RK4 used in round 1
-    (supersedes the legacy RK5 path of src/RungeKutta.cpp:12-68)."""
+    ``method='rk4'`` selects the fixed-substep RK4 used in round 1;
+    ``method='rk5'`` the legacy Cash-Karp RK5 analog of
+    src/RungeKutta.cpp:12-92 (the reference version is dead code — never
+    called, and its final combination line even drops the ``q0 + dt*``
+    terms — so this is the *corrected* Cash-Karp tableau it intended)."""
+    if method not in ("ias15", "rk4", "rk5"):
+        raise ValueError(f"unknown NbodyIntegrator '{method}' "
+                         "(expected ias15, rk4 or rk5)")
     if state.n == 1:
         return state
     if method == "ias15":
@@ -250,8 +256,31 @@ def integrate(state: NBodyState, G: float, dt, n_substeps: int = 16,
                   for a, b1, b2, b3, b4 in zip(q, k1, k2, k3, k4))
         return q, None
 
+    def rk5(q, _):
+        # Cash-Karp stage coefficients (reference src/RungeKutta.cpp:73-86)
+        # and 5th-order weights (:88-91, corrected to y0 + h*sum(b_i k_i)).
+        a_tab = (
+            (0.2,),
+            (0.075, 0.225),
+            (0.3, -0.9, 1.2),
+            (-11.0 / 54.0, 2.5, -70.0 / 27.0, 35.0 / 27.0),
+            (1631.0 / 55296.0, 175.0 / 512.0, 575.0 / 13824.0,
+             44275.0 / 110592.0, 253.0 / 4096.0),
+        )
+        b_tab = (37.0 / 378.0, 0.0, 250.0 / 621.0, 125.0 / 594.0, 0.0,
+                 512.0 / 1771.0)
+        ks = [deriv(q)]
+        for row in a_tab:
+            trial = tuple(a + h * sum(c * k[i] for c, k in zip(row, ks))
+                          for i, a in enumerate(q))
+            ks.append(deriv(trial))
+        q = tuple(a + h * sum(b * k[i] for b, k in zip(b_tab, ks))
+                  for i, a in enumerate(q))
+        return q, None
+
+    body = {"rk4": rk4, "rk5": rk5}[method]
     q0 = (state.x, state.y, state.vx, state.vy)
-    q, _ = jax.lax.scan(rk4, q0, None, length=n_substeps)
+    q, _ = jax.lax.scan(body, q0, None, length=n_substeps)
     return state.replace(x=q[0], y=q[1], vx=q[2], vy=q[3])
 
 

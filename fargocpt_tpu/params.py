@@ -153,6 +153,10 @@ class Physics:
     # (reference src/Interpret.cpp:583, nbody/planetary_system.cpp:198-204)
     cic_planet: bool = False
     disk_feedback: bool = True
+    # N-body integrator: ias15 (reference REBOUND default), rk4, or the
+    # legacy Cash-Karp rk5 (reference src/RungeKutta.cpp:12-92, dead code
+    # there; corrected tableau here — see nbody/system.py)
+    nbody_integrator: str = "ias15"
 
     # initialization
     shock_tube: int = 0
@@ -593,6 +597,7 @@ def physics_from_config(cfg: Config, un: u.Units, dtype: str = "float64") -> Phy
         corotating=corotating,
         corotation_reference_body=cfg.get("CorotationReferenceBody", 1, type=int),
         disk_feedback=cfg.get_flag("DiskFeedback", True),
+        nbody_integrator=cfg.get_lowercase("NbodyIntegrator", "ias15"),
         shock_tube=cfg.get("ShockTube", 0, type=int),
         spreading_ring=cfg.get_flag("SpreadingRing", False),
         initialize_pure_keplerian=cfg.get_flag("InitializePureKeplerian", False),

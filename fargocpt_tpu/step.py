@@ -898,7 +898,8 @@ class HydroStep:
         # src/simulation.cpp:287-291 computes it "while Nbody is still
         # at 'dt'")
         nb_pre_drift = nb
-        nb = nbody_sys.integrate(nb, constants.G, hdt)
+        nb = nbody_sys.integrate(nb, constants.G, hdt,
+                                 method=phys.nbody_integrator)
         nb = nbody_sys.move_to_hydro_frame_center(nb, self.n_hydroframe)
         # orbital periods sampled ONCE here (the reference's
         # move_to_hydro_center_and_update_orbital_parameters after drift
@@ -1039,7 +1040,8 @@ class HydroStep:
             sigma = eos.apply_sigma_floor(phys, sigma)
         nb = self._nbody_apply_kicks(nb, dax, day, it_disk, it_nb, hdt)
         nb_pre_drift2 = nb
-        nb = nbody_sys.integrate(nb, constants.G, hdt)
+        nb = nbody_sys.integrate(nb, constants.G, hdt,
+                                 method=phys.nbody_integrator)
         nb = nbody_sys.move_to_hydro_frame_center(nb, self.n_hydroframe)
         if phys.corotating:
             kc = phys.corotation_reference_body
@@ -1374,7 +1376,8 @@ class HydroStep:
                                                   energy)
 
         # --- N-body drift under mutual gravity (reference :218-221) ---
-        nb = nbody_sys.integrate(nb, constants.G, dt)
+        nb = nbody_sys.integrate(nb, constants.G, dt,
+                                 method=phys.nbody_integrator)
         nb = nbody_sys.move_to_hydro_frame_center(nb, self.n_hydroframe)
 
         monitor_acc = state.monitor_acc

@@ -38,6 +38,8 @@ CGS_YEAR = 3.15576e7              # Julian year in s
 CGS_SOLRADIUS = 6.957e10          # cm (units.cpp:114)
 CGS_EARTHMASS = 5.97217e27        # g  (units.cpp:118)
 CGS_EARTHRADIUS = 6.371e8         # cm (units.cpp:119)
+CGS_JUPITERMASS = 1.8982e30       # g  (units.cpp:116)
+CGS_JUPITERRADIUS = 6.9911e9      # cm (units.cpp:117)
 CGS_KB = 1.380649e-16             # erg/K (units.hpp:2063, SI exact)
 CGS_AMU = 1.66053906660e-24       # g (units.hpp:2053)
 CGS_RGAS = CGS_KB / CGS_AMU       # erg/(g K) — specific gas constant per amu
@@ -60,11 +62,13 @@ _UNIT_TABLE: dict[str, tuple[float, Dim]] = {
     "AU": (CGS_AU, _dim(l=1)),
     "solRadius": (CGS_SOLRADIUS, _dim(l=1)),
     "earthRadius": (CGS_EARTHRADIUS, _dim(l=1)),
+    "jupiterRadius": (CGS_JUPITERRADIUS, _dim(l=1)),
     # mass
     "g": (1.0, _dim(m=1)),
     "kg": (1e3, _dim(m=1)),
     "solMass": (CGS_SOLMASS, _dim(m=1)),
     "earthMass": (CGS_EARTHMASS, _dim(m=1)),
+    "jupiterMass": (CGS_JUPITERMASS, _dim(m=1)),
     # time
     "s": (1.0, _dim(t=1)),
     "sec": (1.0, _dim(t=1)),

@@ -16,6 +16,12 @@ def test_unit_parsing():
     assert np.isclose(f, u.CGS_SOLMASS / u.CGS_YEAR)
     f, d = u.parse_unit_expr("cm^2/s")
     assert d == (2.0, 0.0, -1.0, 0.0)
+    # LLNL astro user units (reference src/units.cpp:113-126; PDS70.yml
+    # uses "7.0 jupiterMass")
+    f, d = u.parse_unit_expr("jupiterMass")
+    assert f == u.CGS_JUPITERMASS and d == (0.0, 1.0, 0.0, 0.0)
+    f, d = u.parse_unit_expr("jupiterRadius")
+    assert f == u.CGS_JUPITERRADIUS and d == (1.0, 0.0, 0.0, 0.0)
 
 
 def test_units_g_is_one():

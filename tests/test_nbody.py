@@ -268,3 +268,49 @@ def test_indirect_term_modes_agree():
     zx, zy = gravity.indirect_term_nbody_predictor(constants, nb, 1, 2,
                                                    jnp.float64(0.0))
     assert float(zx) == 0.0 and float(zy) == 0.0
+
+
+@pytest.mark.parametrize("method", ["rk4", "rk5"])
+def test_fixed_step_integrators_match_ias15(method):
+    """rk4 and the legacy Cash-Karp rk5 (reference src/RungeKutta.cpp:12-92,
+    corrected tableau) agree with IAS15 over a full eccentric orbit."""
+    import jax
+    import jax.numpy as jnp
+    from fargocpt_tpu.nbody import system as nbody_sys
+    from fargocpt_tpu.nbody.system import NBodyState
+
+    e = 0.3
+    # pericenter start: r = a(1-e), v = sqrt(GM (1+e)/(a(1-e))) tangential
+    r0 = 1.0 - e
+    v0 = np.sqrt((1.0 + 1e-3) * (1.0 + e) / r0)
+    nb = NBodyState(x=jnp.asarray([0.0, r0]), y=jnp.asarray([0.0, 0.0]),
+                    vx=jnp.asarray([0.0, 0.0]),
+                    vy=jnp.asarray([-1e-3 * v0, v0]),
+                    mass=jnp.asarray([1.0, 1e-3]))
+    ref = nb
+    dt = 2 * np.pi / 100.0
+    step = jax.jit(lambda s: nbody_sys.integrate(s, 1.0, dt, n_substeps=32,
+                                                 method=method))
+    ref_step = jax.jit(lambda s: nbody_sys.integrate(s, 1.0, dt,
+                                                     method="ias15"))
+    for _ in range(100):
+        nb = step(nb)
+        ref = ref_step(ref)
+    np.testing.assert_allclose(np.asarray(nb.x), np.asarray(ref.x),
+                               atol=5e-6)
+    np.testing.assert_allclose(np.asarray(nb.y), np.asarray(ref.y),
+                               atol=5e-6)
+
+
+def test_nbody_integrator_config_threading():
+    """NbodyIntegrator reaches Physics and bad names raise."""
+    sim = Simulation(kepler_config(extra={"NbodyIntegrator": "rk5"}))
+    assert sim.stepper.phys.nbody_integrator == "rk5"
+    el0 = sim.orbital_elements(1)
+    for _ in range(50):
+        sim.step_once(1e-2)
+    el1 = sim.orbital_elements(1)
+    assert np.isclose(el1["a"], el0["a"], rtol=1e-7)
+    from fargocpt_tpu.nbody import system as nbody_sys
+    with pytest.raises(ValueError, match="NbodyIntegrator"):
+        nbody_sys.integrate(sim.state.nbody, 1.0, 1e-3, method="rk9")
