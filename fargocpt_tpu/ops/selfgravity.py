@@ -135,6 +135,19 @@ class SelfGravity:
         else:
             self._cdtype = jnp.complex128
             self._fdtype = jnp.float64
+        # Transform backend: the axon TPU has NO FFT lowering at all
+        # (every jnp.fft executable is UNIMPLEMENTED, probed 2026-08-18),
+        # so non-CPU backends run the convolution as matmul DFTs on the
+        # MXU (ops/dft.py) with spectra carried as (re, im) pairs.
+        # FARGOCPT_TPU_SG_FFT=xla|matmul overrides the choice.
+        import os
+        force = os.environ.get("FARGOCPT_TPU_SG_FFT", "")
+        self._use_dft = on_tpu if force == "" else (force == "matmul")
+        if self._use_dft:
+            from .dft import RFFT2Plan
+            self._plan = RFFT2Plan(2 * nr, geometry.naz, self._fdtype)
+        else:
+            self._plan = None
         self.set_aspect_ratio(phys.aspectratio_ref)
 
     def set_aspect_ratio(self, aspect_ratio: float):
@@ -143,12 +156,22 @@ class SelfGravity:
         isothermal runs)."""
         k_r, k_t = kernel_host(self.phys, self.geometry, aspect_ratio)
         # host FFT in float64 for accuracy; cast spectra to the compute
-        # complex dtype BEFORE the device transfer (a c128 put to the axon
-        # TPU hangs the tunnel)
-        cnp = np.complex64 if self._cdtype == jnp.complex64 \
-            else np.complex128
-        self.k_r_hat = jnp.asarray(np.fft.rfft2(k_r).astype(cnp))
-        self.k_t_hat = jnp.asarray(np.fft.rfft2(k_t).astype(cnp))
+        # dtype BEFORE the device transfer (a c128 put to the axon TPU
+        # hangs the tunnel).  On the DFT backend spectra live as
+        # (re, im) float pairs — no complex arrays touch the device.
+        fnp = np.float32 if self._fdtype == jnp.float32 else np.float64
+        if self._use_dft:
+            kr_hat = np.fft.rfft2(k_r)
+            kt_hat = np.fft.rfft2(k_t)
+            self.k_r_hat = (jnp.asarray(kr_hat.real.astype(fnp)),
+                            jnp.asarray(kr_hat.imag.astype(fnp)))
+            self.k_t_hat = (jnp.asarray(kt_hat.real.astype(fnp)),
+                            jnp.asarray(kt_hat.imag.astype(fnp)))
+        else:
+            cnp = np.complex64 if self._cdtype == jnp.complex64 \
+                else np.complex128
+            self.k_r_hat = jnp.asarray(np.fft.rfft2(k_r).astype(cnp))
+            self.k_t_hat = jnp.asarray(np.fft.rfft2(k_t).astype(cnp))
 
     # ------- in-run kernel update (reference selfgravity.cpp:186-214) -----
     def supports_in_run_update(self) -> bool:
@@ -205,11 +228,15 @@ class SelfGravity:
 
         def do_rebuild(_):
             k_r, k_t = _kernel_bs(phys, U, TH, ar_avg, jnp)
+            if self._use_dft:
+                return (self._plan.forward(k_r.astype(self._fdtype)),
+                        self._plan.forward(k_t.astype(self._fdtype)),
+                        ar_avg)
             # transform in the compute float dtype (TPU has no C128)
             return (jnp.fft.rfft2(k_r.astype(self._fdtype))
-                    .astype(k_r_hat.dtype),
+                    .astype(jnp.result_type(k_r_hat)),
                     jnp.fft.rfft2(k_t.astype(self._fdtype))
-                    .astype(k_t_hat.dtype), ar_avg)
+                    .astype(jnp.result_type(k_t_hat)), ar_avg)
 
         def keep(_):
             return (k_r_hat, k_t_hat, last_ar)
@@ -231,10 +258,15 @@ class SelfGravity:
         pad = jnp.zeros_like(s_r)
         s_r = jnp.concatenate([s_r, pad], axis=0)           # (2NR, NAZ)
         s_t = jnp.concatenate([s_t, pad], axis=0)
-        acc_r = jnp.fft.irfft2(k_r_hat * jnp.fft.rfft2(s_r),
-                               s=(2 * nr, naz))
-        acc_t = jnp.fft.irfft2(k_t_hat * jnp.fft.rfft2(s_t),
-                               s=(2 * nr, naz))
+        if self._use_dft:
+            plan = self._plan
+            acc_r = plan.inverse(*plan.cmul(*plan.forward(s_r), *k_r_hat))
+            acc_t = plan.inverse(*plan.cmul(*plan.forward(s_t), *k_t_hat))
+        else:
+            acc_r = jnp.fft.irfft2(k_r_hat * jnp.fft.rfft2(s_r),
+                                   s=(2 * nr, naz))
+            acc_t = jnp.fft.irfft2(k_t_hat * jnp.fft.rfft2(s_t),
+                                   s=(2 * nr, naz))
         norm = -G * self.r_step * self.t_step
         g_r = (norm * acc_r[:nr]).astype(sigma.dtype) / self.scale_half
         g_t = (norm * acc_t[:nr]).astype(sigma.dtype) / self.scale_3half
