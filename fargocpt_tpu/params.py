@@ -325,9 +325,37 @@ class Physics:
         return replace(self, **kw)
 
 
+def _fit_isothermal_constants(cfg: Config) -> tuple[float, float]:
+    """Polytropic (K, gamma) matching the locally-isothermal pressure
+    profile (reference src/Interpret.cpp:38-53 get_polytropic_constants):
+    comparing P_poly = K Sigma^gamma with P_iso = Sigma cs^2 for
+    Sigma = Sigma0 r^-p, cs = h vK r^F gives
+    gamma = (-1 - p + 2F)/(-p), K = h^2 Sigma0^(1-gamma)."""
+    p = cfg.get("SigmaSlope", 0.0, type=float)
+    flare = cfg.get("FlaringIndex", 0.0, type=float)
+    h = cfg.get("AspectRatio", 0.05, type=float)
+    sigma0 = cfg.get("Sigma0", 1.0, dim=u.DIM_SURFACE_DENSITY, type=float)
+    gamma = (-1.0 - p + 2.0 * flare) / (-p)
+    return h * h * sigma0 ** (1.0 - gamma), gamma
+
+
+def _is_fit_isothermal(raw) -> bool:
+    return str(raw).strip().lower().replace("_", " ") == "fit isothermal"
+
+
 def _parse_eos(cfg: Config) -> tuple[str, float]:
     eos = cfg.get_lowercase("EquationOfState", "Isothermal")
-    gamma = cfg.get("AdiabaticIndex", 1.4, type=float)
+    gamma_raw = cfg.get_raw("AdiabaticIndex", 1.4)
+    if _is_fit_isothermal(gamma_raw):
+        # only valid for polytropic EoS (reference Interpret.cpp:429-436
+        # dies for ideal/PVTE)
+        if eos not in ("polytropic", "polytrop", "poly"):
+            raise ValueError(
+                "AdiabaticIndex=FIT_ISOTHERMAL is only available for the "
+                "polytropic equation of state")
+        _, gamma = _fit_isothermal_constants(cfg)
+    else:
+        gamma = cfg.get("AdiabaticIndex", 1.4, type=float)
     # deprecated 'Adiabatic yes/no' flag (reference
     # src/Interpret.cpp:360-392): honored with a warning when
     # EquationOfState is absent
@@ -345,7 +373,8 @@ def _parse_eos(cfg: Config) -> tuple[str, float]:
         if gamma == 1.0:
             return ISOTHERMAL, gamma
         return ADIABATIC, gamma
-    if eos == "polytropic":
+    if eos in ("polytropic", "polytrop", "poly"):
+        # reference name aliases (src/Interpret.cpp:497-499)
         return POLYTROPIC, gamma
     if eos == "pvte":
         # variable-gamma ideal EoS (reference src/Interpret.cpp:455-492)
@@ -353,6 +382,27 @@ def _parse_eos(cfg: Config) -> tuple[str, float]:
             gamma = 7.0 / 5.0
         return ADIABATIC, gamma
     raise ValueError(f"unknown EquationOfState {eos!r}")
+
+
+def _parse_polytropic_constant(cfg: Config, eos: str) -> float:
+    """PolytropicConstant, honoring FIT_ISOTHERMAL (reference
+    src/Interpret.cpp:525-545).  Always consulted — the reference calls
+    get for the default regardless of EoS (:495) — but only parsed as a
+    number when the EoS is polytropic, so 'FIT_ISOTHERMAL' in a
+    non-polytropic setup (e.g. setups/PDS70.yml) is accepted and
+    ignored."""
+    raw = cfg.get_raw("PolytropicConstant", 0.0)
+    if _is_fit_isothermal(raw):
+        if eos != POLYTROPIC:
+            return 0.0
+        k, _ = _fit_isothermal_constants(cfg)
+        return k
+    if eos != POLYTROPIC:
+        try:
+            return float(raw)
+        except (TypeError, ValueError):
+            return 0.0
+    return cfg.get("PolytropicConstant", 12.753, type=float)
 
 
 def _parse_artvisc(cfg: Config) -> str:
@@ -504,7 +554,7 @@ def physics_from_config(cfg: Config, un: u.Units, dtype: str = "float64") -> Phy
         hydrogen_mass_fraction=cfg.get("HydrogenMassFraction", 0.75,
                                        type=float),
         pvte_lookup_table=cfg.get_flag("PVTELookupTable", False),
-        polytropic_constant=cfg.get("PolytropicConstant", 0.0, type=float),
+        polytropic_constant=_parse_polytropic_constant(cfg, eos),
         mu=cfg.get("mu", 1.0, type=float),
         aspectratio_ref=aspectratio_ref,
         aspectratio_mode=cfg.get("AspectRatioMode", 0, type=int),
