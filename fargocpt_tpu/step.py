@@ -377,15 +377,32 @@ class HydroStep:
         """(gamma_eff, mu, gamma1) grids for PVTE runs; the midplane
         density uses an H estimate from the constant-gamma sound speed
         (the reference also evaluates the EoS with the stale scale
-        height, src/SourceEuler.cpp:238-246)."""
+        height, src/SourceEuler.cpp:238-246).
+
+        Memoized per (sigma, energy) tracer pair: the step evaluates the
+        EoS at several staleness points that share the same fields, and
+        XLA's CSE cannot merge them across optimization_barrier calls —
+        the memo guarantees one evaluation per distinct state.  Keys hold
+        strong references to the tracers so ids cannot be recycled
+        within a trace."""
         if self.pvte is None:
             return None
+        memo = getattr(self, "_pvte_memo", None)
+        if memo is None:
+            memo = self._pvte_memo = {}
+        key = (id(sigma), id(energy))
+        if key in memo:
+            return memo[key][2]
         phys, constants, g = self.phys, self.constants, self.g
         gam0 = phys.adiabatic_index
         cs0 = jnp.sqrt(gam0 * (gam0 - 1.0) * energy / sigma)
         omega_k = jnp.sqrt(constants.G * phys.hydro_center_mass / g.rb ** 3)
         h0 = cs0 / jnp.sqrt(gam0) / omega_k
-        return self.pvte.gamma_mu(sigma, energy, h0)
+        out = self.pvte.gamma_mu(sigma, energy, h0)
+        memo[key] = (sigma, energy, out)
+        while len(memo) > 32:      # bound retained tracers across traces
+            memo.pop(next(iter(memo)))
+        return out
 
     def derived(self, sigma, energy, bodies=None):
         """Sound speed, pressure, scale height from prognostic fields.

@@ -46,10 +46,11 @@ def test_bench_smoke_fresh_subprocess(tmp_path):
         f"bench.py crashed in a fresh process:\n{res.stdout}\n{res.stderr}"
     import json
     lines = [l for l in res.stdout.splitlines() if l.startswith("{")]
-    # flagship f32 (measured first) + f64 + f64-fused + PDS70
-    # full-physics, then the official flagship line re-emitted LAST for
-    # the driver
-    assert len(lines) == 5, f"expected 5 JSON lines, got: {res.stdout}"
+    # flagship f32 (measured first) + f64 + PDS70 full-physics, then the
+    # official flagship line re-emitted LAST for the driver (no f64-fused
+    # line: the axon X64-emulation pass cannot rewrite f64 pallas
+    # custom-calls, see bench.py _CHILD_CONFIGS)
+    assert len(lines) == 4, f"expected 4 JSON lines, got: {res.stdout}"
     last = json.loads(lines[-1])
     assert "full-physics step" in last["metric"]
     assert "float32" in last["metric"]

@@ -21,17 +21,41 @@ from fargocpt_tpu.config import Config
 from fargocpt_tpu.sim import Simulation
 
 XMF = 0.75
-TABS_NP = pvte.zeta_table()
 
 
 def tabs():
-    return (jnp.asarray(TABS_NP[0]), jnp.asarray(TABS_NP[1]))
+    lo, w, coeffs = pvte.funcdum_poly()
+    return (lo, w, jnp.asarray(coeffs))
 
 
 def gamma_at(rho, T):
     _x, _y, mu, _eps, gam = pvte._gamma_mu_at(
         jnp.asarray(rho), jnp.asarray(T), XMF, tabs())
     return float(gam), float(mu)
+
+
+def test_funcdum_fit_matches_reference_table():
+    """The gather-free piecewise-Chebyshev funcdum (TPU production path)
+    must agree with the reference's 5000-entry table (src/pvte_law.cpp
+    :305-369 + :77-101 interpolation) to the table's own interpolation
+    error (~5e-6 rel), across the full ln T range and at off-node
+    points."""
+    lnT_t, fd_t = pvte.zeta_table()
+    # on-node: fit error only
+    T_nodes = np.exp(lnT_t[: pvte.N_ZETA - 2 : 17])
+    fit = np.asarray(pvte.func_dum(tabs(), jnp.asarray(T_nodes)))
+    ref = fd_t[: pvte.N_ZETA - 2 : 17]
+    np.testing.assert_allclose(fit, ref, rtol=2e-6)
+    # off-node midpoints: fit-vs-linear-interp, bounded by interp error
+    lnT_m = 0.5 * (lnT_t[:-1] + lnT_t[1:])[: pvte.N_ZETA - 2 : 17]
+    fd_m = 0.5 * (fd_t[:-1] + fd_t[1:])[: pvte.N_ZETA - 2 : 17]
+    fit_m = np.asarray(pvte.func_dum(tabs(), jnp.asarray(np.exp(lnT_m))))
+    np.testing.assert_allclose(fit_m, fd_m, rtol=2e-5)
+    # clipping beyond the table range matches the reference's clamp
+    hi = float(np.asarray(pvte.func_dum(tabs(), jnp.asarray([1e14])))[0])
+    hi_edge = float(np.asarray(pvte.func_dum(
+        tabs(), jnp.asarray([np.exp(lnT_t[pvte.N_ZETA - 2])])))[0])
+    assert abs(hi - hi_edge) < 1e-12
 
 
 def test_gamma_limits():
