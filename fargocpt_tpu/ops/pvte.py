@@ -129,9 +129,15 @@ def func_dum(tabs, T):
     ``tabs`` is the device-side (lo, w, coeffs) triple from
     ``PVTE``/``funcdum_poly``; replaces the reference's per-cell 1-D
     table interpolation (:77-101) with elementwise math."""
+    return func_dum_ln(tabs, jnp.log(T))
+
+
+def func_dum_ln(tabs, lnT):
+    """func_dum with ln T already in hand (the lean temperature solver
+    carries t = ln T as its iteration variable — saves a log per eval)."""
     lo, w, coeffs = tabs
     K, D = coeffs.shape
-    y = jnp.clip(jnp.log(T), lo, lo + K * w)
+    y = jnp.clip(lnT, lo, lo + K * w)
     s = jnp.clip(((y - lo) / w).astype(jnp.int32), 0, K - 1)
     x = 2.0 * (y - lo - s.astype(y.dtype) * w) / w - 1.0
     onehot = (s[..., None] == jnp.arange(K, dtype=jnp.int32)) \
@@ -144,20 +150,31 @@ def func_dum(tabs, T):
 
 
 def ionization_fraction(rho, T, x_mf):
-    """Saha H ionization fraction (reference :443-468, Vaidya+15 eq. 24)."""
+    """Saha H ionization fraction (reference :443-468, Vaidya+15 eq. 24).
+
+    The reference evaluates the quadratic root as
+    0.5 (-A + sqrt(A^2 + 4A)), which catastrophically cancels for large
+    A (the mostly-ionized zone A in [1e5, 1e8] loses ~A/2 ulps — in f32
+    that is O(0.05) ABSOLUTE error in x and a ~3x-wrong temperature on
+    the ionization cliff).  The conjugate form 2 / (1 + sqrt(1 + 4/A))
+    is algebraically identical and stable for every A (including
+    A -> 0+ and the A=0 exp-underflow limit, where 4/A = inf gives
+    x = 0 exactly); in f64 the two differ below 1e-12, far under the
+    PVTE golden gates."""
     rhs_const = CGS_M_H / x_mf * (CGS_M_E * CGS_KB
                                   / (2 * math.pi * CGS_HBAR ** 2)) ** 1.5
     Ax = rhs_const * T ** 1.5 * jnp.exp(-13.60 * CGS_EV / (CGS_KB * T)) / rho
-    x = 0.5 * (-Ax + jnp.sqrt(Ax * Ax + 4.0 * Ax))
+    x = 2.0 / (1.0 + jnp.sqrt(1.0 + 4.0 / Ax))
     return jnp.where(Ax < 1e8, x, 1.0)
 
 
 def dissociation_fraction(rho, T, x_mf):
-    """H2 dissociation fraction (reference :470-495, Vaidya+15 eq. 25)."""
+    """H2 dissociation fraction (reference :470-495, Vaidya+15 eq. 25);
+    stable conjugate root form, see ionization_fraction."""
     rhs_const = CGS_M_H / (2.0 * x_mf) * (CGS_M_H * CGS_KB
                                           / (4 * math.pi * CGS_HBAR ** 2)) ** 1.5
     Ay = rhs_const * T ** 1.5 * jnp.exp(-4.48 * CGS_EV / (CGS_KB * T)) / rho
-    y = 0.5 * (-Ay + jnp.sqrt(Ay * Ay + 4.0 * Ay))
+    y = 2.0 / (1.0 + jnp.sqrt(1.0 + 4.0 / Ay))
     return jnp.where(Ay < 1e8, y, 1.0)
 
 
@@ -186,16 +203,102 @@ def _gamma_mu_at(rho, T, x_mf, tabs):
     return x, y, mu, eps, gamma_eff
 
 
+def _eps_lean(rho, t, x_mf, tabs):
+    """eps(rho, T) with t = ln T carried by the solver: three exp calls
+    total (exp(t) and the two Saha Boltzmann factors; T^1.5 is T*sqrt(T),
+    funcdum reuses t) — the solver's per-iteration cost is transcendental
+    bound on the TPU VPU, so every exp/log shaved shows up 1:1."""
+    T = jnp.exp(t)
+    T32 = T * jnp.sqrt(T)
+    cx = CGS_M_H / x_mf * (CGS_M_E * CGS_KB
+                           / (2 * math.pi * CGS_HBAR ** 2)) ** 1.5
+    cy = CGS_M_H / (2.0 * x_mf) * (CGS_M_H * CGS_KB
+                                   / (4 * math.pi * CGS_HBAR ** 2)) ** 1.5
+    Ax = cx * T32 * jnp.exp(-13.60 * CGS_EV / (CGS_KB * T)) / rho
+    Ay = cy * T32 * jnp.exp(-4.48 * CGS_EV / (CGS_KB * T)) / rho
+    x = jnp.where(Ax < 1e8, 2.0 / (1.0 + jnp.sqrt(1.0 + 4.0 / Ax)), 1.0)
+    y = jnp.where(Ay < 1e8, 2.0 / (1.0 + jnp.sqrt(1.0 + 4.0 / Ay)), 1.0)
+    eps_hi = 1.5 * x_mf * (1.0 + x) * y
+    eps_he = 0.375 * (1.0 - x_mf)
+    eps_hh = 4.48 * CGS_EV * x_mf * y / (2.0 * CGS_KB * T)
+    eps_hii = 13.60 * CGS_EV * x_mf * x * y / (CGS_KB * T)
+    eps_h2 = 0.5 * x_mf * (1.0 - y) * func_dum_ln(tabs, t)
+    return T, eps_h2 + eps_hii + eps_hh + eps_he + eps_hi
+
+
+def _temperature_hybrid(e_specific_cgs, rho_cgs, x_mf, tabs,
+                        n_bisect: int, n_illinois: int):
+    """Bracketing hybrid solve of e = R T eps(T, rho) in t = ln T on
+    [1, 1e7] K: ``n_bisect`` sign-only halvings localize past the
+    ionization/dissociation cliffs (where the residual is near-vertical
+    and secant methods stall), then ``n_illinois`` Illinois
+    (modified-regula-falsi) steps on the log residual
+    g(t) = t + ln eps - ln(e/R) polish superlinearly.  The root is
+    unique — T eps(T) is strictly increasing (thermodynamic stability) —
+    so bisection and Illinois converge to the same temperature the
+    reference's Brent finds.  Sweep-validated vs the 60-iteration f64
+    bisection over the full table domain (rho 1e-23..1, e 1e8..1e15):
+    13+4 reaches ~2e-6 max relative in f32."""
+    lo = jnp.zeros_like(rho_cgs)                      # ln T = 0
+    hi = jnp.full_like(rho_cgs, 7.0 * math.log(10.0))
+    e_over_R = e_specific_cgs * (CGS_MP / CGS_KB)
+    ln_target = jnp.log(e_over_R)
+
+    def bis_body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        T, eps = _eps_lean(rho_cgs, mid, x_mf, tabs)
+        # root below mid  <=>  T eps > e/R  (sign only: no log needed)
+        take_low = T * eps > e_over_R
+        return (jnp.where(take_low, lo, mid),
+                jnp.where(take_low, mid, hi))
+
+    lo, hi = jax.lax.fori_loop(0, n_bisect, bis_body, (lo, hi))
+
+    def g(t):
+        T, eps = _eps_lean(rho_cgs, t, x_mf, tabs)
+        return t + jnp.log(eps) - ln_target
+
+    glo, ghi = g(lo), g(hi)
+
+    def secant(lo, glo, hi, ghi):
+        """Regula-falsi point, midpoint when the bracket is flat in this
+        dtype (g(lo) == g(hi) rounds the secant to 0/0)."""
+        d = ghi - glo
+        mid = 0.5 * (lo + hi)
+        return jnp.where(d != 0.0, (lo * ghi - hi * glo)
+                         / jnp.where(d != 0.0, d, 1.0), mid)
+
+    def ill_body(_, carry):
+        lo, glo, hi, ghi = carry
+        w = hi - lo
+        s = jnp.clip(secant(lo, glo, hi, ghi), lo + 1e-4 * w, hi - 1e-4 * w)
+        gs = g(s)
+        low = gs < 0.0
+        return (jnp.where(low, s, lo), jnp.where(low, gs, 0.5 * glo),
+                jnp.where(low, hi, s), jnp.where(low, 0.5 * ghi, gs))
+
+    lo, glo, hi, ghi = jax.lax.fori_loop(0, n_illinois, ill_body,
+                                         (lo, glo, hi, ghi))
+    s = jnp.clip(secant(lo, glo, hi, ghi), lo, hi)
+    return jnp.exp(s)
+
+
 def temperature_from_energy(e_specific_cgs, rho_cgs, x_mf, tabs,
                             n_iter: int | None = None):
-    """Invert e(T, rho) = e_specific by bisection in log T on [1, 1e7] K
-    (replaces the reference's Brent + 2-D lookup tables, :243-395).
+    """Invert e(T, rho) = e_specific on [1, 1e7] K (replaces the
+    reference's Brent + 2-D lookup tables, :243-395).
 
-    Iteration count tracks the compute dtype: 48 halvings of the 7-decade
-    bracket reach ~1e-14 relative in T (f64); f32 bottoms out at its
-    epsilon after 26."""
+    float32 (the TPU production dtype) takes the lean bisection+Illinois
+    hybrid (19 cheap evaluations, max rel T error ~2e-6 — at the f32
+    state's own noise floor).  float64 keeps the original 48-halving
+    bisection: it is the solver every reference-binary golden was
+    validated against, and CPU f64 throughput is not a constraint."""
     if n_iter is None:
-        n_iter = 26 if jnp.result_type(e_specific_cgs) == jnp.float32 else 48
+        if jnp.result_type(e_specific_cgs) == jnp.float32:
+            return _temperature_hybrid(e_specific_cgs, rho_cgs, x_mf, tabs,
+                                       n_bisect=13, n_illinois=4)
+        n_iter = 48
     R = CGS_KB / CGS_MP
 
     def resid(T):

@@ -175,7 +175,10 @@ def test_dft_plan_matches_numpy_fft():
     from fargocpt_tpu.ops.dft import RFFT2Plan
 
     rng = np.random.default_rng(7)
-    for (r, n) in [(16, 24), (32, 30), (8, 9)]:   # even and odd naz
+    # small sizes take the dense matrices; sizes >= 64 take the factored
+    # four-step path (both axes, even and odd lengths, prime fallback)
+    for (r, n) in [(16, 24), (32, 30), (8, 9),
+                   (64, 96), (128, 66), (64, 81), (67, 128)]:
         x = rng.standard_normal((r, n))
         plan = RFFT2Plan(r, n, jnp.float64)
         gr, gi = plan.forward(jnp.asarray(x))
