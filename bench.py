@@ -130,10 +130,14 @@ _CHILD_CONFIGS = {
 }
 
 
-def _run_child(name):
-    """Run one bench line in a fresh subprocess; return its parsed JSON
-    line, or None if it crashed or timed out (failure is contained)."""
+def _run_child(name, timeout_cap=None):
+    """Run one bench line in a fresh subprocess; return its raw JSON
+    line (str), or None if it crashed or timed out (failure is
+    contained). Does NOT print to stdout — the orchestrator controls
+    all stdout writes so the official line can be kept last atomically."""
     _, _, _, _, timeout, extra_env = _CHILD_CONFIGS[name]
+    if timeout_cap is not None:
+        timeout = min(timeout, timeout_cap)
     env = dict(os.environ)
     env["BENCH_ONLY"] = name
     env.update(extra_env)
@@ -152,8 +156,7 @@ def _run_child(name):
         print(f"bench[{name}]: rc={res.returncode} (contained)\n"
               f"{res.stdout}", file=sys.stderr)
         return None
-    print(lines[-1], flush=True)
-    return json.loads(lines[-1])
+    return lines[-1]
 
 
 def main():
@@ -163,17 +166,52 @@ def main():
         return run_bench(dtype, int(os.environ.get(steps_env, default)),
                          config=config)
 
-    # The official line is measured FIRST (before anything that could
-    # wedge the TPU worker) and re-emitted LAST (the driver records the
-    # final JSON line).
-    official = _run_child("flagship_f32")
-    if official is None:
+    # The driver records the LAST COMPLETE JSON line of a process it may
+    # kill at ANY moment (round 3: rc=124 mid-PDS70 left the f64 line as
+    # the metric of record). Kill-proofing:
+    #   * the official flagship line is measured FIRST;
+    #   * after EVERY optional child, the child line + a re-emit of the
+    #     official line go out in ONE flushed write (< PIPE_BUF, atomic
+    #     on the driver's pipe) so no kill point can leave an optional
+    #     line last;
+    #   * a total wall-clock budget (BENCH_WALL_BUDGET, seconds) skips
+    #     remaining optional children instead of letting the driver's
+    #     timeout land mid-child.
+    t_start = time.monotonic()
+    wall_budget = float(os.environ.get("BENCH_WALL_BUDGET", 480))
+
+    def emit(text):
+        # ONE raw os.write syscall: atomic on a pipe for < PIPE_BUF
+        # (4096B). sys.stdout.write is NOT enough — under
+        # PYTHONUNBUFFERED=1 the write-through TextIOWrapper splits at
+        # newlines, and a kill can land between the two syscalls
+        # (reproduced 2026-08-19: the f64 line got out, the official
+        # re-emit did not).
+        sys.stdout.flush()
+        os.write(sys.stdout.fileno(), text.encode())
+
+    official_line = _run_child("flagship_f32")
+    if official_line is None:
         sys.exit(1)
+    official = json.loads(official_line)
+    emit(official_line + "\n")
+
+    optional = []
     if os.environ.get("BENCH_SKIP_F64", "") != "1":
-        _run_child("f64")
+        optional.append("f64")
     if os.environ.get("BENCH_SKIP_PDS70", "") != "1":
-        _run_child("pds70")
-    print(json.dumps(official), flush=True)
+        optional.append("pds70")
+    for name in optional:
+        remaining = wall_budget - (time.monotonic() - t_start)
+        if remaining < 60:
+            print(f"bench[{name}]: skipped — wall budget exhausted "
+                  f"({remaining:.0f}s left of {wall_budget:.0f}s)",
+                  file=sys.stderr)
+            continue
+        line = _run_child(name, timeout_cap=remaining)
+        if line is not None:
+            # single atomic write: optional line + official re-emit
+            emit(line + "\n" + official_line + "\n")
     return official
 
 

@@ -103,7 +103,14 @@ class _Factored1D:
         only the real part (hermitian-inverse last stage)."""
         L, L1, L2 = self.L, self.L1, self.L2
         n2_keep = L2 if in_hi is None else -(-in_hi // L1)
-        if xr.shape[-1] != n2_keep * L1:
+        if xr.shape[-1] > n2_keep * L1:
+            # a full-length input with in_hi < L: entries beyond in_hi
+            # are zero by contract — truncate rather than compute a
+            # negative pad width
+            xr = xr[..., :n2_keep * L1]
+            if xi is not None:
+                xi = xi[..., :n2_keep * L1]
+        elif xr.shape[-1] < n2_keep * L1:
             pad = [(0, 0)] * (xr.ndim - 1) + [(0, n2_keep * L1
                                                - xr.shape[-1])]
             xr = jnp.pad(xr, pad)
@@ -144,7 +151,13 @@ class _Factored1D:
         """Transform along axis 0 (same index conventions)."""
         L, L1, L2 = self.L, self.L1, self.L2
         n2_keep = L2 if in_hi is None else -(-in_hi // L1)
-        if xr.shape[0] != n2_keep * L1:
+        if xr.shape[0] > n2_keep * L1:
+            # full-length input with in_hi < L: entries beyond in_hi are
+            # zero by contract — truncate (negative pad would raise)
+            xr = xr[:n2_keep * L1]
+            if xi is not None:
+                xi = xi[:n2_keep * L1]
+        elif xr.shape[0] < n2_keep * L1:
             pad = [(0, n2_keep * L1 - xr.shape[0])] + [(0, 0)] * (xr.ndim - 1)
             xr = jnp.pad(xr, pad)
             if xi is not None:

@@ -238,10 +238,16 @@ def _temperature_hybrid(e_specific_cgs, rho_cgs, x_mf, tabs,
     so bisection and Illinois converge to the same temperature the
     reference's Brent finds.  Sweep-validated vs the 60-iteration f64
     bisection over the full table domain (rho 1e-23..1, e 1e8..1e15):
-    13+4 reaches ~2e-6 max relative in f32."""
+    13+4 reaches ~1e-5 max relative in f32 (p99 ~2e-6; the old
+    26-iteration f32 bisection it replaced measured 3.2e-6 max)."""
     lo = jnp.zeros_like(rho_cgs)                      # ln T = 0
     hi = jnp.full_like(rho_cgs, 7.0 * math.log(10.0))
     e_over_R = e_specific_cgs * (CGS_MP / CGS_KB)
+    # one underflowed cell (e <= 0) would make ln_target = -inf, turning
+    # the secant into inf - inf = NaN and poisoning the grid; clamp to
+    # the dtype's tiny so such cells degrade to the 1 K bracket edge,
+    # matching the bisection-only solver's behavior
+    e_over_R = jnp.maximum(e_over_R, jnp.finfo(e_over_R.dtype).tiny)
     ln_target = jnp.log(e_over_R)
 
     def bis_body(_, carry):
@@ -290,8 +296,9 @@ def temperature_from_energy(e_specific_cgs, rho_cgs, x_mf, tabs,
     reference's Brent + 2-D lookup tables, :243-395).
 
     float32 (the TPU production dtype) takes the lean bisection+Illinois
-    hybrid (19 cheap evaluations, max rel T error ~2e-6 — at the f32
-    state's own noise floor).  float64 keeps the original 48-halving
+    hybrid (19 cheap evaluations, max rel T error ~1e-5 worst-case /
+    ~2e-6 at p99 — at the f32 state's own noise floor).  float64 keeps
+    the original 48-halving
     bisection: it is the solver every reference-binary golden was
     validated against, and CPU f64 throughput is not a constraint."""
     if n_iter is None:

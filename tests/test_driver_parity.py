@@ -40,25 +40,93 @@ def test_bench_smoke_fresh_subprocess(tmp_path):
     res = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
         env=_clean_env(BENCH_NRAD="64", BENCH_NAZ="128", BENCH_STEPS="2",
-                       BENCH_F64_STEPS="2", BENCH_PDS70_STEPS="2"),
+                       BENCH_F64_STEPS="2", BENCH_PDS70_STEPS="2",
+                       BENCH_WALL_BUDGET="1700"),
         capture_output=True, text=True, timeout=1800, cwd=str(REPO))
     assert res.returncode == 0, \
         f"bench.py crashed in a fresh process:\n{res.stdout}\n{res.stderr}"
     import json
     lines = [l for l in res.stdout.splitlines() if l.startswith("{")]
-    # flagship f32 (measured first) + f64 + PDS70 full-physics, then the
-    # official flagship line re-emitted LAST for the driver (no f64-fused
-    # line: the axon X64-emulation pass cannot rewrite f64 pallas
-    # custom-calls, see bench.py _CHILD_CONFIGS)
-    assert len(lines) == 4, f"expected 4 JSON lines, got: {res.stdout}"
-    last = json.loads(lines[-1])
-    assert "full-physics step" in last["metric"]
-    assert "float32" in last["metric"]
-    assert last == json.loads(lines[0])  # re-emit of the measured line
+    # Kill-proof ordering (round-3 fix): flagship f32 measured first,
+    # then AFTER EVERY optional child (f64, PDS70) the official flagship
+    # line is re-emitted atomically, so the sequence is
+    # [official, f64, official, pds70, official] — a driver kill at any
+    # point leaves the official line as the last complete one.
+    assert len(lines) == 5, f"expected 5 JSON lines, got: {res.stdout}"
+    official = json.loads(lines[0])
+    assert "full-physics step" in official["metric"]
+    assert "float32" in official["metric"]
+    for i in (2, 4):
+        assert json.loads(lines[i]) == official, \
+            f"line {i} must be the official re-emit, got {lines[i]}"
     for line in lines:
         rec = json.loads(line)
         assert rec["value"] > 0
         assert rec["unit"] == "Mcell/s"
+
+
+@pytest.mark.slow
+def test_bench_kill_resilience():
+    """A driver kill mid-run must never leave an optional bench line as
+    the last complete JSON line (the exact round-3 failure: rc=124
+    during the PDS70 child recorded the f64 line, 0.055x, as the metric
+    of record). Simulate the kill: SIGKILL the orchestrator right after
+    the first optional child's line appears, then assert the last
+    complete stdout JSON line is the official flagship f32 one."""
+    import json
+    import signal
+
+    # PDS70 is deliberately NOT skipped: its slow child is the kill
+    # window (r03's rc=124 landed there). The f64 line appearing on
+    # stdout while PDS70 still has many seconds to run makes the kill
+    # timing deterministic: the fixed bench emits the official re-emit
+    # in the SAME atomic write as the f64 line, the old one would not
+    # print it again until PDS70 completed.
+    env = _clean_env(BENCH_NRAD="64", BENCH_NAZ="128", BENCH_STEPS="2",
+                     BENCH_F64_STEPS="2", BENCH_PDS70_STEPS="2",
+                     BENCH_WALL_BUDGET="1700")
+    proc = subprocess.Popen(
+        [sys.executable, str(REPO / "bench.py")], env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        cwd=str(REPO), start_new_session=True)
+    collected = []
+    try:
+        # read until the f64 child's line shows up (the kill window that
+        # burned round 3), then SIGKILL the whole group immediately
+        # (group kill also reaps the in-flight PDS70 grandchild)
+        while True:
+            line = proc.stdout.readline()
+            if not line:  # orchestrator finished before we could kill it
+                break
+            collected.append(line)
+            if line.startswith("{") and "float64" in line:
+                break
+        try:
+            os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        # drain via proc.stdout.read(), NOT communicate(): communicate
+        # reads the raw fd through a selector and silently DISCARDS data
+        # readline() already pulled into the TextIOWrapper buffer — which
+        # is exactly where the atomic f64+official write's second line
+        # lives
+        rest = proc.stdout.read()
+        proc.wait(timeout=60)
+        collected.append(rest)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=60)
+    stdout = "".join(collected)
+    lines = [l for l in stdout.splitlines() if l.startswith("{")]
+    assert lines, f"no JSON lines before the kill:\n{stdout}"
+    # the f64 line must have printed (we killed right after it) ...
+    assert any("float64" in l for l in lines), stdout
+    # ... and yet the LAST complete line must be the official flagship
+    last = json.loads(lines[-1])
+    assert "float32" in last["metric"], \
+        f"kill left a non-official line last: {lines[-1]}"
+    assert last == json.loads(lines[0])
 
 
 def test_graft_entry_fresh_subprocess():

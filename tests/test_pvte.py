@@ -14,6 +14,7 @@ the EoS), matching the qualitative PLUTO comparison the reference ships.
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from fargocpt_tpu.ops import pvte
@@ -89,6 +90,38 @@ def test_temperature_energy_roundtrip():
     e = R * T / (mu * (gam - 1.0))
     T_back = pvte.temperature_from_energy(e, rho, XMF, tabs())
     np.testing.assert_allclose(np.asarray(T_back), np.asarray(T), rtol=1e-6)
+
+
+def test_temperature_energy_roundtrip_f32():
+    """Pin the f32 production solver path (the 13+4 bisection+Illinois
+    hybrid — f64 inputs take the bisection branch and would leave the
+    hybrid untested). Advisor-measured worst case over the full table
+    domain is ~1e-5 relative; gate the round-trip at 5e-5."""
+    rng = np.random.default_rng(7)
+    rho = jnp.asarray(10.0 ** rng.uniform(-20, -5, 512), jnp.float32)
+    T = jnp.asarray(10.0 ** rng.uniform(0.5, 6.5, 512), jnp.float32)
+    R = pvte.CGS_KB / pvte.CGS_MP
+    tb = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), tabs())
+    x, y, mu, eps, gam = pvte._gamma_mu_at(rho, T, XMF, tb)
+    e = jnp.asarray(R * T / (mu * (gam - 1.0)), jnp.float32)
+    T_back = pvte.temperature_from_energy(e, rho, XMF, tb)
+    assert T_back.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(T_back), np.asarray(T), rtol=5e-5)
+
+
+def test_temperature_hybrid_zero_energy_no_nan():
+    """An underflowed cell (e <= 0) must not poison the grid with NaN:
+    ln(0) = -inf used to make the Illinois secant compute inf - inf. The
+    clamped solver degrades to the 1 K bracket edge like the bisection."""
+    rho = jnp.asarray([1e-12, 1e-12, 1e-12], jnp.float32)
+    e = jnp.asarray([0.0, -1.0, 1e10], jnp.float32)
+    tb = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), tabs())
+    T = pvte.temperature_from_energy(e, rho, XMF, tb)
+    T = np.asarray(T)
+    assert np.all(np.isfinite(T)), T
+    # degenerate cells land at (or within bracket-clip of) the 1 K edge
+    assert T[0] < 2.0 and T[1] < 2.0
+    assert T[2] > 1e2  # the healthy cell still solves normally
 
 
 def pvte_shock_config(eos):
