@@ -202,7 +202,10 @@ def main(argv=None):
         sim._dt_primed = True
     import time
     _log_state = {"steps": 0, "wall": time.time()}
-    sim._handle_outputs(initial=True)
+    if not getattr(sim, "_restored", False):
+        # restarts must not re-register the restored snapshot (reference
+        # run() writes no initial output, src/simulation.cpp:505-560)
+        sim._handle_outputs(initial=True)
     while sim.n_monitor < total_monitors:
         if args.max_iterations is not None \
                 and sim.n_hydro_iter >= args.max_iterations:

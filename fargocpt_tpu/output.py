@@ -93,6 +93,11 @@ class OutputWriter:
     def _setup(self):
         for sub in ("snapshots", "monitor", "parameters"):
             (self.outdir / sub).mkdir(parents=True, exist_ok=True)
+        # output-format identifier: the reference's python Loader refuses
+        # to open a directory without it (reference src/output.cpp:205
+        # write_output_version, python_module/fargocpt/data.py
+        # _check_output_dir)
+        (self.outdir / "fargocpt_output_v1_4").touch()
         self._write_dimensions()
         self._write_used_rad()
         self._write_units()
@@ -272,6 +277,7 @@ class OutputWriter:
             if register:
                 with open(self.outdir / "snapshots" / "list.txt", "a") as fl:
                     fl.write(sid + "\n")
+                self._write_time_snapshot()
             return
         # prognostic gates (reference src/parameters.cpp:243-250
         # WriteDensity/WriteVelocity/WriteEnergy, default on)
@@ -418,6 +424,32 @@ class OutputWriter:
         if register:
             with open(self.outdir / "snapshots" / "list.txt", "a") as fl:
                 fl.write(sid + "\n")
+            self._write_time_snapshot()
+
+    def _write_time_snapshot(self):
+        """Append (snapshot number, monitor number, time) to
+        snapshots/timeSnapshot.dat with the reference's exact header and
+        row format (reference src/output.cpp:1010-1068
+        ``write_snapshot_time``); the reference Loader reads snapshot
+        times and monitor numbers from this file
+        (python_module/fargocpt/data.py ``_load_snapshots``)."""
+        sim = self.sim
+        path = self.outdir / "snapshots" / "timeSnapshot.dat"
+        if not path.exists():
+            un = sim.units
+            mt = sim.settings.monitor_timestep
+            with open(path, "w") as f:
+                f.write("# Time log for course output.\n"
+                        "#version: 0.1\n"
+                        "#variable: 0 | snapshot number | 1\n"
+                        "#variable: 1 | monitor number | 1\n"
+                        f"#variable: 2 | time | {un.time:.16e} s\n"
+                        f"# One monitor_timestep is {mt:.18g} (code) and "
+                        f"{mt * un.time:.18g} (cgs).\n"
+                        "# Syntax: snapshot number <tab> monitor number "
+                        "<tab> time (cgs)\n")
+        with open(path, "a") as f:
+            f.write(f"{sim.n_snapshot}\t{sim.n_monitor}\t{sim.time:#.16e}\n")
 
     def _write_1d(self, sdir: Path, name: str, field2d: np.ndarray,
                   radius: np.ndarray):
@@ -1047,4 +1079,8 @@ def restore_simulation(sim, outdir: str | Path, snapshot_id: str | int):
     # restarts resume with the stored last_dt; the fresh-start double
     # growth (sim.py run()) must not apply (reference src/simulation.cpp:467)
     sim._dt_primed = True
+    # the reference never re-writes the restored snapshot on restart
+    # (src/simulation.cpp:505-560 run() has no initial handle_outputs);
+    # re-registering it would duplicate list.txt / timeSnapshot.dat rows
+    sim._restored = True
     return sim

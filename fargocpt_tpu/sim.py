@@ -338,7 +338,11 @@ class Simulation:
             self.calculate_time_step()   # main.cpp:117
             self.calculate_time_step()   # sim::init, simulation.cpp:467
             self._dt_primed = True
-        self._handle_outputs(initial=True)
+        if not getattr(self, "_restored", False):
+            # the reference writes the t=0 snapshot only on a fresh start;
+            # a restart resumes without re-registering the restored
+            # snapshot (src/simulation.cpp:505-560)
+            self._handle_outputs(initial=True)
         while self.n_monitor < total_monitors:
             if max_steps is not None and self.n_hydro_iter >= max_steps:
                 break
