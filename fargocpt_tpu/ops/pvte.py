@@ -329,6 +329,271 @@ def temperature_from_energy(e_specific_cgs, rho_cgs, x_mf, tabs,
     return 10.0 ** (0.5 * (lo + hi))
 
 
+# ---------------------------------------------------------------------------
+# Fast fully-elementwise PVTE path (float32 production).
+#
+# The one-hot funcdum matmul above materializes a (cells, 32) selector per
+# evaluation and the fori_loop solver round-trips its bracket carries
+# through HBM every iteration — together ~88% of the PDS70 full-physics
+# step time (TPU ablation 2026-08-19: 28.4 Mcell/s full vs 237 with Ideal
+# EoS).  The path below removes every non-elementwise op so XLA fuses the
+# whole refresh into a handful of kernels:
+#   * funcdum = 1.5 + dum2 + dum3 with dum2 ANALYTIC (one expm1; the
+#     vibrational term in reference src/pvte_law.cpp:305-369 is closed
+#     form) and dum3 (the rotational part) as a piecewise Chebyshev fit
+#     with STATIC scalar coefficients evaluated by Clenshaw — no gather,
+#     no one-hot, max abs fit error 5.1e-8 (better than the one-hot fit's
+#     8.4e-8 relative).
+#   * the bisection+Illinois temperature solve fully unrolled.
+#   * gamma1 analytic (exact derivatives of the Saha fractions and the
+#     fit) instead of the 5-point finite difference — in f32 the FD with
+#     epsn = 1e-4 sits at the rounding floor; the analytic form is both
+#     cheaper (1 evaluation instead of 5) and more accurate.
+
+_FD_ELEM_BOUNDS = (8.0, 40.0, 130.0, 500.0, 2000.0)   # K, feature window
+_FD_ELEM_DEG = 14
+_FD_TAIL_DEG = 6
+
+
+def _dum2_np(T):
+    """Analytic vibrational contribution (reference :357-360)."""
+    d1 = THETA_V / np.asarray(T, np.float64)
+    return d1 * np.exp(-d1) / (1.0 - np.exp(-d1))
+
+
+@functools.lru_cache(maxsize=1)
+def funcdum_elem_tables():
+    """Chebyshev-basis coefficients (python-float tuples — static trace
+    constants) for the elementwise dum3 = funcdum - 1.5 - dum2:
+      T < 8 K          : 0 (exact to 1.1e-7 — rotation frozen out)
+      8 K .. 2000 K    : 4 Chebyshev segments of degree 14 in ln T
+      T > 2000 K       : degree-6 Chebyshev in u = THETA_R/T (the
+                         classical-rotor asymptote is polynomial in 1/T;
+                         fit error 4e-15)
+    Each entry also carries the d/dlnT derivative coefficients."""
+    import numpy.polynomial.chebyshev as cheb
+    n = 512
+    xn = np.cos(np.pi * (np.arange(n) + 0.5) / n)
+    segs = []
+    b = _FD_ELEM_BOUNDS
+    for i in range(len(b) - 1):
+        lo, hi = math.log(b[i]), math.log(b[i + 1])
+        ln = 0.5 * (xn + 1.0) * (hi - lo) + lo
+        T = np.exp(ln)
+        d3 = _funcdum_exact_np(T) - 1.5 - _dum2_np(T)
+        c = cheb.chebfit(xn, d3, _FD_ELEM_DEG)
+        dc = cheb.chebder(c) * (2.0 / (hi - lo))          # d/dlnT
+        segs.append((lo, hi, tuple(c.tolist()), tuple(dc.tolist())))
+    # tail: u = THETA_R/T on T in [2000 K, inf), x = 2 u/umax - 1
+    umax = THETA_R / b[-1]
+    u = np.maximum(0.5 * (xn + 1.0) * umax, 1e-12)
+    T = THETA_R / u
+    d3 = _funcdum_exact_np(T) - 1.5 - _dum2_np(T)
+    ct = cheb.chebfit(xn, d3, _FD_TAIL_DEG)
+    dct = cheb.chebder(ct) * (2.0 / umax)                 # d/du
+    tail = (math.log(b[-1]), umax, tuple(ct.tolist()), tuple(dct.tolist()))
+    return tuple(segs), tail
+
+
+def _clenshaw(x, c):
+    """Chebyshev-basis Clenshaw with static scalar coefficients."""
+    b1 = jnp.zeros_like(x)
+    b2 = jnp.zeros_like(x)
+    two_x = 2.0 * x
+    for k in range(len(c) - 1, 0, -1):
+        b1, b2 = c[k] + two_x * b1 - b2, b1
+    return c[0] + x * b1 - b2
+
+
+def _funcdum_fast(t, invT, want_deriv=False):
+    """funcdum(ln T) and optionally d funcdum/d lnT, pure elementwise."""
+    segs, (t_tail, umax, ct, dct) = funcdum_elem_tables()
+    d1 = THETA_V * invT
+    m = jnp.expm1(-d1)                     # exp(-d1) - 1, in [-1, 0)
+    dum2 = -d1 * (1.0 + m) / m             # d1 e^-d1 / (1 - e^-d1)
+    val = jnp.zeros_like(t)
+    der = jnp.zeros_like(t) if want_deriv else None
+    for lo, hi, c, dc in segs:
+        x = jnp.clip((t - lo) * (2.0 / (hi - lo)) - 1.0, -1.0, 1.0)
+        sel = (t >= lo) & (t < hi)
+        val = jnp.where(sel, _clenshaw(x, c), val)
+        if want_deriv:
+            der = jnp.where(sel, _clenshaw(x, dc), der)
+    u = THETA_R * invT
+    xt = jnp.clip(2.0 * u / umax - 1.0, -1.0, 1.0)
+    sel = t >= t_tail
+    val = jnp.where(sel, _clenshaw(xt, ct), val)
+    F = 1.5 + dum2 + val
+    if not want_deriv:
+        return F, None
+    der = jnp.where(sel, _clenshaw(xt, dct) * (-u), der)
+    dd2 = dum2 * (-d1 / m - 1.0)           # d dum2/d lnT
+    return F, dd2 + der
+
+
+_THX = 13.60 * CGS_EV / CGS_KB             # ionization theta [K]
+_THY = 4.48 * CGS_EV / CGS_KB              # dissociation theta [K]
+_CSAHA_X = CGS_M_H * (CGS_M_E * CGS_KB / (2 * math.pi * CGS_HBAR ** 2)) ** 1.5
+_CSAHA_Y = CGS_M_H / 2.0 \
+    * (CGS_M_H * CGS_KB / (4 * math.pi * CGS_HBAR ** 2)) ** 1.5
+
+
+def _pvte_terms(rho, t, x_mf, want_deriv=False):
+    """One elementwise PVTE evaluation at t = ln T.
+
+    Returns (T, eps) and, with ``want_deriv``, also
+    (deps/dlnT, mu, dmu/dlnT, dmu/dlnrho) — everything gamma_eff, the
+    Newton/Illinois residual derivative, and the ANALYTIC gamma1
+    (reference :151-213 semantics) need, from a single evaluation."""
+    T = jnp.exp(t)
+    invT = 1.0 / T
+    T32 = T * jnp.sqrt(T)
+    Ax = (_CSAHA_X / x_mf) * T32 * jnp.exp(-_THX * invT) / rho
+    Ay = (_CSAHA_Y / x_mf) * T32 * jnp.exp(-_THY * invT) / rho
+    sx = jnp.sqrt(1.0 + 4.0 / Ax)
+    sy = jnp.sqrt(1.0 + 4.0 / Ay)
+    satx = Ax >= 1e8
+    saty = Ay >= 1e8
+    x = jnp.where(satx, 1.0, 2.0 / (1.0 + sx))
+    y = jnp.where(saty, 1.0, 2.0 / (1.0 + sy))
+    F, Fp = _funcdum_fast(t, invT, want_deriv)
+    chh = 4.48 * CGS_EV * x_mf / (2.0 * CGS_KB)
+    chii = 13.60 * CGS_EV * x_mf / CGS_KB
+    eps = (0.5 * x_mf * (1.0 - y) * F
+           + chii * x * y * invT
+           + chh * y * invT
+           + 0.375 * (1.0 - x_mf)
+           + 1.5 * x_mf * (1.0 + x) * y)
+    if not want_deriv:
+        return T, eps, None
+    # d x/d lnA = x^2 u/(4 s) = (s-1)/(s (1+s)) with u = 4/A (conjugate
+    # form: no 0*inf when A underflows to 0 and s = inf)
+    dfx = jnp.where(satx | (Ax <= 0.0), 0.0, (sx - 1.0) / (sx * (1.0 + sx)))
+    dfy = jnp.where(saty | (Ay <= 0.0), 0.0, (sy - 1.0) / (sy * (1.0 + sy)))
+    dx_t = dfx * (1.5 + _THX * invT)       # d lnAx/d lnT = 1.5 + thx/T
+    dy_t = dfy * (1.5 + _THY * invT)
+    dx_r = -dfx                            # d lnAx/d lnrho = -1
+    dy_r = -dfy
+    deps_t = (1.5 * x_mf * ((1.0 + x) * dy_t + y * dx_t)
+              + chh * (dy_t - y) * invT
+              + chii * (x * dy_t + y * dx_t - x * y) * invT
+              + 0.5 * x_mf * ((1.0 - y) * Fp - F * dy_t))
+    mu_den = 2.0 * x_mf * (1.0 + y + 2.0 * y * x) + 1.0 - x_mf
+    mu = 4.0 / mu_den
+    dden_t = 2.0 * x_mf * ((1.0 + 2.0 * x) * dy_t + 2.0 * y * dx_t)
+    dden_r = 2.0 * x_mf * ((1.0 + 2.0 * x) * dy_r + 2.0 * y * dx_r)
+    dmu_t = -(mu * mu / 4.0) * dden_t
+    dmu_r = -(mu * mu / 4.0) * dden_r
+    return T, eps, (deps_t, mu, dmu_t, dmu_r)
+
+
+_LNT_HI = 7.0 * math.log(10.0)             # solve bracket [1 K, 1e7 K]
+
+
+def _temperature_fast(e_specific_cgs, rho_cgs, x_mf,
+                      n_bisect: int = 13, n_illinois: int = 4):
+    """The 13+4 bisection+Illinois hybrid of ``_temperature_hybrid`` with
+    fully UNROLLED iterations and the elementwise funcdum — one XLA
+    fusion instead of a fori_loop of one-hot matmuls.  Same bracket, same
+    iteration structure, same worst-case accuracy (~1e-5 rel in f32);
+    only the funcdum fit differs (5.1e-8 vs 8.4e-8 — both below the
+    solver's own error).  Returns t = ln T."""
+    lo = jnp.zeros_like(rho_cgs)
+    hi = jnp.full_like(rho_cgs, _LNT_HI)
+    e_over_R = e_specific_cgs * (CGS_MP / CGS_KB)
+    e_over_R = jnp.maximum(e_over_R, jnp.finfo(e_over_R.dtype).tiny)
+    ln_target = jnp.log(e_over_R)
+
+    for _ in range(n_bisect):
+        mid = 0.5 * (lo + hi)
+        T, eps, _ = _pvte_terms(rho_cgs, mid, x_mf)
+        take_low = T * eps > e_over_R
+        lo = jnp.where(take_low, lo, mid)
+        hi = jnp.where(take_low, mid, hi)
+
+    def g(t):
+        T, eps, _ = _pvte_terms(rho_cgs, t, x_mf)
+        return t + jnp.log(eps) - ln_target
+
+    def secant(lo, glo, hi, ghi):
+        d = ghi - glo
+        mid = 0.5 * (lo + hi)
+        return jnp.where(d != 0.0, (lo * ghi - hi * glo)
+                         / jnp.where(d != 0.0, d, 1.0), mid)
+
+    glo, ghi = g(lo), g(hi)
+    for _ in range(n_illinois):
+        w = hi - lo
+        s = jnp.clip(secant(lo, glo, hi, ghi), lo + 1e-4 * w, hi - 1e-4 * w)
+        gs = g(s)
+        low = gs < 0.0
+        lo, glo, hi, ghi = (jnp.where(low, s, lo),
+                            jnp.where(low, gs, 0.5 * glo),
+                            jnp.where(low, hi, s),
+                            jnp.where(low, 0.5 * ghi, gs))
+    return jnp.clip(secant(lo, glo, hi, ghi), lo, hi)
+
+
+def _temperature_warm(e_over_R, ln_target, rho_cgs, x_mf, t0,
+                      n_newton: int = 5):
+    """Bracket-safeguarded Newton polish in t = ln T from a warm guess.
+
+    ``t0`` comes from the previous refresh's (gamma_eff, mu) applied to
+    the CURRENT energy — between substeps that is within ~1e-2 of the
+    root, so ``n_newton`` damped-Newton iterations converge far below the
+    cold hybrid's 1e-5 tolerance.  Each iteration updates a sign bracket
+    and falls back to its midpoint when the Newton step leaves it, so a
+    poor guess degrades gracefully instead of diverging.  g' = d ln(T
+    eps)/d ln T = cv T/e > 0 (thermodynamic stability) keeps the Newton
+    direction well-defined; the 0.05 floor guards fit-rounding only."""
+    t = jnp.clip(t0, 0.0, _LNT_HI)
+    lo = jnp.zeros_like(t)
+    hi = jnp.full_like(t, _LNT_HI)
+    for _ in range(n_newton):
+        _T, eps, (deps_t, _mu, _dt, _dr) = _pvte_terms(
+            rho_cgs, t, x_mf, want_deriv=True)
+        gg = t + jnp.log(eps) - ln_target
+        gp = jnp.maximum(1.0 + deps_t / eps, 0.05)
+        lo = jnp.where(gg < 0.0, t, lo)
+        hi = jnp.where(gg >= 0.0, t, hi)
+        tn = t - gg / gp
+        # non-strict bounds: at convergence the bracket edge IS the
+        # iterate (hi = t, tn == t) — a strict test would bounce the
+        # converged cell to the bracket midpoint
+        t = jnp.where((tn >= lo) & (tn <= hi), tn, 0.5 * (lo + hi))
+    return t
+
+
+def gamma_mu_fast(rho_cgs, e_specific_cgs, x_mf, guess=None, n_newton=5):
+    """(gamma_eff, mu, gamma1) via the fused elementwise path: the
+    T-solve (unrolled cold hybrid, or the warm Newton polish when
+    ``guess`` carries the previous refresh's (gamma_eff, mu)), then ONE
+    derivative evaluation supplies gamma_eff and the analytic gamma1
+    (reference :151-213: cv, chi_T, chi_rho from the same Saha/funcdum
+    derivatives the finite difference probes)."""
+    if guess is None:
+        t = _temperature_fast(e_specific_cgs, rho_cgs, x_mf)
+    else:
+        e_over_R = e_specific_cgs * (CGS_MP / CGS_KB)
+        e_over_R = jnp.maximum(e_over_R, jnp.finfo(e_over_R.dtype).tiny)
+        ln_target = jnp.log(e_over_R)
+        # T = e/R / eps with eps = 1/(mu (gamma_eff - 1)) from the guess;
+        # clamp the argument so an unseeded cell (e.g. a zero-padded halo
+        # row) degrades to a bracket-edge start instead of log(<=0) = NaN
+        gm = jnp.maximum(guess[1] * (guess[0] - 1.0),
+                         jnp.finfo(e_over_R.dtype).tiny)
+        t0 = ln_target + jnp.log(gm)
+        t = _temperature_warm(e_over_R, ln_target, rho_cgs, x_mf, t0,
+                              n_newton)
+    _T, eps, (deps_t, mu, dmu_t, dmu_r) = _pvte_terms(
+        rho_cgs, t, x_mf, want_deriv=True)
+    gamma_eff = 1.0 + 1.0 / (mu * eps)
+    chi_t = 1.0 - dmu_t / mu
+    chi_r = 1.0 - dmu_r / mu
+    g1 = (gamma_eff - 1.0) * eps * chi_t ** 2 / (eps + deps_t) + chi_r
+    return gamma_eff, mu, g1
+
+
 # lookup-table parameters (reference src/pvte_law.cpp:25-41)
 N_RHO = 1000
 N_E = 1000
@@ -479,6 +744,18 @@ class PVTE:
         self.density_factor = phys.density_factor
         self.shock_tube = phys.shock_tube
         self.lookup = bool(getattr(phys, "pvte_lookup_table", False))
+        # the fused elementwise path serves f32 production; f64 keeps the
+        # original one-hot/fori_loop pipeline every reference-binary
+        # golden was validated against.  FARGOCPT_TPU_PVTE_FAST=0 opts
+        # f32 back into the legacy pipeline (A/B escape hatch).
+        import os as _os
+        self.fast = (jnp.dtype(dtype) == jnp.float32 and not self.lookup
+                     and _os.environ.get("FARGOCPT_TPU_PVTE_FAST", "1")
+                     != "0")
+        # warm-start chaining (FARGOCPT_TPU_PVTE_WARM=0 forces every
+        # refresh through the cold hybrid for A/B comparison)
+        self.warm = self.fast and _os.environ.get(
+            "FARGOCPT_TPU_PVTE_WARM", "1") != "0"
         if self.lookup:
             # reference-exact table mode: quantizes (geff, mu, g1) onto
             # the reference's 1000x1000 grid; the default in-graph
@@ -486,11 +763,15 @@ class PVTE:
             self.tables = tuple(jnp.asarray(t, dtype)
                                 for t in lookup_tables(self.x_mf))
 
-    def gamma_mu(self, sigma, energy, scale_height):
+    def gamma_mu(self, sigma, energy, scale_height, guess=None):
         """(gamma_eff, mu, gamma1) grids from the state
         (reference :497-541 ``compute_gamma_mu``). Shock-tube runs use
         the surface density directly as the volume density — no
-        midplane scale-height conversion (reference :521-524)."""
+        midplane scale-height conversion (reference :521-524).
+
+        ``guess``: optional (gamma_eff, mu) from a recent refresh —
+        warm-starts the fast path's temperature solve (pure solver
+        cache, tolerance-equivalent)."""
         un = self.units
         if self.shock_tube > 0:
             rho_cgs = sigma * un.density
@@ -500,6 +781,9 @@ class PVTE:
         e_spec_cgs = energy / sigma * (un.energy_density / un.surface_density)
         if self.lookup:
             return lookup_gamma_mu(rho_cgs, e_spec_cgs, self.tables)
+        if self.fast:
+            return gamma_mu_fast(rho_cgs, e_spec_cgs, self.x_mf,
+                                 guess=guess if self.warm else None)
         T = temperature_from_energy(e_spec_cgs, rho_cgs, self.x_mf, self.tabs)
         _x, _y, mu, eps, gamma_eff = _gamma_mu_at(rho_cgs, T, self.x_mf,
                                                   self.tabs)

@@ -271,6 +271,11 @@ class OutputWriter:
             if sim.phys.is_adiabatic and (sim.phys.bitwise_exact_restarting
                                           or sim.phys.write_qminus):
                 write_sharded_array(sim.state.qminus, sdir, "Qminus")
+            if sim.phys.bitwise_exact_restarting \
+                    and sim.state.pvte_guess is not None:
+                write_sharded_array(sim.state.pvte_guess[0], sdir,
+                                    "PvteGeff")
+                write_sharded_array(sim.state.pvte_guess[1], sdir, "PvteMu")
             self._write_misc(sdir)
             self._write_nbody_bin(sdir)
             self._awriter.flush()
@@ -303,6 +308,12 @@ class OutputWriter:
         if (sim.phys.bitwise_exact_restarting or sim.phys.write_qminus) \
                 and sim.phys.is_adiabatic:
             w(sdir / "Qminus.dat", np.asarray(sim.state.qminus))
+        # PVTE warm-start cache: pure solver state, stored only so a
+        # restart replays the uninterrupted trajectory bit-for-bit
+        if sim.phys.bitwise_exact_restarting \
+                and sim.state.pvte_guess is not None:
+            w(sdir / "PvteGeff.dat", np.asarray(sim.state.pvte_guess[0]))
+            w(sdir / "PvteMu.dat", np.asarray(sim.state.pvte_guess[1]))
 
         # 1-D radial profiles: interleaved [radius, azi-avg, min, max]
         # per ring (reference src/polargrid.cpp:187-260 write1D)
@@ -1018,7 +1029,8 @@ def restore_simulation(sim, outdir: str | Path, snapshot_id: str | int):
             cur = getattr(sim.fields,
                           {"Sigma": "sigma", "vrad": "vrad", "vazi": "vaz",
                            "energy": "energy", "Qplus": "qplus",
-                           "Qminus": "qminus"}[base])
+                           "Qminus": "qminus", "PvteGeff": "sigma",
+                           "PvteMu": "sigma"}[base])
             return read_sharded_array(sdir, base, (nrad, g.naz),
                                       cur.sharding, dt)
         return jnp.asarray(
@@ -1067,10 +1079,27 @@ def restore_simulation(sim, outdir: str | Path, snapshot_id: str | int):
             else jnp.zeros(n, dt),
             facold=jnp.asarray(arr[:, 8], dt) if ncol == 9
             else jnp.full(n, 1e-4, dt)))
+    pvte_guess = sim.state.pvte_guess
+    if pvte_guess is not None:
+        if _have("PvteGeff") and _have("PvteMu"):
+            # exact warm-start cache from the snapshot: the restarted
+            # trajectory is bitwise the uninterrupted one
+            pvte_guess = (rd("PvteGeff.dat", g.nrad),
+                          rd("PvteMu.dat", g.nrad))
+        else:
+            # no cache in the snapshot: re-seed with a cold solve on the
+            # RESTORED fields (a pure solver cache — tolerance-level
+            # difference only)
+            st = sim.stepper
+            st._pvte_chain = None
+            pv = st.pvte_vals(fields.sigma, fields.energy)
+            st._pvte_chain = None
+            pvte_guess = (pv[0], pv[1])
     sim.state = sim.state.replace(
         fields=fields, nbody=nbody, qplus=qplus, qminus=qminus,
         omega_frame=jnp.asarray(misc["omega_frame"], dt),
-        frame_angle=jnp.asarray(misc["frame_angle"], dt))
+        frame_angle=jnp.asarray(misc["frame_angle"], dt),
+        pvte_guess=pvte_guess)
     sim.time = misc["time"]
     sim.last_dt = misc["last_dt"]
     sim.n_monitor = misc["n_monitor"]

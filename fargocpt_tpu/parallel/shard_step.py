@@ -308,12 +308,20 @@ class ShardedHydroStep:
         ext = {"sigma": f.sigma, "vrad": f.vrad, "vaz": f.vaz,
                "energy": f.energy, "qplus": state.qplus,
                "qminus": state.qminus}
+        names = self._XNAMES
+        if state.pvte_guess is not None:
+            # the PVTE warm-start cache rides the same stacked exchange:
+            # halo-ring guesses must be live or the boundary rows' EoS
+            # refresh would Newton-polish from a zero-padded start
+            ext["pvte_geff"] = state.pvte_guess[0]
+            ext["pvte_mu"] = state.pvte_guess[1]
+            names = names + ("pvte_geff", "pvte_mu")
         own_off = ctx["own_off"]
 
         def own(x):
             return jax.lax.dynamic_slice_in_dim(x, own_off, L, axis=0)
 
-        stackd = jnp.stack([own(ext[k]) for k in self._XNAMES])  # (F,L,NAZ)
+        stackd = jnp.stack([own(ext[k]) for k in names])  # (F,L,NAZ)
         top_blk = stackd[:, L - S:, :]
         bot_blk = stackd[:, :S, :]
         fwd = [(i, i + 1) for i in range(n - 1)]
@@ -330,14 +338,17 @@ class ShardedHydroStep:
 
         off = ctx["off_avail"]
         new = {}
-        for i, k in enumerate(self._XNAMES):
+        for i, k in enumerate(names):
             rows = Lx + 1 if k == "vrad" else Lx
             new[k] = jax.lax.dynamic_slice_in_dim(avail[i], off, rows,
                                                   axis=0)
+        kw = {}
+        if state.pvte_guess is not None:
+            kw["pvte_guess"] = (new["pvte_geff"], new["pvte_mu"])
         return state.replace(
             fields=FieldState(sigma=new["sigma"], vrad=new["vrad"],
                               vaz=new["vaz"], energy=new["energy"]),
-            qplus=new["qplus"], qminus=new["qminus"])
+            qplus=new["qplus"], qminus=new["qminus"], **kw)
 
     # --- owned <-> extended --------------------------------------------
     def _is_grid_leaf(self, x):

@@ -99,6 +99,12 @@ class SystemState:
     # (k_r_hat, k_t_hat, last_aspect_ratio, since_last) for the adiabatic
     # self-gravity kernel refresh cadence (reference selfgravity.cpp:186-214)
     sg_kernel: tuple = None
+    # (gamma_eff, mu) grids from the newest PVTE refresh — a pure solver
+    # cache warm-starting the next refresh's temperature Newton solve
+    # (fast f32 path only; None otherwise).  Never output, never affects
+    # semantics beyond the solver's convergence tolerance: each refresh
+    # re-solves to its own tolerance from the guess.
+    pvte_guess: tuple = None
 
     def replace(self, **kw) -> "SystemState":
         from dataclasses import replace as _replace
@@ -398,7 +404,13 @@ class HydroStep:
         cs0 = jnp.sqrt(gam0 * (gam0 - 1.0) * energy / sigma)
         omega_k = jnp.sqrt(constants.G * phys.hydro_center_mass / g.rb ** 3)
         h0 = cs0 / jnp.sqrt(gam0) / omega_k
-        out = self.pvte.gamma_mu(sigma, energy, h0)
+        out = self.pvte.gamma_mu(sigma, energy, h0,
+                                 guess=getattr(self, "_pvte_chain", None))
+        if self.pvte.fast:
+            # chain the refresh: the next distinct (sigma, energy) this
+            # trace evaluates warm-starts from this result (substeps move
+            # T by far less than the solver's bracket)
+            self._pvte_chain = (out[0], out[1])
         memo[key] = (sigma, energy, out)
         while len(memo) > 32:      # bound retained tracers across traces
             memo.pop(next(iter(memo)))
@@ -1256,9 +1268,26 @@ class HydroStep:
         return particles
 
     def _step_impl(self, state: SystemState, time, dt):
+        """One hydro step.  Wraps the integrator cores with the PVTE
+        warm-start chain scope: the chain starts from the state-carried
+        ``pvte_guess`` (the previous step's final refresh), every
+        ``pvte_vals`` miss advances it, and the final link is written back
+        so the NEXT step's first refresh is warm too."""
+        self._pvte_chain = state.pvte_guess
+        try:
+            if self.phys.hydro_integrator == LEAPFROG:
+                new_state = self._step_leapfrog_impl(state, time, dt)
+            else:
+                new_state = self._step_euler_impl(state, time, dt)
+            chain = getattr(self, "_pvte_chain", None)
+            if state.pvte_guess is not None and chain is not None:
+                new_state = new_state.replace(pvte_guess=chain)
+            return new_state
+        finally:
+            self._pvte_chain = None
+
+    def _step_euler_impl(self, state: SystemState, time, dt):
         """One Euler step (reference src/simulation.cpp:148-274)."""
-        if self.phys.hydro_integrator == LEAPFROG:
-            return self._step_leapfrog_impl(state, time, dt)
         phys, constants, g = self.phys, self.constants, self.g
         f = state.fields
         sigma, vrad, vaz, energy = f.sigma, f.vrad, f.vaz, f.energy
@@ -1462,6 +1491,16 @@ class HydroStep:
             monitor_acc=monitor_acc, fld_sor=sor, sg_kernel=sg_kernel)
 
     def _cfl_impl(self, state: SystemState, time=None):
+        # PVTE: warm the CFL's EoS refresh from the state-carried cache
+        # (read-only scope — CFL runs at the same state the following
+        # step starts from; the step's own scope re-seeds the chain)
+        self._pvte_chain = state.pvte_guess
+        try:
+            return self._cfl_impl_core(state, time)
+        finally:
+            self._pvte_chain = None
+
+    def _cfl_impl_core(self, state: SystemState, time=None):
         phys = self.phys
         f = state.fields
         if self._fuse_cfl:
@@ -1624,13 +1663,21 @@ class HydroStep:
         if (self.selfgravity is not None and phys.is_adiabatic
                 and self.selfgravity.supports_in_run_update()):
             sg_kernel = self.selfgravity.initial_kernel_state()
+        pvte_guess = None
+        if self.pvte is not None and self.pvte.fast:
+            # seed the warm-start cache with a COLD solve on the ICs so
+            # every in-step refresh (including step 1's) is the short
+            # Newton polish — the full bisection hybrid never appears in
+            # the step graph
+            pv = self.pvte_vals(fields.sigma, fields.energy)
+            pvte_guess = (pv[0], pv[1])
         return SystemState(
             fields=fields, qplus=qplus, qminus=qminus, nbody=nbody,
             omega_frame=jnp.asarray(omega0, self.dtype),
             frame_angle=jnp.zeros((), self.dtype),
             corot_ref_x=nbody.x[k], corot_ref_y=nbody.y[k],
             monitor_acc=self.initial_monitor_acc(), fld_sor=fld_sor,
-            sg_kernel=sg_kernel)
+            sg_kernel=sg_kernel, pvte_guess=pvte_guess)
 
     def disk_torques(self, state: SystemState, time=0.0):
         """Specific torque of the gas disk on each body,

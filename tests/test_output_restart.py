@@ -270,6 +270,44 @@ def test_mass_bookkeeping_and_ecc_monitor(tmp_path):
     assert np.any(np.abs(ecc[1:, 3:8]) > 0)
 
 
+def test_restart_bitwise_pvte_f32(tmp_path):
+    """Bitwise restart of the f32 fast-PVTE path: the warm-start solver
+    cache (pvte_guess) is pure solver state, but it seeds each step's
+    first Newton polish — so a bitwise restart requires the snapshot to
+    carry it (PvteGeff/PvteMu.dat, written under BitwiseExactRestarting)
+    and the restore to prefer it over a cold re-seed."""
+    def cfg(outdir, monitors):
+        d = cfg_dict(outdir, monitors=monitors)
+        d.update({"EquationOfState": "PVTE",
+                  "HydrogenMassFraction": "0.75",
+                  "Sigma0": "2000 g/cm2",
+                  "SurfaceCooling": "thermal"})
+        d.pop("CoolingBetaLocal")
+        d.pop("CoolingBeta")
+        return d
+
+    out_a = tmp_path / "a"
+    sim_a = Simulation(Config.from_dict(cfg(out_a, 2)), dtype="float32")
+    assert sim_a.state.pvte_guess is not None
+    out.OutputWriter(sim_a)
+    sim_a.run()
+
+    out_b = tmp_path / "b"
+    sim_b = Simulation(Config.from_dict(cfg(out_b, 1)), dtype="float32")
+    out.OutputWriter(sim_b)
+    sim_b.run()
+    assert (out_b / "snapshots" / "1" / "PvteGeff.dat").exists()
+    sim_c = Simulation(Config.from_dict(cfg(out_b, 2)), dtype="float32")
+    out.restore_simulation(sim_c, out_b, 1)
+    sim_c.run()
+
+    for name in ("sigma", "vrad", "vaz", "energy"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(sim_a.fields, name)),
+            np.asarray(getattr(sim_c.fields, name)),
+            err_msg=f"{name} not bitwise identical (PVTE f32 restart)")
+
+
 def test_restart_bitwise_corotating_accreting(tmp_path):
     """Bitwise restart in the corotating frame with an accreting planet:
     the rotating-frame initial fields, the carried omega_frame/

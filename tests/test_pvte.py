@@ -124,6 +124,77 @@ def test_temperature_hybrid_zero_energy_no_nan():
     assert T[2] > 1e2  # the healthy cell still solves normally
 
 
+def _f64_reference(rho64, e64):
+    """(T, geff, mu, g1) from the f64 48-bisection pipeline the goldens
+    pinned."""
+    lo, w, coeffs = pvte.funcdum_poly()
+    tb = (lo, w, jnp.asarray(coeffs, jnp.float64))
+    T = pvte.temperature_from_energy(jnp.asarray(e64), jnp.asarray(rho64),
+                                     XMF, tb)
+    _x, _y, mu, _e, geff = pvte._gamma_mu_at(jnp.asarray(rho64), T, XMF, tb)
+    g1 = pvte.gamma1_at(jnp.asarray(rho64), T, XMF, tb)
+    return (np.asarray(T), np.asarray(geff), np.asarray(mu), np.asarray(g1))
+
+
+def _max_rel(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return float(np.max(np.abs(a - b) / np.abs(b)))
+
+
+def test_gamma_mu_fast_cold_matches_f64():
+    """The fused elementwise f32 production path (unrolled hybrid solve +
+    analytic gamma1) against the f64 bisection pipeline over the table
+    domain.  T/geff/mu at the solver tolerance; g1 at the finite
+    difference's own cliff truncation (~1e-4 — the analytic form is the
+    more accurate of the two)."""
+    rng = np.random.default_rng(11)
+    n = 4096
+    rho64 = 10.0 ** rng.uniform(-23, 0, n)
+    e64 = 10.0 ** rng.uniform(8, 15, n)
+    _T, geff_r, mu_r, g1_r = _f64_reference(rho64, e64)
+    rho = jnp.asarray(rho64, jnp.float32)
+    e = jnp.asarray(e64, jnp.float32)
+    geff, mu, g1 = pvte.gamma_mu_fast(rho, e, XMF)
+    assert _max_rel(geff, geff_r) < 2e-5
+    assert _max_rel(mu, mu_r) < 5e-5
+    assert _max_rel(g1, g1_r) < 5e-4
+
+
+def test_gamma_mu_fast_warm_start():
+    """The warm Newton polish must reproduce the cold result when the
+    guess is a recent refresh: exact for an up-to-date guess, at the
+    solver tolerance for the ~1% energy moves substeps actually make,
+    and finite (bracket-guarded) for nonsense guesses."""
+    rng = np.random.default_rng(12)
+    n = 4096
+    rho64 = 10.0 ** rng.uniform(-23, 0, n)
+    e64 = 10.0 ** rng.uniform(8, 15, n)
+    rho = jnp.asarray(rho64, jnp.float32)
+    e = jnp.asarray(e64, jnp.float32)
+    geff_c, mu_c, _g1 = pvte.gamma_mu_fast(rho, e, XMF)
+
+    # perfect guess: Newton confirms in place
+    geff_w, mu_w, _ = pvte.gamma_mu_fast(rho, e, XMF, guess=(geff_c, mu_c))
+    assert _max_rel(geff_w, geff_c) < 5e-6
+    assert _max_rel(mu_w, mu_c) < 2e-5
+
+    # 1% energy move (a large substep): still at the f64 reference
+    e2_64 = e64 * (1.0 + 0.01 * (2.0 * rng.random(n) - 1.0))
+    _T, geff_r, mu_r, _g = _f64_reference(rho64, e2_64)
+    e2 = jnp.asarray(e2_64, jnp.float32)
+    geff2, mu2, _ = pvte.gamma_mu_fast(rho, e2, XMF, guess=(geff_c, mu_c))
+    assert _max_rel(geff2, geff_r) < 2e-5
+    assert _max_rel(mu2, mu_r) < 1e-4
+
+    # nonsense guess (zero-padded halo analog): finite, bracket-bounded
+    bad = (jnp.zeros_like(geff_c), jnp.zeros_like(mu_c))
+    geff3, mu3, g13 = pvte.gamma_mu_fast(rho, e, XMF, guess=bad)
+    assert np.all(np.isfinite(np.asarray(geff3)))
+    assert np.all(np.isfinite(np.asarray(mu3)))
+    assert np.all(np.isfinite(np.asarray(g13)))
+
+
 def pvte_shock_config(eos):
     return Config.from_dict({
         "Integrator": "Euler", "ShockTube": "2",
@@ -168,6 +239,54 @@ def test_pvte_shock_tube():
     # reflecting walls: mass conserved
     mass1 = float((sig[1:-1] * geom.surf[1:-1]).sum())
     assert abs(mass1 / mass0 - 1.0) < 1e-10
+
+
+def _pvte_disk_cfg():
+    return Config.from_dict({
+        "EquationOfState": "PVTE", "HydrogenMassFraction": "0.75",
+        "AspectRatio": "0.05", "FlaringIndex": "0.25",
+        "ViscousAlpha": "0.002",
+        "Sigma0": "2000 g/cm2", "SigmaSlope": "0.5",
+        "HeatingViscous": "Yes", "SurfaceCooling": "thermal",
+        "RadiativeDiffusion": "Yes",
+        "RadiativeDiffusionTolerance": "1e-7",
+        "ArtificialViscosity": "SN",
+        "Nrad": "64", "Naz": "128",
+        "Rmin": "0.4", "Rmax": "2.5", "RadialSpacing": "Log",
+        "InnerBoundary": "outflow", "OuterBoundary": "outflow",
+        "Transport": "FARGO",
+        "Nsnapshots": "1", "Nmonitor": "1", "MonitorTimestep": "3.0",
+    })
+
+
+@pytest.mark.slow
+def test_pvte_f32_budget_vs_f64(monkeypatch):
+    """Trajectory budget of the f32 fast PVTE path (fused elementwise
+    solve + analytic gamma1 + warm-start chaining) on a PDS70-style
+    PVTE + FLD disk: ~200 steps against the f64 bisection reference, and
+    warm chaining against cold per-refresh solves (the chain must be a
+    pure solver cache, not a physics change).  Calibration 2026-08-19:
+    f32-warm vs f64 3.4e-5/5.3e-5 (sigma/energy), warm vs cold
+    7e-6/1.2e-5."""
+    runs = {}
+    for name, dtype, warm in (("f64", "float64", "1"),
+                              ("f32w", "float32", "1"),
+                              ("f32c", "float32", "0")):
+        monkeypatch.setenv("FARGOCPT_TPU_PVTE_WARM", warm)
+        sim = Simulation(_pvte_disk_cfg(), dtype=dtype)
+        sim.run()
+        runs[name] = sim
+    assert runs["f32w"].n_hydro_iter > 100
+
+    def rel(a_s, b_s, name):
+        a = np.asarray(getattr(runs[a_s].fields, name), np.float64)
+        b = np.asarray(getattr(runs[b_s].fields, name), np.float64)
+        return np.linalg.norm(a - b) / np.linalg.norm(b)
+
+    for f in ("sigma", "energy", "vaz"):
+        assert rel("f32w", "f64", f) < 1e-3, f
+        assert rel("f32w", "f32c", f) < 1e-4, f
+    assert rel("f32w", "f64", "sigma") > 0.0
 
 
 def test_lookup_table_mode_matches_bisection():

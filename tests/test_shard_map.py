@@ -263,6 +263,41 @@ def test_sharded_composite_bcs_match_single_device():
     assert d < 1e-12, f"rof_mdot rel diff {d:.3e}"
 
 
+def test_sharded_full_physics_pvte_matches_single_device():
+    """The PDS70-style full-physics menu — PVTE EoS (fast f32 path with
+    the warm-start cache riding the halo exchange), self-gravity, FLD and
+    dust — under the explicit shard_map path, in the f32 production
+    dtype.  Exercises the pvte_guess halo rings: a stale guess row would
+    mis-polish the boundary rows' EoS refresh and show up here."""
+    cfg = flagship_config(extra={
+        "EquationOfState": "PVTE", "HydrogenMassFraction": "0.75",
+        "Sigma0": "2000 g/cm2",
+        "CoolingBetaLocal": "No",
+        "SurfaceCooling": "thermal",
+        "RadiativeDiffusion": "Yes",
+        "RadiativeDiffusionMaxIterations": "300",
+        "SelfGravity": "Yes", "SelfGravityMode": "symmetric",
+        "IntegrateParticles": "yes", "NumberOfParticles": "32",
+        "ParticleRadius": "1 cm", "ParticleSpeciesNumber": "2",
+    })
+    sim = Simulation(cfg, dtype="float32")
+    assert sim.state.pvte_guess is not None
+    mesh = make_mesh(8)
+    ss = ShardedHydroStep(sim.stepper, mesh)
+    pair = ss.shard_state(sim.state)
+
+    s1 = sim.state
+    for i in range(3):
+        s1 = sim.stepper.step(s1, i * 1e-4, 1e-4)
+        pair = ss.step(pair, i * 1e-4, 1e-4)
+    s2 = ss.gather(pair)
+    # f32 production dtype: reduction-order roundoff only
+    _compare_states(s1, s2, 5e-6)
+    for i in range(2):
+        d = _rel(s1.pvte_guess[i], s2.pvte_guess[i])
+        assert d < 5e-6, f"pvte_guess[{i}]: rel diff {d:.3e}"
+
+
 def test_sharded_rejects_indivisible():
     sim = Simulation(flagship_config(nrad=100))
     with pytest.raises(ValueError):
