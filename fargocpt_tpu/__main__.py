@@ -30,14 +30,28 @@ def _add_log_flags(p):
 
 
 def main(argv=None):
+    # info subcommands dispatch before the jax-heavy launcher path
+    # (reference python_module/fargocpt/_command_line_.py:30-39)
+    argv_eff = sys.argv[1:] if argv is None else argv
+    if argv_eff and argv_eff[0] == "data":
+        from .analysis import data_main
+        return data_main(argv_eff[1:])
+    if argv_eff and argv_eff[0] == "config":
+        from .usercfg import main as config_main
+        return config_main(argv_eff[1:])
+
     parser = argparse.ArgumentParser(prog="fargocpt_tpu")
     sub = parser.add_subparsers(dest="mode", required=True)
+    sub.add_parser("data", help="inspect an output directory "
+                   "(fargocpt_tpu data OUTDIR [path [N]])")
+    sub.add_parser("config", help="user tool preferences "
+                   "(show/get/set/remove)")
 
     for mode in ("start", "auto"):
         p = sub.add_parser(mode)
         p.add_argument("setup", help="YAML setup file")
         p.add_argument("-o", "--outdir", default=None)
-        p.add_argument("--dtype", default="float64",
+        p.add_argument("--dtype", default=None,
                        choices=["float64", "float32"])
         p.add_argument("-N", "--max-iterations", type=int, default=None)
         p.add_argument("--profile", metavar="DIR", default=None,
@@ -50,7 +64,7 @@ def main(argv=None):
     p.add_argument("snapshot", help="snapshot number (or 'last')")
     p.add_argument("setup", help="YAML setup file")
     p.add_argument("-o", "--outdir", default=None)
-    p.add_argument("--dtype", default="float64",
+    p.add_argument("--dtype", default=None,
                    choices=["float64", "float32"])
     p.add_argument("-N", "--max-iterations", type=int, default=None)
     p.add_argument("--profile", metavar="DIR", default=None)
@@ -63,6 +77,20 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=100)
 
     args = parser.parse_args(argv)
+
+    if getattr(args, "dtype", "x") is None:
+        # launcher defaults from the user config store
+        # (``fargocpt_tpu config set default_dtype float32``)
+        from .usercfg import UserConfig
+        args.dtype = UserConfig().get("default_dtype", "float64")
+    if getattr(args, "outdir", "x") is None and args.mode != "bench":
+        from .usercfg import UserConfig
+        base = UserConfig().get("default_outdir")
+        if base:
+            import pathlib
+            import os as _os
+            name = pathlib.Path(args.setup).stem
+            args.outdir = _os.path.join(base, name)
 
     if args.mode == "bench":
         import runpy

@@ -268,3 +268,93 @@ class Loader:
     def timestep_log(self) -> dict:
         cols, data = self._read_monitor("timestepLogging.dat")
         return {name: data[:, idx] for name, idx in cols.items()}
+
+
+# -- ``fargocpt_tpu data`` CLI ------------------------------------------
+
+def _describe(obj, recursive: bool = False, indent: int = 0) -> None:
+    """Print a structural summary of a Loader node (the analog of the
+    reference Loader's .print(), python_module/fargocpt/data.py:1090-1151)."""
+    pad = "  " * indent
+    if isinstance(obj, Loader):
+        print(f"{pad}Loader({obj.outdir})")
+        print(f"{pad}  grid: {obj.nrad} x {obj.naz}  "
+              f"r in [{obj.rmin:g}, {obj.rmax:g}]")
+        print(f"{pad}  snapshots: {obj.snapshots}")
+        print(f"{pad}  gas: {obj.gas.var_names()}")
+        pnames = obj.particles.var_names
+        pnames = pnames() if callable(pnames) else pnames
+        if pnames:
+            print(f"{pad}  particles: {pnames}")
+        mon = sorted(p.name for p in (obj.outdir / "monitor").glob("*.dat")) \
+            if (obj.outdir / "monitor").exists() else []
+        print(f"{pad}  monitor: {mon}")
+        print(f"{pad}  attrs: gas particles radii rmed units constants "
+              f"snapshots misc nbody_state quantities params")
+        if recursive:
+            _describe(obj.gas, recursive, indent + 1)
+    elif isinstance(obj, GasVars):
+        print(f"{pad}gas 2D/1D variables: {obj.var_names()}")
+        print(f"{pad}  use: gas.get(NAME, N) / gas.avg(NAME, N) / "
+              f"gas.minmax(NAME, N)")
+    elif isinstance(obj, ParticleVars):
+        pnames = obj.var_names
+        print(f"{pad}particle variables: "
+              f"{pnames() if callable(pnames) else pnames}")
+    else:
+        print(f"{pad}{obj}")
+
+
+def data_print(output_dir, path=None, N=None, recursive=False) -> None:
+    """Navigate a dotted ``path`` into the Loader and print the node
+    (reference python_module/fargocpt/data.py:1120-1151 ``data_print``:
+    attribute access, integer list indexing, and an ``obj.get(p, N)``
+    fallback for named variables)."""
+    import sys as _sys
+    try:
+        loader = Loader(output_dir)
+    except FileNotFoundError as exc:
+        print(exc)
+        _sys.exit(1)
+    obj = loader
+    if path:
+        for p in path.split("."):
+            try:
+                idx = int(p)
+            except ValueError:
+                idx = None
+            if idx is not None:
+                obj = obj[idx]
+            else:
+                try:
+                    obj = getattr(obj, p)
+                except AttributeError:
+                    if hasattr(obj, "get") and N is not None:
+                        obj = obj.get(p, N)
+                    else:
+                        raise
+        if callable(obj) and not isinstance(obj, (GasVars, ParticleVars)):
+            obj = obj()
+    if isinstance(obj, (Loader, GasVars, ParticleVars)):
+        _describe(obj, recursive=recursive)
+    else:
+        print(obj)
+
+
+def data_main(args) -> int:
+    """``fargocpt_tpu data OUTDIR [path [N]] [-r]`` (reference
+    python_module/fargocpt/data.py:1153-1162)."""
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        prog="fargocpt_tpu data", description="Inspect simulation output.")
+    parser.add_argument("output_dir", help="simulation output directory")
+    parser.add_argument("path", nargs="?", default=None,
+                        help="dotted path, e.g. 'gas' or 'gas.Sigma'")
+    parser.add_argument("N", nargs="?", default=None,
+                        help="snapshot number (or 'last')")
+    parser.add_argument("-r", "--recursive", action="store_true",
+                        help="print the full data structure")
+    opts = parser.parse_args(args)
+    data_print(opts.output_dir, opts.path, opts.N, opts.recursive)
+    return 0

@@ -69,9 +69,12 @@ GOLDENS = Path(__file__).parent / "goldens"
     ("shocktube_sn", 1e-6),
     # PVTE variable-gamma shock tube (3283 steps, identical count): the
     # in-graph bisection EoS vs the reference's bilinear (rho, e) lookup
-    # tables — the table-interpolation difference leaves ~1.5e-3 after
-    # 3283 steps (was 2.4e-1 before the shock-tube rho convention fix)
-    ("shocktube_pvte", 1e-2),
+    # tables — the table-interpolation difference leaves 1.5e-3 (Sigma) /
+    # 5.3e-3 (vrad, at the shock front) after 3283 steps (was 2.4e-1
+    # before the shock-tube rho convention fix); gated just above that
+    # floor (the lookup-mode run below pins the table-quantized
+    # semantics at 2e-4, so the residual here is the table error itself)
+    ("shocktube_pvte", 6e-3),
     # same shock tube with PVTELookupTable=yes: the reference-exact
     # 1000x1000 (rho, e) table quantization (src/pvte_law.cpp:370-440,
     # incl. the table-build Brent's |b-a|<1e-3-Kelvin termination)

@@ -38,9 +38,10 @@ def shrink(cfg: Config) -> Config:
     return cfg
 
 
-@pytest.mark.parametrize("path", sorted(glob.glob(os.path.join(SETUPS,
-                                                               "*.yml"))),
-                         ids=os.path.basename)
+@pytest.mark.parametrize("path",
+                         sorted(glob.glob(os.path.join(SETUPS, "**", "*.yml"),
+                                          recursive=True)),
+                         ids=lambda p: os.path.relpath(p, SETUPS))
 def test_repo_setup_constructs(path):
     sim = Simulation(shrink(Config.from_file(path)))
     assert sim.geometry.naz == 64
