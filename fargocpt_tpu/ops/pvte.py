@@ -753,9 +753,15 @@ class PVTE:
                      and _os.environ.get("FARGOCPT_TPU_PVTE_FAST", "1")
                      != "0")
         # warm-start chaining (FARGOCPT_TPU_PVTE_WARM=0 forces every
-        # refresh through the cold hybrid for A/B comparison)
+        # refresh through the cold hybrid for A/B comparison).  Newton
+        # count: chained refreshes see <~0.3% energy moves, where 3
+        # iterations reach the solver tolerance exactly (sweep-validated,
+        # tests/test_pvte.py); the end-to-end gates are the PVTE budget
+        # test (warm vs cold < 1e-4 over ~200 steps) and the dtype
+        # budget.  FARGOCPT_TPU_PVTE_NEWTON overrides for A/B.
         self.warm = self.fast and _os.environ.get(
             "FARGOCPT_TPU_PVTE_WARM", "1") != "0"
+        self.n_newton = int(_os.environ.get("FARGOCPT_TPU_PVTE_NEWTON", "3"))
         if self.lookup:
             # reference-exact table mode: quantizes (geff, mu, g1) onto
             # the reference's 1000x1000 grid; the default in-graph
@@ -783,7 +789,8 @@ class PVTE:
             return lookup_gamma_mu(rho_cgs, e_spec_cgs, self.tables)
         if self.fast:
             return gamma_mu_fast(rho_cgs, e_spec_cgs, self.x_mf,
-                                 guess=guess if self.warm else None)
+                                 guess=guess if self.warm else None,
+                                 n_newton=self.n_newton)
         T = temperature_from_energy(e_spec_cgs, rho_cgs, self.x_mf, self.tabs)
         _x, _y, mu, eps, gamma_eff = _gamma_mu_at(rho_cgs, T, self.x_mf,
                                                   self.tabs)

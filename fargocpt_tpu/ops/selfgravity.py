@@ -87,10 +87,14 @@ def kernel_host(phys: Physics, geometry: Geometry, aspect_ratio: float
                 np.sqrt(np.pi) * x * 0.5 * np.sqrt(np.pi / 2.0)
                 * (x ** -1.5 - 3.0 / 8.0 * x ** -2.5
                    + 45.0 / 128.0 * x ** -3.5))
-        pref = l_sg / (2.0 * np.pi * h) / np.sqrt(np.cosh(U)) \
-            / (np.cosh(U) - np.cos(TH))
-        k_r = pref * (1.0 - np.cos(TH) * np.exp(-U))
-        k_t = pref * np.sin(TH)
+        # (u, theta) = (0, 0) divides by cosh(0) - cos(0) = 0; that cell
+        # is the kernel singularity the reference also special-cases — it
+        # is zeroed just below, so the 0/0 never escapes
+        with np.errstate(invalid="ignore", divide="ignore"):
+            pref = l_sg / (2.0 * np.pi * h) / np.sqrt(np.cosh(U)) \
+                / (np.cosh(U) - np.cos(TH))
+            k_r = pref * (1.0 - np.cos(TH) * np.exp(-U))
+            k_t = pref * np.sin(TH)
         # singularity at u=0, theta=0 (reference :452-460)
         k_r[0, 0] = 0.0
         k_t[0, 0] = 0.0

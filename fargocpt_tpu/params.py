@@ -109,6 +109,10 @@ class Physics:
     fld_auto_omega: bool = False
     fld_inner_boundary: str = "none"
     fld_outer_boundary: str = "none"
+    # SOR double-sweeps per convergence-norm check (repo extension;
+    # >1 is tolerance-equivalent — the solve can only stop LATER — and
+    # saves the per-iteration full-grid reduction on TPU)
+    fld_check_interval: int = 1
     # RadiativeDiffusionTest1D: pin the flux limiter at its optically-thick
     # value 1/3 (reference src/fld.cpp:129,:234 sets constant_fluxlimiter)
     fld_constant_fluxlimiter: bool = False
@@ -615,6 +619,8 @@ def physics_from_config(cfg: Config, un: u.Units, dtype: str = "float64") -> Phy
                                    type=int),
         fld_omega=cfg.get("RadiativeDiffusionOmega", 1.5, type=float),
         fld_auto_omega=cfg.get_flag("RadiativeDiffusionAutoOmega", False),
+        fld_check_interval=cfg.get("RadiativeDiffusionCheckInterval", 1,
+                                   type=int),
         fld_inner_boundary=cfg.get_lowercase(
             "RadiativeDiffusionInnerBoundary", "none"),
         fld_outer_boundary=cfg.get_lowercase(

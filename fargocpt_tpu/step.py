@@ -233,6 +233,7 @@ class HydroStep:
                           inner_boundary=phys.fld_inner_boundary,
                           outer_boundary=phys.fld_outer_boundary,
                           constant_fluxlimiter=phys.fld_constant_fluxlimiter,
+                          check_interval=phys.fld_check_interval,
                           ), dtype)
         else:
             self.fld = None

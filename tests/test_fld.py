@@ -94,6 +94,31 @@ def test_solver_matches_direct_inversion():
     assert err < 1e-10, f"SOR deviates from direct inversion by {err:.3e}"
 
 
+def test_check_interval_tolerance_equivalent():
+    """RadiativeDiffusionCheckInterval > 1 (K double-sweeps per norm
+    check) must be tolerance-equivalent: it can only run MORE sweeps
+    than K = 1 (the convergence delta between checks is larger), so the
+    K-batched solution is at least as converged and agrees with K = 1
+    below the tolerance."""
+    geom, solver, g = make_solver(48, 64)
+    dt = 1e-4
+    A, B, C, D, E = constant_k_system(geom, solver, g, dt)
+    f0 = jnp.asarray(gaussian(geom, T0))
+
+    f1, n1 = solver.solve(f0, f0, A, B, C, D, E)
+
+    solver8 = FLDSolver(solver.phys, Constants.shock_tube(),
+                        u.shock_tube_units(), geom,
+                        FLDConfig(tolerance=1e-15, max_iterations=20000,
+                                  omega=1.8, check_interval=8), jnp.float64)
+    f8, n8 = solver8.solve(f0, f0, A, B, C, D, E)
+
+    assert int(n8) >= int(n1), (int(n8), int(n1))
+    assert int(n8) % 8 == 0
+    err = float(jnp.max(jnp.abs(f8 - f1)))
+    assert err < 1e-10, f"K=8 deviates from K=1 by {err:.3e}"
+
+
 @pytest.mark.slow
 def test_fld2d_gaussian_diffusion():
     geom, solver, g = make_solver(300, 600)
