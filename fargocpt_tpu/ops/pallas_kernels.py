@@ -1544,6 +1544,11 @@ def use_pallas(dtype=None) -> bool:
     validated on real hardware)."""
     if jax.default_backend() != "tpu":
         return False
+    if os.environ.get("FARGOCPT_TPU_NO_PALLAS", "") == "1":
+        # profiling/ablation knob: run the pure-jnp path on TPU (isolates
+        # fused-kernel benefit from dtype-emulation cost in f32-vs-f64
+        # roofline comparisons)
+        return False
     if dtype is None:
         return True
     if jnp.dtype(dtype) == jnp.dtype(jnp.float64):
