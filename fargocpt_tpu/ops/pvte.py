@@ -534,8 +534,7 @@ def _temperature_fast(e_specific_cgs, rho_cgs, x_mf,
     return jnp.clip(secant(lo, glo, hi, ghi), lo, hi)
 
 
-def _temperature_warm(e_over_R, ln_target, rho_cgs, x_mf, t0,
-                      n_newton: int = 5):
+def _temperature_warm(ln_target, rho_cgs, x_mf, t0, n_newton: int = 5):
     """Bracket-safeguarded Newton polish in t = ln T from a warm guess.
 
     ``t0`` comes from the previous refresh's (gamma_eff, mu) applied to
@@ -583,8 +582,7 @@ def gamma_mu_fast(rho_cgs, e_specific_cgs, x_mf, guess=None, n_newton=5):
         gm = jnp.maximum(guess[1] * (guess[0] - 1.0),
                          jnp.finfo(e_over_R.dtype).tiny)
         t0 = ln_target + jnp.log(gm)
-        t = _temperature_warm(e_over_R, ln_target, rho_cgs, x_mf, t0,
-                              n_newton)
+        t = _temperature_warm(ln_target, rho_cgs, x_mf, t0, n_newton)
     _T, eps, (deps_t, mu, dmu_t, dmu_r) = _pvte_terms(
         rho_cgs, t, x_mf, want_deriv=True)
     gamma_eff = 1.0 + 1.0 / (mu * eps)

@@ -77,7 +77,10 @@ def kernel_host(phys: Physics, geometry: Geometry, aspect_ratio: float
         h = aspect_ratio
         d2 = 2.0 / h ** 2 * (np.cosh(U) - np.cos(TH)) / np.cosh(U)
         x = d2 / 8.0
-        with np.errstate(over="ignore", invalid="ignore"):
+        # x = 0 at the (0, 0) singularity cell: the large branch's x**-1.5
+        # divides by zero there — selected away by ``small`` and the cell
+        # is zeroed below
+        with np.errstate(over="ignore", invalid="ignore", divide="ignore"):
             small = x < 60.0
             l_sg = np.where(
                 small,

@@ -89,25 +89,49 @@ def _lin_weights(positions, x):
     return i, w
 
 
-def interpolate(field, radial_pos, r, phi, naz, az_offset=0.0):
-    """Bilinear interpolation of a grid field at particle positions.
+def interpolate_many(fields, radial_pos, r, phi, naz, az_offset=0.0):
+    """Bilinear interpolation of K same-layout grid fields at particle
+    positions with ONE patch gather.
 
-    ``radial_pos`` are the radial sample points of the field's rows
+    TPU gathers are the dust integrator's dominant cost (~135M gathered
+    elements/s, hardware-probed): the naive bilinear does 4 scattered
+    element-gathers per field.  Here the field stack is padded with a
+    wrap column and fetched as contiguous (2, 2, K) patches by a single
+    ``lax.gather`` — one gather index per particle instead of 4K, with
+    the per-index fetch riding contiguous memory.
+
+    ``radial_pos`` are the radial sample points of the fields' rows
     (cell centers or faces); azimuthal samples sit at
-    (j + az_offset) dphi, periodic."""
+    (j + az_offset) dphi, periodic.  Returns a tuple of K arrays."""
     dphi = 2.0 * math.pi / naz
     i, wr = _lin_weights(radial_pos, r)
     t = phi / dphi - az_offset
     j0 = jnp.floor(t).astype(jnp.int32)
     wa = t - j0
-    j0 = jnp.mod(j0, naz)
-    j1 = jnp.mod(j0 + 1, naz)
-    f00 = field[i, j0]
-    f01 = field[i, j1]
-    f10 = field[i + 1, j0]
-    f11 = field[i + 1, j1]
-    return ((1 - wr) * ((1 - wa) * f00 + wa * f01)
-            + wr * ((1 - wa) * f10 + wa * f11))
+    j0 = jnp.mod(j0, naz).astype(jnp.int32)
+    stack = jnp.stack(fields, axis=-1)                    # (NR, NAZ, K)
+    k = stack.shape[-1]
+    # wrap column so the (j0, j0+1) pair is always contiguous
+    fpad = jnp.concatenate([stack, stack[:, :1, :]], axis=1)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+        start_index_map=(0, 1))
+    idx = jnp.stack([i, j0], axis=1)                      # (n, 2)
+    patches = jax.lax.gather(
+        fpad, idx, dnums, slice_sizes=(2, 2, k),
+        mode=jax.lax.GatherScatterMode.CLIP)              # (n, 2, 2, K)
+    wr_ = wr[:, None]
+    wa_ = wa[:, None]
+    out = ((1 - wr_) * ((1 - wa_) * patches[:, 0, 0] + wa_ * patches[:, 0, 1])
+           + wr_ * ((1 - wa_) * patches[:, 1, 0] + wa_ * patches[:, 1, 1]))
+    return tuple(out[:, kk] for kk in range(k))
+
+
+def interpolate(field, radial_pos, r, phi, naz, az_offset=0.0):
+    """Bilinear interpolation of one grid field at particle positions
+    (patch-gather path, see interpolate_many)."""
+    return interpolate_many((field,), radial_pos, r, phi, naz,
+                            az_offset=az_offset)[0]
 
 
 @dataclass(frozen=True)
@@ -124,8 +148,9 @@ def sample_gas(geom_np, g: Geom, rho, temperature, vrad, vaz, omega_frame,
     rmed = jnp.asarray(geom_np.rmed, r.dtype)
     radii = jnp.asarray(geom_np.radii, r.dtype)
     naz = g.naz
-    rho_p = interpolate(rho, rmed, r, phi, naz, az_offset=0.0)
-    T_p = interpolate(temperature, rmed, r, phi, naz, az_offset=0.0)
+    # rho and T share layout (cell centers, offset 0): one patch gather
+    rho_p, T_p = interpolate_many((rho, temperature), rmed, r, phi, naz,
+                                  az_offset=0.0)
     vg_r = interpolate(vrad, radii, r, phi, naz, az_offset=0.0)
     # v_az rows sample at azimuth (j-1/2) dphi (reference src/init.cpp:1552)
     vg_phi = interpolate(vaz, rmed, r, phi, naz, az_offset=-0.5)
@@ -203,8 +228,7 @@ def sample_sg_accel(geom_np, sg_accel, r, phi):
     naz = g_r.shape[1]
     rpos = jnp.asarray(geom_np.rmed)
     r_c = jnp.clip(r, rpos[0], rpos[-1])
-    ar = interpolate(g_r, rpos, r_c, phi, naz)
-    at = interpolate(g_t, rpos, r_c, phi, naz)
+    ar, at = interpolate_many((g_r, g_t), rpos, r_c, phi, naz)
     return ar, at
 
 
@@ -490,12 +514,12 @@ def diffuse_dust(phys: Physics, constants, geom_np, g: Geom,
     # gas diffusion coefficient Dg = alpha cs H (cell values, no interp)
     h_grid = scale_height * g.inv_rb
     dg_grid = phys.viscous_alpha * cs * h_grid * g.rb
-    Dg = interpolate(dg_grid, rmed, r, phi, naz)
-    rho_p = interpolate(rho, rmed, r, phi, naz)
     # radial density derivative (cell-centered finite differences)
     drho_dr_grid = jnp.gradient(rho, axis=0) \
         / jnp.asarray(np.gradient(geom_np.rmed)[:, None], rho.dtype)
-    drho_dr = interpolate(drho_dr_grid, rmed, r, phi, naz)
+    # all three fields share layout: one patch gather
+    Dg, rho_p, drho_dr = interpolate_many(
+        (dg_grid, rho, drho_dr_grid), rmed, r, phi, naz)
 
     Sc = schmidt_number(state.stokes)
     Dd = Dg / Sc

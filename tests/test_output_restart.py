@@ -281,7 +281,10 @@ def test_restart_bitwise_pvte_f32(tmp_path):
         d.update({"EquationOfState": "PVTE",
                   "HydrogenMassFraction": "0.75",
                   "Sigma0": "2000 g/cm2",
-                  "SurfaceCooling": "thermal"})
+                  "SurfaceCooling": "thermal",
+                  # the gate is structural (cache snapshotting), not
+                  # physics depth: keep the three runs short
+                  "MonitorTimestep": "0.1"})
         d.pop("CoolingBetaLocal")
         d.pop("CoolingBeta")
         return d

@@ -248,6 +248,7 @@ def _particle_setup(cartesian):
             rho, temp, vrad, vaz, bodies)
 
 
+@pytest.mark.slow
 def test_cartesian_particles_match_polar():
     """Gravity-only eccentric orbits integrated in cartesian vs polar
     coordinates agree to ~1e-9 over several dynamical times."""

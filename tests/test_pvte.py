@@ -289,6 +289,7 @@ def test_pvte_f32_budget_vs_f64(monkeypatch):
     assert rel("f32w", "f64", "sigma") > 0.0
 
 
+@pytest.mark.slow
 def test_lookup_table_mode_matches_bisection():
     """PVTELookupTable mode (reference-exact 1000x1000 table quantization,
     src/pvte_law.cpp:370-440) must agree with the in-graph bisection to
