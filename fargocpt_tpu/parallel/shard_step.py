@@ -520,30 +520,50 @@ class ShardedHydroStep:
         real multi-chip run has a prediction to check against profiler
         numbers (pending real hardware — VERDICT r2 weak #8).
 
+        Validated against the collective ops of the COMPILED step HLO on
+        the 8-device CPU mesh (tests/test_shard_map.py::
+        test_comm_model_matches_compiled_hlo), which pinned three counts:
+        the PVTE warm-start pair rides the stacked exchange (8 fields,
+        not 6); the leapfrog integrates particles twice per step (2x the
+        all_gather set); and when particles are enabled XLA CSEs the
+        self-gravity Sigma all_gather with the particle one (no separate
+        transfer).
+
         all_gather cost uses the ring algorithm: each device sends its
         (L, NAZ) slab to n-1 neighbors' aggregate = (n-1)/n of the global
         array. ``fld_iters`` scales the per-SOR-iteration halo refresh
         (dynamic in production; the reference caps it at
         RadiativeDiffusionMaxIterations).
         """
+        from ..params import LEAPFROG
+
         item = jnp.dtype(self.dtype).itemsize
         n, L, NAZ, S = self.n, self.L, self.NAZ, self.S
         phys = self.stepper.phys
         row = NAZ * item
         model = {}
-        # one stacked bidirectional ppermute of 6 fields per step
-        # (_refresh_state)
-        model["halo_ppermute"] = len(self._XNAMES) * S * row * 2
+        # one stacked bidirectional ppermute per step (_refresh_state):
+        # 6 fields, +2 when the PVTE warm-start cache rides along
+        n_fields = len(self._XNAMES) + (2 if phys.variable_gamma else 0)
+        model["halo_ppermute"] = n_fields * S * row * 2
         # global outer vrad face + CFL pmin + ~35 scalar psum diagnostics
         model["faces_and_scalars"] = row + 40 * item
-        if self.stepper.selfgravity is not None:
-            # replicated-FFT analog: all_gather Sigma every refresh
-            model["selfgravity_allgather"] = (n - 1) * L * row
+        leapfrog = phys.hydro_integrator == LEAPFROG
         if phys.integrate_particles:
-            # replicated swarm: all_gather 4 gas slabs per step
-            model["particles_allgather"] = 4 * (n - 1) * L * row
+            # replicated swarm: all_gather 4 gas slabs per particle
+            # integration (leapfrog kicks the particles in two halves)
+            k = 2 if leapfrog else 1
+            model["particles_allgather"] = 4 * k * (n - 1) * L * row
+        if self.stepper.selfgravity is not None \
+                and not phys.integrate_particles:
+            # replicated-FFT analog: all_gather Sigma every refresh.
+            # With particles enabled this transfer is CSE'd into the
+            # particle Sigma gather (HLO-verified) and costs nothing.
+            model["selfgravity_allgather"] = (n - 1) * L * row
         if self.stepper.fld is not None:
-            # one bidirectional single-field ppermute per SOR iteration
+            # one bidirectional single-field ppermute per SOR double
+            # sweep, plus one post-loop ghost refresh (counted in the
+            # per-iteration budget's noise)
             model["fld_ppermute"] = fld_iters * S * row * 2
         model["total"] = sum(model.values())
         return model

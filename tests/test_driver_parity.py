@@ -41,26 +41,34 @@ def test_bench_smoke_fresh_subprocess(tmp_path):
         [sys.executable, str(REPO / "bench.py")],
         env=_clean_env(BENCH_NRAD="64", BENCH_NAZ="128", BENCH_STEPS="2",
                        BENCH_F64_STEPS="2", BENCH_PDS70_STEPS="2",
-                       BENCH_WALL_BUDGET="1700"),
+                       BENCH_PARITY_STEPS="2", BENCH_WALL_BUDGET="1700"),
         capture_output=True, text=True, timeout=1800, cwd=str(REPO))
     assert res.returncode == 0, \
         f"bench.py crashed in a fresh process:\n{res.stdout}\n{res.stderr}"
     import json
     lines = [l for l in res.stdout.splitlines() if l.startswith("{")]
     # Kill-proof ordering (round-3 fix): flagship f32 measured first,
-    # then AFTER EVERY optional child (f64, PDS70) the official flagship
-    # line is re-emitted atomically, so the sequence is
-    # [official, f64, official, pds70, official] — a driver kill at any
-    # point leaves the official line as the last complete one.
-    assert len(lines) == 5, f"expected 5 JSON lines, got: {res.stdout}"
+    # then AFTER EVERY optional child (pds70, parity, f64 — round-5
+    # information-value order) the official flagship line is re-emitted
+    # atomically, so the sequence is [official, pds70, official, parity,
+    # official, f64, official] — a driver kill at any point leaves the
+    # official line as the last complete one.
+    assert len(lines) == 7, f"expected 7 JSON lines, got: {res.stdout}"
     official = json.loads(lines[0])
     assert "full-physics step" in official["metric"]
     assert "float32" in official["metric"]
-    for i in (2, 4):
+    assert "SG + FLD" in json.loads(lines[1])["metric"]
+    parity = json.loads(lines[3])
+    assert "fused-vs-unfused" in parity["metric"]
+    assert parity["unit"] == "rel L2"
+    # on CPU use_pallas() is False for both runs: exact agreement
+    assert parity["value"] == 0.0
+    assert "float64" in json.loads(lines[5])["metric"]
+    for i in (2, 4, 6):
         assert json.loads(lines[i]) == official, \
             f"line {i} must be the official re-emit, got {lines[i]}"
-    for line in lines:
-        rec = json.loads(line)
+    for i in (0, 1, 2, 4, 5, 6):
+        rec = json.loads(lines[i])
         assert rec["value"] > 0
         assert rec["unit"] == "Mcell/s"
 
@@ -76,30 +84,29 @@ def test_bench_kill_resilience():
     import json
     import signal
 
-    # PDS70 is deliberately NOT skipped: its slow child is the kill
-    # window (r03's rc=124 landed there). The f64 line appearing on
-    # stdout while PDS70 still has many seconds to run makes the kill
-    # timing deterministic: the fixed bench emits the official re-emit
-    # in the SAME atomic write as the f64 line, the old one would not
-    # print it again until PDS70 completed.
+    # The kill lands right after the FIRST optional child (pds70) while
+    # the parity/f64 children still have many seconds to run: the fixed
+    # bench emits the official re-emit in the SAME atomic write as the
+    # pds70 line, the old one would not print it again until the next
+    # child completed.
     env = _clean_env(BENCH_NRAD="64", BENCH_NAZ="128", BENCH_STEPS="2",
                      BENCH_F64_STEPS="2", BENCH_PDS70_STEPS="2",
-                     BENCH_WALL_BUDGET="1700")
+                     BENCH_PARITY_STEPS="2", BENCH_WALL_BUDGET="1700")
     proc = subprocess.Popen(
         [sys.executable, str(REPO / "bench.py")], env=env,
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
         cwd=str(REPO), start_new_session=True)
     collected = []
     try:
-        # read until the f64 child's line shows up (the kill window that
-        # burned round 3), then SIGKILL the whole group immediately
-        # (group kill also reaps the in-flight PDS70 grandchild)
+        # read until the pds70 child's line shows up (the first optional
+        # child), then SIGKILL the whole group immediately (group kill
+        # also reaps the in-flight parity grandchild)
         while True:
             line = proc.stdout.readline()
             if not line:  # orchestrator finished before we could kill it
                 break
             collected.append(line)
-            if line.startswith("{") and "float64" in line:
+            if line.startswith("{") and "SG + FLD" in line:
                 break
         try:
             os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
@@ -120,8 +127,8 @@ def test_bench_kill_resilience():
     stdout = "".join(collected)
     lines = [l for l in stdout.splitlines() if l.startswith("{")]
     assert lines, f"no JSON lines before the kill:\n{stdout}"
-    # the f64 line must have printed (we killed right after it) ...
-    assert any("float64" in l for l in lines), stdout
+    # the pds70 line must have printed (we killed right after it) ...
+    assert any("SG + FLD" in l for l in lines), stdout
     # ... and yet the LAST complete line must be the official flagship
     last = json.loads(lines[-1])
     assert "float32" in last["metric"], \

@@ -236,6 +236,7 @@ def test_sharded_selfgravity_matches_single_device():
             assert _rel(a, b) < 1e-12
 
 
+@pytest.mark.slow
 def test_sharded_composite_bcs_match_single_device():
     """Roche-lobe-overflow stream + center-of-mass outer boundary under
     the explicit path: both write local edge rows from replicated N-body
@@ -263,6 +264,7 @@ def test_sharded_composite_bcs_match_single_device():
     assert d < 1e-12, f"rof_mdot rel diff {d:.3e}"
 
 
+@pytest.mark.slow
 def test_sharded_full_physics_pvte_matches_single_device():
     """The PDS70-style full-physics menu — PVTE EoS (fast f32 path with
     the warm-start cache riding the halo exchange), self-gravity, FLD and
@@ -326,6 +328,158 @@ def test_comm_model_accounting():
     }), dtype="float64")
     ss2 = ShardedHydroStep(sim2.stepper, mesh)
     m2 = ss2.comm_model()
-    # ring all_gather: each device sends (n-1) L-row slabs per array
-    assert m2["selfgravity_allgather"] == 7 * (192 // 8) * 64 * 8
+    # ring all_gather: each device sends (n-1) L-row slabs per array;
+    # with particles on, the SG Sigma gather is CSE'd into the particle
+    # one (HLO-verified, see test_comm_model_matches_compiled_hlo)
+    assert "selfgravity_allgather" not in m2
     assert m2["particles_allgather"] == 4 * 7 * (192 // 8) * 64 * 8
+
+    sim3 = Simulation(flagship_config(extra={"SelfGravity": "Yes"}),
+                      dtype="float64")
+    ss3 = ShardedHydroStep(sim3.stepper, mesh)
+    assert ss3.comm_model()["selfgravity_allgather"] \
+        == 7 * (192 // 8) * 64 * 8
+
+
+# --- comm model vs compiled HLO (VERDICT r4 #5) -------------------------
+
+_HLO_SIZES = {"f32": 4, "f64": 8, "s32": 4, "u32": 4, "pred": 1,
+              "s64": 8, "u64": 8, "bf16": 2, "f16": 2}
+
+
+def _collective_bytes(hlo_text):
+    """(collective-permute bytes, all-gather OUTPUT bytes, op shape lists)
+    summed over every computation of an optimized HLO module. A while-loop
+    body appears exactly once, so in-loop collectives count once."""
+    import re
+
+    def scan(opname):
+        total, ops = 0, []
+        pat = rf"=\s+(\w+)\[([\d,]*)\][^\s]*\s+{opname}\("
+        for m in re.finditer(pat, hlo_text):
+            dt, dims = m.group(1), m.group(2)
+            count = 1
+            for d in dims.split(","):
+                if d:
+                    count *= int(d)
+            total += count * _HLO_SIZES[dt]
+            ops.append((dt, dims))
+        return total, ops
+
+    perm, perm_ops = scan("collective-permute")
+    ag, ag_ops = scan("all-gather")
+    return perm, perm_ops, ag, ag_ops
+
+
+def _lower_step_hlo(ss):
+    """Compiled-HLO text of one explicit-path sharded step (the same
+    program ``ShardedHydroStep.step`` jits)."""
+    from jax.sharding import PartitionSpec as P
+    from fargocpt_tpu.parallel.shard_step import _shard_map
+
+    state, top = ss.shard_state(ss._hlo_state)
+    state_specs = ss._specs_for(state)
+
+    def fn(owned, topv, time, dt, ctx_blk):
+        ctx = jax.tree_util.tree_map(lambda a: a[0], ctx_blk)
+        st = ss._localize(ctx)
+        ext = ss._assemble(owned, topv, ctx)
+        new_ext = st._step_impl(ext, time, dt)
+        return ss._extract(new_ext, ctx)
+
+    mapped = jax.jit(_shard_map(
+        fn, ss.mesh,
+        in_specs=(state_specs, P(), P(), P(), ss._ctx_specs),
+        out_specs=(state_specs, P())))
+    lowered = mapped.lower(state, top, jnp.asarray(0.0, ss.dtype),
+                           jnp.asarray(1e-4, ss.dtype), ss._ctx)
+    return lowered.compile().as_text()
+
+
+def _hlo_case(extra, dtype="float64"):
+    sim = Simulation(flagship_config(extra=extra), dtype=dtype)
+    ss = ShardedHydroStep(sim.stepper, make_mesh(8))
+    ss._hlo_state = sim.state
+    return ss, _lower_step_hlo(ss)
+
+
+def _close(a, b, tol=0.2):
+    return abs(a - b) <= tol * max(a, b)
+
+
+@pytest.mark.slow
+def test_comm_model_matches_compiled_hlo():
+    """The hand-built ICI traffic model (comm_model) vs the collectives
+    XLA actually compiled into the sharded step on the 8-device CPU mesh
+    (VERDICT r4 #5): every byte count must match the optimized HLO within
+    20% (the stacked-exchange and all_gather entries match exactly)."""
+    n = 8
+
+    # 1. flagship: the only collective traffic is the stacked halo
+    #    exchange — model matches the two collective-permutes exactly.
+    ss, hlo = _hlo_case(None)
+    perm, perm_ops, ag, _ = _collective_bytes(hlo)
+    m = ss.comm_model()
+    assert ag == 0
+    assert len(perm_ops) == 2, perm_ops      # fwd + bwd stacked exchange
+    assert perm == m["halo_ppermute"], (perm, m)
+
+    # 2. PVTE f32: the warm-start (geff, mu) pair rides the stacked
+    #    exchange — 8 fields, f32.
+    ss, hlo = _hlo_case({"EquationOfState": "PVTE",
+                         "HydrogenMassFraction": "0.75",
+                         "Sigma0": "2000 g/cm2"}, dtype="float32")
+    perm, perm_ops, ag, _ = _collective_bytes(hlo)
+    m = ss.comm_model()
+    assert perm == m["halo_ppermute"], (perm, perm_ops, m)
+    assert ("f32", f"8,{ss.S},64") in perm_ops
+
+    # 3. SG alone: one Sigma all_gather (ring cost (n-1)/n of output).
+    ss, hlo = _hlo_case({"SelfGravity": "Yes"})
+    perm, _, ag, ag_ops = _collective_bytes(hlo)
+    m = ss.comm_model()
+    sent = ag * (n - 1) // n
+    assert sent == m["selfgravity_allgather"], (ag_ops, m)
+
+    # 4. SG + particles (Euler): 4 field gathers for the swarm; the SG
+    #    Sigma gather is CSE'd into the particle one — the model charges
+    #    only particles_allgather.
+    ss, hlo = _hlo_case({"SelfGravity": "Yes",
+                         "IntegrateParticles": "yes",
+                         "NumberOfParticles": "128",
+                         "ParticleIntegrator": "midpoint",
+                         "ParticleRadius": "1 cm"})
+    perm, _, ag, ag_ops = _collective_bytes(hlo)
+    m = ss.comm_model()
+    sent = ag * (n - 1) // n
+    assert len(ag_ops) == 4, ag_ops
+    assert sent == m["particles_allgather"], (ag_ops, m)
+    assert _close(sent + perm,
+                  m["total"] - m["faces_and_scalars"]), (sent, perm, m)
+
+    # 5. leapfrog doubles the particle gathers (two half-dt kicks).
+    ss, hlo = _hlo_case({"Integrator": "Leapfrog",
+                         "SelfGravity": "Yes",
+                         "IntegrateParticles": "yes",
+                         "NumberOfParticles": "128",
+                         "ParticleIntegrator": "midpoint",
+                         "ParticleRadius": "1 cm"})
+    _, _, ag, ag_ops = _collective_bytes(hlo)
+    m = ss.comm_model()
+    assert len(ag_ops) == 8, ag_ops
+    assert ag * (n - 1) // n == m["particles_allgather"], (ag_ops, m)
+
+    # 6. FLD: the SOR loop body holds ONE bidirectional single-field
+    #    exchange (= the model's per-iteration cost); the post-loop ghost
+    #    refresh adds one more pair in the module text.
+    ss, hlo = _hlo_case({"Sigma0": "2000 g/cm2", "CoolingBetaLocal": "No",
+                         "SurfaceCooling": "thermal",
+                         "RadiativeDiffusion": "Yes",
+                         "RadiativeDiffusionMaxIterations": "300"})
+    perm, perm_ops, _, _ = _collective_bytes(hlo)
+    m = ss.comm_model(fld_iters=1)
+    fld_ops = [o for o in perm_ops if not o[1].startswith("6,")]
+    assert len(fld_ops) == 4, perm_ops       # loop body pair + final pair
+    per_iter = sum(_HLO_SIZES[dt] * np.prod([int(d) for d in dims.split(",")])
+                   for dt, dims in fld_ops) // 2
+    assert per_iter == m["fld_ppermute"], (fld_ops, m)

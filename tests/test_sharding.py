@@ -107,6 +107,7 @@ def test_sharded_full_physics_matches_single_device():
             rtol=1e-11, atol=1e-13, err_msg=f"particles.{name}")
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_distributed_snapshot_roundtrip(tmp_path):
     """Shard-local snapshot writes (DistributedOutput): each device's rows
