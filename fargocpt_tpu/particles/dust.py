@@ -91,40 +91,42 @@ def _lin_weights(positions, x):
 
 def interpolate_many(fields, radial_pos, r, phi, naz, az_offset=0.0):
     """Bilinear interpolation of K same-layout grid fields at particle
-    positions with ONE patch gather.
+    positions via flattened 1-D element takes.
 
-    TPU gathers are the dust integrator's dominant cost (~135M gathered
-    elements/s, hardware-probed): the naive bilinear does 4 scattered
-    element-gathers per field.  Here the field stack is padded with a
-    wrap column and fetched as contiguous (2, 2, K) patches by a single
-    ``lax.gather`` — one gather index per particle instead of 4K, with
-    the per-index fetch riding contiguous memory.
+    TPU gathers are the dust integrator's dominant cost; of the lowering
+    variants hardware-probed 2026-08-20 on the v5e (16384 particles,
+    1024x3072 f32, 4 fields), the flattened 1-D single-element take is
+    the only one that is fast to RUN and fast to COMPILE:
+
+        2-D advanced indexing  field[i, j]      5.1 ms    94 s compile
+        (2,2,K) patch lax.gather (round 4)     35.2 ms   1.6 s compile
+        (1,1,K) corner lax.gather               3.1 ms   285 s compile
+        flat 1-D takes (this)                   4.3 ms   1.6 s compile
 
     ``radial_pos`` are the radial sample points of the fields' rows
     (cell centers or faces); azimuthal samples sit at
     (j + az_offset) dphi, periodic.  Returns a tuple of K arrays."""
     dphi = 2.0 * math.pi / naz
     i, wr = _lin_weights(radial_pos, r)
+    i = i.astype(jnp.int32)
     t = phi / dphi - az_offset
     j0 = jnp.floor(t).astype(jnp.int32)
     wa = t - j0
     j0 = jnp.mod(j0, naz).astype(jnp.int32)
-    stack = jnp.stack(fields, axis=-1)                    # (NR, NAZ, K)
-    k = stack.shape[-1]
-    # wrap column so the (j0, j0+1) pair is always contiguous
-    fpad = jnp.concatenate([stack, stack[:, :1, :]], axis=1)
-    dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1, 2, 3), collapsed_slice_dims=(),
-        start_index_map=(0, 1))
-    idx = jnp.stack([i, j0], axis=1)                      # (n, 2)
-    patches = jax.lax.gather(
-        fpad, idx, dnums, slice_sizes=(2, 2, k),
-        mode=jax.lax.GatherScatterMode.CLIP)              # (n, 2, 2, K)
-    wr_ = wr[:, None]
-    wa_ = wa[:, None]
-    out = ((1 - wr_) * ((1 - wa_) * patches[:, 0, 0] + wa_ * patches[:, 0, 1])
-           + wr_ * ((1 - wa_) * patches[:, 1, 0] + wa_ * patches[:, 1, 1]))
-    return tuple(out[:, kk] for kk in range(k))
+    j1 = jnp.mod(j0 + 1, naz)
+    naz32 = jnp.int32(naz)
+    row0 = i * naz32
+    row1 = row0 + naz32
+    outs = []
+    for f in fields:
+        ff = f.reshape(-1)
+        f00 = jnp.take(ff, row0 + j0)
+        f01 = jnp.take(ff, row0 + j1)
+        f10 = jnp.take(ff, row1 + j0)
+        f11 = jnp.take(ff, row1 + j1)
+        outs.append((1 - wr) * ((1 - wa) * f00 + wa * f01)
+                    + wr * ((1 - wa) * f10 + wa * f11))
+    return tuple(outs)
 
 
 def interpolate(field, radial_pos, r, phi, naz, az_offset=0.0):
