@@ -33,10 +33,13 @@ per-substep loop bounds).
 FLD radiative diffusion runs with a per-SOR-iteration ghost refresh
 (one ppermute per iteration, the analog of src/fld.cpp:596-656) and a
 psum'd convergence norm (:748) over globally-colored red-black masks.
-Lagrangian particles stay replicated: each step all_gathers the owned
-gas slabs and integrates the swarm on the global fields (the reference
-migrates particles between radial MPI domains instead,
-src/particles/particles.cpp:259-420).
+Lagrangian particles are slab-owned by default (particles/sharded.py:
+fixed-capacity slot buckets integrated against the local window fields,
+boundary-crossers ppermuted to the neighbors — the rebuild of the
+reference's per-rank domains + MPI move sweep,
+src/particles/particles.cpp:259-420, :2016-2160);
+``shard_particles=False`` falls back to the replicated swarm over
+all-gathered gas slabs.
 
 FFT self-gravity runs replicated on the all-gathered Sigma (the
 reference parallelizes the FFT radially via FFTW-MPI,
@@ -95,11 +98,19 @@ class ShardedHydroStep:
         state = ss.gather(sharded)               # plain SystemState
     """
 
-    def __init__(self, stepper, mesh: Mesh, halo: int = 10):
+    def __init__(self, stepper, mesh: Mesh, halo: int = 10,
+                 shard_particles: bool = True):
         phys = stepper.phys
 
         self.stepper = stepper
         self.mesh = mesh
+        # slab-owned particle buckets with ppermute migration
+        # (particles/sharded.py); False falls back to the replicated
+        # swarm over all-gathered fields (rounds 1-4 design)
+        self.shard_particles = bool(shard_particles
+                                    and phys.integrate_particles)
+        self._particle_E = None
+        self._particle_C = None
         self.n = int(mesh.devices.size)
         geometry = stepper.geometry
         NR, NAZ = geometry.nrad, geometry.naz
@@ -209,6 +220,17 @@ class ShardedHydroStep:
         if getattr(ws, "_fuse_visc", False):
             ctx["vk_cols"] = ws._vk_cols
             self._vk_tile_ws = ws._vk_tile
+        if self.shard_particles:
+            # slab ownership interval [radii[kL], radii[(k+1)L]) with the
+            # domain edges opened so frozen escapers stay bucketed
+            radii_g = np.asarray(self.stepper.geometry.radii, np.float64)
+            ctx["p_rmed"] = np.asarray(ws.geometry.rmed, dtype)
+            ctx["p_radii"] = np.asarray(ws.geometry.radii, dtype)
+            ctx["p_lo"] = np.asarray(
+                radii_g[k * L] if k > 0 else -np.inf, dtype)
+            ctx["p_hi"] = np.asarray(
+                radii_g[(k + 1) * L] if k < n - 1 else np.inf, dtype)
+            ctx["p_is_bot"] = np.asarray(1.0 if k == 0 else 0.0, dtype)
         return ctx
 
     def _localize(self, ctx):
@@ -255,9 +277,18 @@ class ShardedHydroStep:
             st._sg_window = lambda x: jax.lax.dynamic_slice_in_dim(
                 x, ctx["win"], self.Lx, axis=0)
         if self.stepper.phys.integrate_particles:
-            st._particle_gather = \
-                lambda sg, vr, va, e: self._gather_fields(sg, vr, va, e, ctx)
-            st._global_stepper = self.stepper
+            if self.shard_particles:
+                from ..particles.sharded import WindowGeom
+                st._particle_shard_ctx = {
+                    "geom": WindowGeom(ctx["p_rmed"], ctx["p_radii"]),
+                    "own_lo": ctx["p_lo"], "own_hi": ctx["p_hi"],
+                    "is_top": ctx["is_top"], "is_bot": ctx["p_is_bot"],
+                    "E": self._particle_E, "n": self.n}
+            else:
+                st._particle_gather = \
+                    lambda sg, vr, va, e: self._gather_fields(
+                        sg, vr, va, e, ctx)
+                st._global_stepper = self.stepper
         st._axis_name = AXIS
         st._own_col = ctx["own"]
         st._own_int_col = ctx["own_int"]
@@ -400,7 +431,9 @@ class ShardedHydroStep:
     # --- public API ------------------------------------------------------
     def shard_state(self, state):
         """Global SystemState -> (sharded owned state, replicated top vrad
-        face). Every (NR[+1], NAZ) leaf is stored as true radial slabs."""
+        face). Every (NR[+1], NAZ) leaf is stored as true radial slabs;
+        with ``shard_particles`` the swarm is bucketed into slab-owned
+        slot arrays (particles/sharded.py)."""
         NR = self.NR
         sh = NamedSharding(self.mesh, P(AXIS, None))
         rep = NamedSharding(self.mesh, P())
@@ -418,19 +451,48 @@ class ShardedHydroStep:
                 return jax.device_put(x, sh)
             return jax.device_put(x, rep)
 
-        rest = jax.tree_util.tree_map(place, state.replace(fields=None))
-        return rest.replace(fields=fields), vrad_top
+        particles = state.particles
+        rest = state.replace(fields=None, particles=None)
+        rest = jax.tree_util.tree_map(place, rest)
+        if particles is not None and self.shard_particles:
+            from ..particles import sharded as psh
+            self._particle_template = particles
+            self._n_particles = int(particles.r.shape[0])
+            sp, C, _ = psh.shard_particles(
+                particles, self.n, self.L,
+                np.asarray(self.stepper.geometry.radii, np.float64))
+            self._particle_C = C
+            self._particle_E = psh.exchange_capacity(C)
+            sh1 = NamedSharding(self.mesh, P(AXIS))
+            sp = jax.tree_util.tree_map(
+                lambda a: jax.device_put(
+                    a, sh if getattr(a, "ndim", 1) == 2 else sh1), sp)
+            particles = sp
+        elif particles is not None:
+            particles = jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, rep), particles)
+        return rest.replace(fields=fields, particles=particles), vrad_top
 
     def gather(self, pair):
-        """(sharded state, top face) -> plain global SystemState."""
+        """(sharded state, top face) -> plain global SystemState (the
+        slot-bucketed swarm restored to canonical pid order)."""
+        from ..particles.sharded import ShardedParticles, gather_particles
+
         state, vrad_top = pair
         vrad = jnp.concatenate([jnp.asarray(state.fields.vrad),
                                 jnp.asarray(vrad_top)], axis=0)
-        return state.replace(fields=FieldState(
+        out = state.replace(fields=FieldState(
             sigma=state.fields.sigma, vrad=vrad,
             vaz=state.fields.vaz, energy=state.fields.energy))
+        if isinstance(state.particles, ShardedParticles):
+            out = out.replace(particles=gather_particles(
+                state.particles, self._n_particles,
+                self._particle_template))
+        return out
 
     def _specs_for(self, state):
+        from ..particles.sharded import ShardedParticles
+
         NR = self.NR
 
         def spec(x):
@@ -438,6 +500,13 @@ class ShardedHydroStep:
                 return P(AXIS, *([None] * (x.ndim - 1)))
             return P()
 
+        if isinstance(state.particles, ShardedParticles):
+            pspecs = jax.tree_util.tree_map(
+                lambda a: P(AXIS, None) if getattr(a, "ndim", 1) == 2
+                else P(AXIS), state.particles)
+            rest = jax.tree_util.tree_map(
+                spec, state.replace(particles=None))
+            return rest.replace(particles=pspecs)
         return jax.tree_util.tree_map(spec, state)
 
     def _build_advance(self, state):
@@ -549,17 +618,29 @@ class ShardedHydroStep:
         # global outer vrad face + CFL pmin + ~35 scalar psum diagnostics
         model["faces_and_scalars"] = row + 40 * item
         leapfrog = phys.hydro_integrator == LEAPFROG
+        k = 2 if leapfrog else 1
+        replicated_particles = (phys.integrate_particles
+                                and not self.shard_particles)
         if phys.integrate_particles:
-            # replicated swarm: all_gather 4 gas slabs per particle
-            # integration (leapfrog kicks the particles in two halves)
-            k = 2 if leapfrog else 1
-            model["particles_allgather"] = 4 * k * (n - 1) * L * row
+            if self.shard_particles:
+                # slab-owned buckets: per integration, two fixed
+                # (8, E) float + (3, E) int32 migration buffers each way
+                # (particles/sharded.py migrate) — constant in mesh size
+                E = self._particle_E or 64
+                model["particles_migration"] = \
+                    k * 2 * E * (8 * item + 3 * 4)
+            else:
+                # replicated swarm: all_gather 4 gas slabs per particle
+                # integration (leapfrog kicks the particles in two halves)
+                model["particles_allgather"] = 4 * k * (n - 1) * L * row
         if self.stepper.selfgravity is not None \
-                and not phys.integrate_particles:
-            # replicated-FFT analog: all_gather Sigma every refresh.
-            # With particles enabled this transfer is CSE'd into the
-            # particle Sigma gather (HLO-verified) and costs nothing.
-            model["selfgravity_allgather"] = (n - 1) * L * row
+                and not replicated_particles:
+            # replicated-FFT analog: all_gather Sigma per gas kick (the
+            # leapfrog kicks twice on different Sigmas — HLO-verified).
+            # With REPLICATED particles this transfer is CSE'd into the
+            # particle Sigma gather (HLO-verified) and costs nothing;
+            # sharded particles gather no fields, so SG pays its own.
+            model["selfgravity_allgather"] = k * (n - 1) * L * row
         if self.stepper.fld is not None:
             # one bidirectional single-field ppermute per SOR double
             # sweep, plus one post-loop ghost refresh (counted in the

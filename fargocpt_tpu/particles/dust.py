@@ -516,9 +516,11 @@ def diffuse_dust(phys: Physics, constants, geom_np, g: Geom,
     # gas diffusion coefficient Dg = alpha cs H (cell values, no interp)
     h_grid = scale_height * g.inv_rb
     dg_grid = phys.viscous_alpha * cs * h_grid * g.rb
-    # radial density derivative (cell-centered finite differences)
+    # radial density derivative (cell-centered finite differences);
+    # jnp.gradient so the rmed spacing also traces when it is a sharded
+    # window array (constant-folded to the numpy result otherwise)
     drho_dr_grid = jnp.gradient(rho, axis=0) \
-        / jnp.asarray(np.gradient(geom_np.rmed)[:, None], rho.dtype)
+        / jnp.gradient(jnp.asarray(geom_np.rmed, rho.dtype))[:, None]
     # all three fields share layout: one patch gather
     Dg, rho_p, drho_dr = interpolate_many(
         (dg_grid, rho, drho_dr_grid), rmed, r, phi, naz)

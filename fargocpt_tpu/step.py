@@ -337,6 +337,11 @@ class HydroStep:
         self._fld_shard_ctx = None
         self._particle_gather = None
         self._global_stepper = None
+        #   _particle_shard_ctx  slab-owned particle buckets: window
+        #   geometry + ownership bounds + migration sizes (the
+        #   TPU rebuild of the reference's per-rank particle domains,
+        #   src/particles/particles.cpp:259-420; see particles/sharded.py)
+        self._particle_shard_ctx = None
         #   _sg_gather / _sg_window  localized self-gravity: all_gather
         #   sigma to global, slice the accelerations back to the window
         self._sg_gather = None
@@ -1232,6 +1237,10 @@ class HydroStep:
 
     def _integrate_particles(self, sigma, vrad, vaz, energy, nb, particles,
                              omega_frame, dt, time):
+        if self._particle_shard_ctx is not None:
+            return self._integrate_particles_sharded(
+                sigma, vrad, vaz, energy, nb, particles, omega_frame, dt,
+                time)
         if self._particle_gather is not None:
             # explicit shard_map path: the replicated swarm integrates on
             # all-gathered global fields with the global stepper (the
@@ -1243,6 +1252,14 @@ class HydroStep:
             return self._global_stepper._integrate_particles(
                 sigma, vrad, vaz, energy, nb, particles, omega_frame, dt,
                 time)
+        return self._particle_core(sigma, vrad, vaz, energy, nb, particles,
+                                   omega_frame, dt, time, self.geometry)
+
+    def _particle_core(self, sigma, vrad, vaz, energy, nb, particles,
+                       omega_frame, dt, time, geom_np):
+        """Drag + gravity integration (+ diffusion) of one swarm against
+        the fields of THIS stepper's grid (global, or one shard's
+        extended window with ``geom_np`` holding the window rmed/radii)."""
         from .particles import dust
         phys, constants, g = self.phys, self.constants, self.g
         pp = self.particle_params or dust.ParticleParams()
@@ -1257,16 +1274,49 @@ class HydroStep:
             ("e", "a", "r")) else dust.integrate_expmid
         sg_accel = None
         if pp.disk_gravity and self.selfgravity is not None:
-            sg_accel = self.selfgravity.accelerations(sigma)
+            sg_accel = self._sg_accels(sigma)
         particles = integ(
-            phys, pp, constants, self.units, self.geometry, g, particles,
+            phys, pp, constants, self.units, geom_np, g, particles,
             rho_mid, temp, vrad, vaz, bodies, self.n_bodies, omega_frame, dt,
             sg_accel=sg_accel)
         if pp.diffusion:
             particles = dust.diffuse_dust(
-                phys, constants, self.geometry, g, particles, rho_mid,
+                phys, constants, geom_np, g, particles, rho_mid,
                 cs0, h0, dt)
         return particles
+
+    def _integrate_particles_sharded(self, sigma, vrad, vaz, energy, nb,
+                                     sp, omega_frame, dt, time):
+        """Slab-owned particle buckets (particles/sharded.py): integrate
+        this shard's slots against the local extended-window fields, then
+        migrate boundary-crossers to the neighbor shards — the TPU
+        rebuild of the reference's per-rank particle integration + MPI
+        move sweep (src/particles/particles.cpp:259-420, :2016-2160)."""
+        from .particles import dust
+        from .particles import sharded as psh
+
+        ctx = self._particle_shard_ctx
+        local = dust.ParticleState(
+            r=sp.r, phi=sp.phi, r_dot=sp.r_dot, phi_dot=sp.phi_dot,
+            size=sp.size, stokes=sp.stokes,
+            alive=sp.alive & sp.valid,      # empty slots stay frozen
+            rng_key=sp.rng_key[0],
+            timestep=sp.timestep, facold=sp.facold)
+        local = self._particle_core(sigma, vrad, vaz, energy, nb, local,
+                                    omega_frame, dt, time, ctx["geom"])
+        spl = {name: getattr(local, name) for name in psh._FIELDS}
+        spl["alive"] = local.alive          # escape deaths recorded
+        spl["valid"] = sp.valid
+        spl["pid"] = sp.pid
+        spl["overflow"] = sp.overflow[0]
+        out = psh.migrate(spl, ctx["own_lo"], ctx["own_hi"],
+                          ctx["is_top"], ctx["is_bot"], ctx["E"],
+                          self._axis_name, ctx["n"])
+        return sp.replace(
+            **{name: out[name] for name in psh._FIELDS},
+            alive=out["alive"], valid=out["valid"], pid=out["pid"],
+            rng_key=local.rng_key[None, :],
+            overflow=out["overflow"][None])
 
     def _step_impl(self, state: SystemState, time, dt):
         """One hydro step.  Wraps the integrator cores with the PVTE

@@ -16,7 +16,9 @@ import jax.numpy as jnp
 from fargocpt_tpu.config import Config
 from fargocpt_tpu.sim import Simulation
 from fargocpt_tpu.parallel.mesh import make_mesh
-from fargocpt_tpu.parallel.shard_step import ShardedHydroStep
+from fargocpt_tpu.parallel.shard_step import ShardedHydroStep, AXIS
+
+AXIS_NAME = AXIS
 
 
 def flagship_config(nrad=192, naz=64, extra=None):
@@ -182,8 +184,9 @@ def test_sharded_fld_matches_single_device():
 
 
 def test_sharded_particles_match_single_device():
-    """Replicated dust swarm under the explicit path: drag + diffusion on
-    all-gathered global fields reproduces the single-device integration
+    """Replicated dust swarm under the explicit path
+    (shard_particles=False fallback): drag + diffusion on all-gathered
+    global fields reproduces the single-device integration
     bit-for-bit-level."""
     cfg = flagship_config(extra={
         "IntegrateParticles": "yes", "NumberOfParticles": "32",
@@ -192,7 +195,7 @@ def test_sharded_particles_match_single_device():
     })
     sim = Simulation(cfg)
     mesh = make_mesh(8)
-    ss = ShardedHydroStep(sim.stepper, mesh)
+    ss = ShardedHydroStep(sim.stepper, mesh, shard_particles=False)
     pair = ss.shard_state(sim.state)
 
     s1 = sim.state
@@ -204,6 +207,135 @@ def test_sharded_particles_match_single_device():
     for name in ("r", "phi", "r_dot", "phi_dot", "timestep"):
         d = _rel(getattr(s1.particles, name), getattr(s2.particles, name))
         assert d < 1e-13, f"particles.{name}: rel diff {d:.3e}"
+
+
+def test_sharded_particle_buckets_match_single_device():
+    """Slab-owned dust buckets (particles/sharded.py, the default):
+    per-shard integration against the local extended window + ppermute
+    migration reproduces the single-device swarm at f64 roundoff, with
+    every particle accounted for in canonical pid order."""
+    cfg = flagship_config(extra={
+        "IntegrateParticles": "yes", "NumberOfParticles": "64",
+        "ParticleRadius": "1 cm", "ParticleSpeciesNumber": "2",
+    })
+    sim = Simulation(cfg)
+    mesh = make_mesh(8)
+    ss = ShardedHydroStep(sim.stepper, mesh)
+    assert ss.shard_particles
+    pair = ss.shard_state(sim.state)
+
+    s1 = sim.state
+    for i in range(3):
+        s1 = sim.stepper.step(s1, i * 1e-4, 1e-4)
+        pair = ss.step(pair, i * 1e-4, 1e-4)
+    s2 = ss.gather(pair)
+    _compare_states(s1, s2, 1e-13)
+    sp = pair[0].particles
+    assert int(np.sum(np.asarray(sp.overflow))) == 0
+    pid = np.asarray(sp.pid)[np.asarray(sp.valid)]
+    assert np.array_equal(np.sort(pid), np.arange(64)), pid
+    for name in ("r", "phi", "r_dot", "phi_dot", "stokes"):
+        d = _rel(getattr(s1.particles, name), getattr(s2.particles, name))
+        assert d < 1e-12, f"particles.{name}: rel diff {d:.3e}"
+    # migration traffic replaced the 4-slab all_gather in the model
+    m = ss.comm_model()
+    assert "particles_migration" in m
+    assert "particles_allgather" not in m
+
+
+def test_particle_migration_exchange():
+    """The fixed-buffer ppermute migration (particles/sharded.py
+    ``migrate``) moves boundary-crossers to the correct neighbor bucket,
+    preserves pids/payload, frees the source slots, and counts overflow
+    — exercised directly on the 8-device mesh with crafted positions."""
+    from jax.sharding import PartitionSpec as P
+    from fargocpt_tpu.particles import sharded as psh
+    from fargocpt_tpu.parallel.shard_step import _shard_map
+
+    n, C, E = 8, 4, 2
+    mesh = make_mesh(n)
+    dt = jnp.float64
+    # shard k owns [k, k+1); slot layout: [stay, up-crosser, down-crosser,
+    # empty] on shard 3, plain stay elsewhere
+    r = np.full(n * C, 0.0)
+    valid = np.zeros(n * C, bool)
+    alive = np.zeros(n * C, bool)
+    pid = np.full(n * C, -1, np.int32)
+    for k in range(n):
+        r[k * C] = k + 0.5
+        valid[k * C] = alive[k * C] = True
+        pid[k * C] = k
+    r[3 * C + 1] = 4.2     # belongs to shard 4
+    r[3 * C + 2] = 2.7     # belongs to shard 2
+    valid[3 * C + 1] = valid[3 * C + 2] = True
+    alive[3 * C + 1] = alive[3 * C + 2] = True
+    pid[3 * C + 1], pid[3 * C + 2] = 100, 200
+    lo = np.arange(n, dtype=np.float64)
+    hi = lo + 1.0
+    lo[0], hi[-1] = -np.inf, np.inf
+    is_top = (np.arange(n) == n - 1).astype(np.float64)
+    is_bot = (np.arange(n) == 0).astype(np.float64)
+
+    leaves = {name: jnp.asarray(np.where(valid, r, 0.0)
+                                if name == "r" else np.zeros(n * C))
+              for name in psh._FIELDS}
+    leaves["r"] = jnp.asarray(r)
+    leaves["alive"] = jnp.asarray(alive)
+    leaves["valid"] = jnp.asarray(valid)
+    leaves["pid"] = jnp.asarray(pid)
+    leaves["overflow"] = jnp.zeros(n, jnp.int32)
+
+    def fn(lv, lo_, hi_, top_, bot_):
+        spl = {k: v for k, v in lv.items() if k != "overflow"}
+        spl["overflow"] = lv["overflow"][0]
+        out = psh.migrate(spl, lo_[0], hi_[0], top_[0], bot_[0], E,
+                          "r", n)
+        out["overflow"] = out["overflow"][None]
+        return out
+
+    specs = {k: P(AXIS_NAME) for k in leaves}
+    mapped = jax.jit(_shard_map(
+        fn, mesh,
+        in_specs=(specs, P(AXIS_NAME), P(AXIS_NAME), P(AXIS_NAME),
+                  P(AXIS_NAME)),
+        out_specs=specs))
+    out = mapped(leaves, jnp.asarray(lo), jnp.asarray(hi),
+                 jnp.asarray(is_top), jnp.asarray(is_bot))
+
+    r2 = np.asarray(out["r"])
+    valid2 = np.asarray(out["valid"])
+    pid2 = np.asarray(out["pid"])
+    # stayers untouched
+    for k in range(n):
+        assert valid2[k * C] and pid2[k * C] == k
+    # crossers moved into a free slot of the right neighbor bucket
+    s4 = slice(4 * C, 5 * C)
+    s2_ = slice(2 * C, 3 * C)
+    assert 100 in pid2[s4] and np.isclose(r2[s4][pid2[s4] == 100], 4.2)
+    assert 200 in pid2[s2_] and np.isclose(r2[s2_][pid2[s2_] == 200], 2.7)
+    # source slots freed
+    assert not valid2[3 * C + 1] and not valid2[3 * C + 2]
+    assert pid2[3 * C + 1] == -1
+    assert int(np.asarray(out["overflow"]).sum()) == 0
+    # total census conserved
+    assert valid2.sum() == valid.sum()
+
+
+def test_shard_gather_particles_roundtrip():
+    """Host-side bucket/gather roundtrip is the identity on the swarm."""
+    from fargocpt_tpu.particles import dust, sharded as psh
+
+    radii = np.geomspace(0.4, 2.5, 65)
+    ps = dust.init_particles(40, 0.45, 2.4, 0.5, 1e-5, 1.0, seed=7)
+    sp, C, bounds = psh.shard_particles(ps, 8, 8, radii)
+    back = psh.gather_particles(sp, 40, ps)
+    for name in ("r", "phi", "r_dot", "phi_dot", "size", "stokes",
+                 "timestep", "facold"):
+        np.testing.assert_array_equal(np.asarray(getattr(back, name)),
+                                      np.asarray(getattr(ps, name)),
+                                      err_msg=name)
+    np.testing.assert_array_equal(np.asarray(back.alive),
+                                  np.asarray(ps.alive))
 
 
 def test_sharded_selfgravity_matches_single_device():
@@ -326,13 +458,22 @@ def test_comm_model_accounting():
         "IntegrateParticles": "yes", "NumberOfParticles": "128",
         "ParticleIntegrator": "midpoint", "ParticleRadius": "1 cm",
     }), dtype="float64")
-    ss2 = ShardedHydroStep(sim2.stepper, mesh)
+    # replicated fallback: 4-slab all_gather per integration; the SG
+    # Sigma gather is CSE'd into the particle one (HLO-verified, see
+    # test_comm_model_matches_compiled_hlo)
+    ss2 = ShardedHydroStep(sim2.stepper, mesh, shard_particles=False)
     m2 = ss2.comm_model()
-    # ring all_gather: each device sends (n-1) L-row slabs per array;
-    # with particles on, the SG Sigma gather is CSE'd into the particle
-    # one (HLO-verified, see test_comm_model_matches_compiled_hlo)
     assert "selfgravity_allgather" not in m2
     assert m2["particles_allgather"] == 4 * 7 * (192 // 8) * 64 * 8
+
+    # default: slab-owned buckets — constant-size migration buffers and
+    # SG pays its own gather
+    ss2b = ShardedHydroStep(sim2.stepper, mesh)
+    ss2b.shard_state(sim2.state)
+    m2b = ss2b.comm_model()
+    E = ss2b._particle_E
+    assert m2b["particles_migration"] == 2 * E * (8 * 8 + 12)
+    assert m2b["selfgravity_allgather"] == 7 * (192 // 8) * 64 * 8
 
     sim3 = Simulation(flagship_config(extra={"SelfGravity": "Yes"}),
                       dtype="float64")
@@ -396,9 +537,9 @@ def _lower_step_hlo(ss):
     return lowered.compile().as_text()
 
 
-def _hlo_case(extra, dtype="float64"):
+def _hlo_case(extra, dtype="float64", **kw):
     sim = Simulation(flagship_config(extra=extra), dtype=dtype)
-    ss = ShardedHydroStep(sim.stepper, make_mesh(8))
+    ss = ShardedHydroStep(sim.stepper, make_mesh(8), **kw)
     ss._hlo_state = sim.state
     return ss, _lower_step_hlo(ss)
 
@@ -441,14 +582,27 @@ def test_comm_model_matches_compiled_hlo():
     sent = ag * (n - 1) // n
     assert sent == m["selfgravity_allgather"], (ag_ops, m)
 
-    # 4. SG + particles (Euler): 4 field gathers for the swarm; the SG
-    #    Sigma gather is CSE'd into the particle one — the model charges
-    #    only particles_allgather.
-    ss, hlo = _hlo_case({"SelfGravity": "Yes",
-                         "IntegrateParticles": "yes",
-                         "NumberOfParticles": "128",
-                         "ParticleIntegrator": "midpoint",
-                         "ParticleRadius": "1 cm"})
+    # 4. SG + slab-owned particle buckets (the default): one SG Sigma
+    #    all_gather, and the migration buffers ride 4 extra ppermutes
+    #    (float + int32 payload, both directions).
+    particle_cfg = {"SelfGravity": "Yes",
+                    "IntegrateParticles": "yes",
+                    "NumberOfParticles": "128",
+                    "ParticleIntegrator": "midpoint",
+                    "ParticleRadius": "1 cm"}
+    ss, hlo = _hlo_case(particle_cfg)
+    perm, perm_ops, ag, ag_ops = _collective_bytes(hlo)
+    m = ss.comm_model()
+    assert len(ag_ops) == 1, ag_ops
+    assert ag * (n - 1) // n == m["selfgravity_allgather"], (ag_ops, m)
+    assert len(perm_ops) == 6, perm_ops
+    assert perm == m["halo_ppermute"] + m["particles_migration"], \
+        (perm_ops, m)
+
+    # 4b. replicated-particle fallback: 4 field gathers for the swarm;
+    #     the SG Sigma gather is CSE'd into the particle one — the model
+    #     charges only particles_allgather.
+    ss, hlo = _hlo_case(particle_cfg, shard_particles=False)
     perm, _, ag, ag_ops = _collective_bytes(hlo)
     m = ss.comm_model()
     sent = ag * (n - 1) // n
@@ -457,17 +611,16 @@ def test_comm_model_matches_compiled_hlo():
     assert _close(sent + perm,
                   m["total"] - m["faces_and_scalars"]), (sent, perm, m)
 
-    # 5. leapfrog doubles the particle gathers (two half-dt kicks).
-    ss, hlo = _hlo_case({"Integrator": "Leapfrog",
-                         "SelfGravity": "Yes",
-                         "IntegrateParticles": "yes",
-                         "NumberOfParticles": "128",
-                         "ParticleIntegrator": "midpoint",
-                         "ParticleRadius": "1 cm"})
-    _, _, ag, ag_ops = _collective_bytes(hlo)
+    # 5. leapfrog doubles both the migration sweeps and the SG gathers
+    #    (two half-dt kicks on different Sigmas).
+    ss, hlo = _hlo_case(dict(particle_cfg, Integrator="Leapfrog"))
+    perm, perm_ops, ag, ag_ops = _collective_bytes(hlo)
     m = ss.comm_model()
-    assert len(ag_ops) == 8, ag_ops
-    assert ag * (n - 1) // n == m["particles_allgather"], (ag_ops, m)
+    assert len(ag_ops) == 2, ag_ops
+    assert ag * (n - 1) // n == m["selfgravity_allgather"], (ag_ops, m)
+    assert len(perm_ops) == 10, perm_ops
+    assert perm == m["halo_ppermute"] + m["particles_migration"], \
+        (perm_ops, m)
 
     # 6. FLD: the SOR loop body holds ONE bidirectional single-field
     #    exchange (= the model's per-iteration cost); the post-loop ghost
