@@ -65,6 +65,8 @@ def test_chunked_advance_bitwise_identical():
     _compare(out_a, out_c)
 
 
+@pytest.mark.slow  # 36 s; test_chunked_advance_bitwise_identical keeps
+# the chunked-advance gate fast, test_sharding the sharded-equivalence one
 def test_chunked_advance_sharded():
     if len(jax.devices()) < 4:
         pytest.skip("needs the 8-virtual-device CPU mesh")

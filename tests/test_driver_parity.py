@@ -136,6 +136,8 @@ def test_bench_kill_resilience():
     assert last == json.loads(lines[0])
 
 
+@pytest.mark.slow  # 128 s; the driver compile-checks the graft entry
+# itself every round — keep only the kill-resilience gates fast
 def test_graft_entry_fresh_subprocess():
     """``python __graft_entry__.py`` (the driver's compile check) must run
     in a pristine interpreter."""

@@ -270,6 +270,8 @@ def test_mass_bookkeeping_and_ecc_monitor(tmp_path):
     assert np.any(np.abs(ecc[1:, 3:8]) > 0)
 
 
+@pytest.mark.slow  # 128 s; test_restart_is_bitwise_identical keeps the
+# bitwise-restart gate class in the fast tier
 def test_restart_bitwise_pvte_f32(tmp_path):
     """Bitwise restart of the f32 fast-PVTE path: the warm-start solver
     cache (pvte_guess) is pure solver state, but it seeds each step's
