@@ -752,14 +752,19 @@ class PVTE:
                      != "0")
         # warm-start chaining (FARGOCPT_TPU_PVTE_WARM=0 forces every
         # refresh through the cold hybrid for A/B comparison).  Newton
-        # count: chained refreshes see <~0.3% energy moves, where 3
-        # iterations reach the solver tolerance exactly (sweep-validated,
-        # tests/test_pvte.py); the end-to-end gates are the PVTE budget
-        # test (warm vs cold < 1e-4 over ~200 steps) and the dtype
-        # budget.  FARGOCPT_TPU_PVTE_NEWTON overrides for A/B.
+        # count: chained refreshes see <~0.3% energy moves, where ONE
+        # bracket-safeguarded iteration already reaches the solver
+        # tolerance — the 200-step PVTE+FLD budget run measures warm vs
+        # cold at 6.5e-6/1.1e-5 (sigma/energy) with n=1, statistically
+        # identical to n=3's 6.9e-6/1.2e-5 (CPU sweep 2026-08-21); each
+        # dropped iteration removes one full-grid derivative evaluation
+        # (~0.63 ms on the v5e) from every refresh.  The end-to-end gates
+        # are the PVTE budget test (warm vs cold < 1e-4 over ~200 steps)
+        # and the dtype budget.  FARGOCPT_TPU_PVTE_NEWTON overrides for
+        # A/B.
         self.warm = self.fast and _os.environ.get(
             "FARGOCPT_TPU_PVTE_WARM", "1") != "0"
-        self.n_newton = int(_os.environ.get("FARGOCPT_TPU_PVTE_NEWTON", "3"))
+        self.n_newton = int(_os.environ.get("FARGOCPT_TPU_PVTE_NEWTON", "1"))
         if self.lookup:
             # reference-exact table mode: quantizes (geff, mu, g1) onto
             # the reference's 1000x1000 grid; the default in-graph
