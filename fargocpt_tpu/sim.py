@@ -11,6 +11,7 @@ from __future__ import annotations
 import time as _time
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -84,6 +85,29 @@ class Simulation:
 
     def __init__(self, cfg: Config, outdir: str | None = None,
                  dtype: str = "float64"):
+        # Construction is eager host-side numerics (ICs, reference values,
+        # one BC application): on an accelerator backend every eager jnp
+        # op is its own tiny executable, and through the axon TPU tunnel
+        # that is ~197 compile round-trips at ~0.5 s each (measured
+        # 2026-08-21 — the build dominated every bench child's wall
+        # cost).  Pin construction to the local CPU backend and move the
+        # finished state pytree to the default device once; stepper
+        # geometry/kernel arrays stay host-side and reach the compiled
+        # step as baked constants exactly as before.
+        cpu = None
+        try:
+            if jax.default_backend() != "cpu":
+                cpu = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None:
+            with jax.default_device(cpu):
+                self._build(cfg, outdir, dtype)
+            self.state = jax.device_put(self.state, jax.devices()[0])
+        else:
+            self._build(cfg, outdir, dtype)
+
+    def _build(self, cfg: Config, outdir: str | None, dtype: str):
         self.cfg = cfg
         shock_tube = cfg.get("ShockTube", 0, type=int)
         # consult the base-unit keys even on the shock-tube branch (which
