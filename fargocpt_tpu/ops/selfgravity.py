@@ -265,12 +265,18 @@ class SelfGravity:
         if self._use_dft:
             # zero padding to 2NR and the discarded bottom half of the
             # output are both handled inside the plan by slicing the
-            # twiddle matrices — half the matmul FLOPs each way
+            # twiddle matrices — half the matmul FLOPs each way.  The two
+            # convolutions (K_r, K_t) ride ONE batched transform pair:
+            # vmap turns every stage matmul into a single batched matmul,
+            # halving kernel launches and twiddle-table reads.
             plan = self._plan
-            acc_r = plan.inverse(*plan.cmul(*plan.forward(s_r), *k_r_hat),
-                                 rows=nr)
-            acc_t = plan.inverse(*plan.cmul(*plan.forward(s_t), *k_t_hat),
-                                 rows=nr)
+            s_b = jnp.stack([s_r, s_t])                        # (2, NR, NAZ)
+            fr, fi = jax.vmap(plan.forward)(s_b)
+            kr = jnp.stack([k_r_hat[0], k_t_hat[0]])
+            ki = jnp.stack([k_r_hat[1], k_t_hat[1]])
+            cr, ci = plan.cmul(fr, fi, kr, ki)
+            acc = jax.vmap(lambda a, b: plan.inverse(a, b, rows=nr))(cr, ci)
+            acc_r, acc_t = acc[0], acc[1]
         else:
             pad = jnp.zeros_like(s_r)
             s_r = jnp.concatenate([s_r, pad], axis=0)       # (2NR, NAZ)
