@@ -302,3 +302,37 @@ def test_particle_disk_gravity_kick():
     assert float(s_sg.r_dot[0]) < float(s_nog.r_dot[0])
     np.testing.assert_allclose(float(s_sg.r_dot[0] - s_nog.r_dot[0]),
                                -0.2 * 0.05, rtol=0.1)
+
+
+def test_analytic_ladder_matches_searchsorted():
+    """The analytic log-ladder radial lookup (dust._lin_weights) must
+    reproduce searchsorted-based interpolation VALUES on a log grid —
+    index flips at cell boundaries are allowed (the clamped weight makes
+    the interpolant continuous there) but values must agree."""
+    from fargocpt_tpu.particles import dust
+
+    rng = np.random.default_rng(5)
+    nr, naz = 96, 64
+    g = (2.5 / 0.4) ** (1.0 / (nr - 2))
+    radii = 0.4 * g ** (np.arange(nr + 1) - 1.0)
+    rmed = 0.5 * (radii[:-1] + radii[1:])
+
+    # ladder detected for the geometric grid, not for an arithmetic one
+    assert dust._geometric_ladder(rmed) is not None
+    assert dust._geometric_ladder(np.linspace(0.4, 2.5, nr)) is None
+    # nor for a traced/jnp array (searchsorted fallback)
+    assert dust._geometric_ladder(jnp.asarray(rmed)) is None
+
+    field = rng.random((nr, naz))
+    r = rng.uniform(radii[1], radii[-2], 4096)
+    # include exact boundary hits and out-of-range queries
+    r = np.concatenate([r, rmed[3:10], [0.0, radii[0] * 0.5, radii[-1] * 2]])
+    phi = rng.uniform(0, 2 * np.pi, r.size)
+
+    out_analytic = np.asarray(dust.interpolate(
+        jnp.asarray(field), rmed, jnp.asarray(r), jnp.asarray(phi), naz))
+    out_searchsorted = np.asarray(dust.interpolate(
+        jnp.asarray(field), jnp.asarray(rmed), jnp.asarray(r),
+        jnp.asarray(phi), naz))
+    np.testing.assert_allclose(out_analytic, out_searchsorted,
+                               rtol=0, atol=1e-9)
