@@ -422,14 +422,22 @@ class HydroStep:
             memo.pop(next(iter(memo)))
         return out
 
-    def derived(self, sigma, energy, bodies=None):
+    def derived(self, sigma, energy, bodies=None, pv=None):
         """Sound speed, pressure, scale height from prognostic fields.
         With AspectRatioMode 1/2 and a bodies snapshot, the N-body /
         center-of-mass variants are used (reference
         src/SourceEuler.cpp:1054-1441); callers without body context fall
-        back to the axisymmetric mode-0 forms."""
+        back to the axisymmetric mode-0 forms.
+
+        ``pv``: optional STALE (gamma_eff, mu, gamma1) grids.  The
+        reference evaluates several staleness points with the grids of
+        the LAST ``pvte::compute_gamma_mu`` instead of recomputing (e.g.
+        fld.cpp:996-1000 compute_temperature/compute_sound_speed read
+        ``pvte::get_*`` without a refresh); passing the carried grids
+        here reproduces that and skips a full-grid solve."""
         phys, constants, g = self.phys, self.constants, self.g
-        pv = self.pvte_vals(sigma, energy)
+        if pv is None:
+            pv = self.pvte_vals(sigma, energy)
         mode = phys.aspectratio_mode
         if mode in (1, 2) and bodies is not None:
             if phys.is_adiabatic or phys.is_polytropic:
@@ -766,7 +774,7 @@ class HydroStep:
             # resulting kick-2 smoothing difference is ~1e-5 relative
             # locally — inside the f32 error budget this path serves
             return (sigma, vrad, vaz, energy, qplus, qminus, None,
-                    sg_kernel, None, None)
+                    sg_kernel, None, None, None)
 
         if self._fuse_artvisc:
             from .ops import pallas_kernels as pk
@@ -783,8 +791,10 @@ class HydroStep:
         if track_ecc:
             mark = ecc_mark(mark)        # artificial-viscosity delta
         if phys.is_adiabatic and phys.artificial_viscosity_dissipation:
+            # STALE grids: the reference floor reads pvte::get_* from the
+            # last compute_gamma_mu (here: the step-start refresh)
             energy = eos.energy_floor_ceiling(phys, constants, sigma, energy,
-                                              self.pvte_vals(sigma, energy))
+                                              pv)
 
         # recalculate_viscosity (reference src/SourceEuler.cpp:205-223):
         # adiabatic cs/H respond to the energy updates above; under
@@ -802,8 +812,10 @@ class HydroStep:
 
         qplus = jnp.zeros_like(sigma)
         qminus = jnp.zeros_like(sigma)
+        pv_last = None
         if phys.is_adiabatic:
             pv3 = self.pvte_vals(sigma, energy)
+            pv_last = pv3
             energy, qplus, qminus = energy_ops.substep3(
                 phys, constants, g, sigma, energy, vrad, vaz, nu,
                 tau_rr, tau_pp, tau_rp, div_v, h,
@@ -813,7 +825,8 @@ class HydroStep:
                 pvte_vals=pv3,
                 aspect_grid=self.aspect_grid(cs, h, bodies, pv3))
         return (sigma, vrad, vaz, energy, qplus, qminus,
-                ecc_deltas if track_ecc else None, sg_kernel, h, nu)
+                ecc_deltas if track_ecc else None, sg_kernel, h, nu,
+                pv_last)
 
     def _sg_accels(self, sigma, spectra=None):
         """Self-gravity accelerations; under the explicit shard_map path
@@ -902,18 +915,21 @@ class HydroStep:
         phys, constants, g = self.phys, self.constants, self.g
         bodies = self.bodies_on_grid(nb, time)
         (sigma, vrad, vaz, energy, qplus, qminus,
-         _ecc_deltas, sg_kernel, h_next, nu_next) = self._substeps(
+         _ecc_deltas, sg_kernel, h_next, nu_next, pv_last) = self._substeps(
             sigma, vrad, vaz, energy, indirect, time, dt, omega_frame,
             bodies, sg_kernel=sg_kernel, stale_derived=stale_derived,
             stale_h=stale_h)
         sigma, vrad, vaz, energy = jax.lax.optimization_barrier(
             (sigma, vrad, vaz, energy))
         if self.fld is not None:
-            _, _, h_now = self.derived(sigma, energy)
+            # STALE pvte grids for the T/cs/H entering FLD (reference
+            # fld.cpp:996-1000 reads pvte::get_* with no refresh)
+            _, _, h_now = self.derived(sigma, energy, pv=pv_last)
             energy, _n_iter, sor = self.fld.radiative_diffusion(
                 g, sigma, energy, h_now, dt, sor_state=sor,
                 halo_fn=self._fld_halo_fn, shard_ctx=self._fld_shard_ctx)
-            energy = eos.energy_floor_ceiling(phys, constants, sigma, energy)
+            energy = eos.energy_floor_ceiling(phys, constants, sigma, energy,
+                                              pv_last)
         return (sigma, vrad, vaz, energy, qplus, qminus, sor, sg_kernel,
                 h_next, nu_next)
 
@@ -1264,10 +1280,12 @@ class HydroStep:
         phys, constants, g = self.phys, self.constants, self.g
         pp = self.particle_params or dust.ParticleParams()
         cs0, press, h0 = self.derived(sigma, energy)
-        temp = phys.mu / constants.R * press / sigma \
-            if not phys.is_adiabatic else \
-            phys.mu / constants.R * (phys.adiabatic_index - 1.0) \
-            * energy / sigma
+        # temperature as the reference's particles sample it
+        # (data[TEMPERATURE], i.e. per-cell variable gamma/mu for PVTE —
+        # compute_temperature src/SourceEuler.cpp:1475-1505); the pvte
+        # grids are the memoized step-start refresh, no extra solve
+        temp = eos.temperature(phys, constants, sigma, energy, press,
+                               self.pvte_vals(sigma, energy))
         rho_mid = sigma / (phys.density_factor * h0)
         bodies = self.bodies_on_grid(nb, time)
         integ = dust.integrate_rk45 if pp.integrator.startswith(
@@ -1419,7 +1437,8 @@ class HydroStep:
         sg_kernel = state.sg_kernel
         if phys.calculate_disk:
             (sigma, vrad, vaz, energy, qplus, qminus,
-             _ecc_deltas, sg_kernel, _h_next, nu_step) = self._substeps(
+             _ecc_deltas, sg_kernel, _h_next, nu_step,
+             pv_last) = self._substeps(
                 sigma, vrad, vaz, energy, pot_it, time, dt, omega_frame,
                 bodies, sg_kernel=sg_kernel, stale_derived=stale_derived)
             # compile-time guard: stop XLA's algebraic simplifier from
@@ -1436,13 +1455,16 @@ class HydroStep:
         # calculate_disk gate (src/simulation.cpp:205-208), which is what
         # makes pure-diffusion setups like test/FLD1D (Disk: no) evolve
         if self.fld is not None:
-            _, _, h_now = self.derived(sigma, energy)
+            # STALE pvte grids for the T/cs/H entering FLD (reference
+            # fld.cpp:996-1000 reads pvte::get_* with no refresh)
+            energy_floor_pv = pv_last if phys.calculate_disk else None
+            _, _, h_now = self.derived(sigma, energy, pv=energy_floor_pv)
             energy, _n_iter, sor = self.fld.radiative_diffusion(
                 g, sigma, energy, h_now, dt, sor_state=sor,
                 halo_fn=self._fld_halo_fn,
                 shard_ctx=self._fld_shard_ctx)
             energy = eos.energy_floor_ceiling(phys, constants, sigma,
-                                              energy)
+                                              energy, energy_floor_pv)
 
         if phys.calculate_disk:
             # boundary conditions before transport (final=false); the
