@@ -215,29 +215,33 @@ def run_parity(steps: int):
 _CHILD_CONFIGS = {
     # name -> (dtype, steps-env-var, default steps, config, timeout s,
     #          WARM cost s, extra env)
-    # Warm costs measured on the axon TPU v5e 2026-08-20 with the
-    # persistent .jax_cache hit (build + dispatch + warmup/timed scans),
-    # padded ~30%. Cold costs for reference (empty cache, full
-    # XLA+Mosaic compile): flagship 196 s, pds70 693 s, parity 289 s,
-    # f64 307 s — cold children are started only when the remaining
-    # budget minus the later children's warm costs allows, and killed
-    # (or self-terminated at a deadline checkpoint) without starving
-    # what comes after.
+    # Warm costs re-estimated 2026-08-21 after the CPU-pinned
+    # construction fix (sim builds through the tunnel fell 2-10 min ->
+    # ~33 s; the analytic dust lookup also removed jnp.searchsorted's
+    # ~330 s/call XLA compile from the pds70 graph): build + cache-hit
+    # executable load + dispatch + warmup/timed scans, padded. With all
+    # four warm children at 60+80+100+70 = 310 s the full list fits the
+    # 480 s default BENCH_WALL_BUDGET. Cold costs (empty cache, full
+    # XLA+Mosaic compile) remain several hundred seconds per child —
+    # cold children are started only when the remaining budget minus the
+    # later children's warm costs allows, and killed (or self-terminated
+    # at a deadline checkpoint) without starving what comes after.
     "flagship_f32": ("float32", "BENCH_STEPS", 100, "flagship", 2400,
-                     150, {}),
+                     60, {}),
     # PDS70-style full physics (SG FFT + FLD + PVTE + dust,
     # BASELINE.json configs[4]) — fewer steps (each step carries an FFT
     # convolution pair + an SOR solve)
-    "pds70": ("float32", "BENCH_PDS70_STEPS", 20, "pds70", 2400, 140, {}),
-    # on-TPU fused-vs-unfused numerical gate (see run_parity)
+    "pds70": ("float32", "BENCH_PDS70_STEPS", 20, "pds70", 2400, 80, {}),
+    # on-TPU fused-vs-unfused numerical gate (see run_parity; builds
+    # TWO sims)
     "parity": ("float32", "BENCH_PARITY_STEPS", 20, "parity", 2400,
-               110, {}),
+               100, {}),
     # secondary float64 number (the reference is all-double; the
     # rebuild's f64 production path is the validated unfused jnp graph —
     # Mosaic cannot lower the fused kernels' dynamic lane rolls in
     # emulated f64). 10 steps: a documented hardware-floor number that
     # never changes (PROGRESS.md round-4 ceiling analysis) — keep cheap.
-    "f64": ("float64", "BENCH_F64_STEPS", 10, "flagship", 2400, 100, {}),
+    "f64": ("float64", "BENCH_F64_STEPS", 10, "flagship", 2400, 70, {}),
     # NOTE: an "f64_fused" child (FARGOCPT_TPU_F64_FUSED=1, the
     # static-roll+select FARGO shift) was probed on TPU 2026-08-18 and is
     # STRUCTURALLY IMPOSSIBLE on this backend: the axon X64-emulation
